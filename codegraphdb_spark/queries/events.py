@@ -1,0 +1,191 @@
+"""Event-stream analytics catalog (batch semantics over the ``events``
+fixture; the same logic runs as Structured Streaming in
+``codegraphdb_spark.streaming`` with watermarks).
+
+These are driver-mandated extensions (SURVEY §2.H): windowed aggregation,
+sessionization, within-key dedup, JSON prop extraction. Batch versions are
+oracle-checked; streaming twins are pytest-checked (non-SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from codegraphdb_spark.queries._determinism import isum, sql_isum
+from codegraphdb_spark.registry import query
+from codegraphdb_spark.sources.tables import load_table
+
+# events.value is an arbitrary double → scaled-integer exact summation
+# (see _determinism.isum for why decimal casts don't work here).
+SQL_DSUM_V = sql_isum("value")
+
+
+@query(
+    "events_tumbling_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {SQL_DSUM_V} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute window aggregation — the batch shape of
+    ``writeStream`` windowed aggs. Window+key grouping is a single shuffle
+    with map-side partials; state size bounded by (windows × types)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            isum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle=f"""
+    WITH slid AS (
+      SELECT UNNEST([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+                    ]) AS window_start,
+             value
+      FROM events
+    )
+    SELECT window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {SQL_DSUM_V} AS total_value
+    FROM slid
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10-minute length, 5-minute slide): each event lands in
+    exactly two windows; Spark's ``window()`` explodes then aggregates."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            isum("value").alias("total_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "events_sessionization",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap) — the batch
+    equivalent of ``session_window``; implemented with lag + cumulative sum
+    so the oracle can mirror it exactly. Single shuffle on user_id; both
+    window functions reuse the same partitioning (one sort, no extra
+    exchange — check ``explain``)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    return (
+        marked.withColumn("session_seq", F.sum("new_session").over(w_run).cast("bigint"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+@query(
+    "events_dedup_first_per_key",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def events_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup per (user, type) — batch shape of
+    ``dropDuplicatesWithinWatermark``; deterministic tie-break by event_id."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+           event_type
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+    ORDER BY event_id
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (reference <CODE> pointer decode D3 is the
+    same from_json shape, graphDB.py:236-247). get_json_object stays in
+    codegen — no Python round-trip."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_id", k.alias("prop_k"), "event_type")
+        .filter(F.col("prop_k") >= 50)
+        .orderBy("event_id")
+    )

@@ -1,0 +1,623 @@
+"""Relational operator catalog (SURVEY.md §2.G).
+
+Every concrete query in the reference reduces to scan–filter–join–project
+(its Cypher surface, graphDB.py:106-112, is delegated to Neo4j); this module
+declares the engine's equivalent coverage as named, oracle-checked queries
+over the driver fixtures. Each maps to a built-in Catalyst primitive — plans
+are declarative so pushdown / pruning / join-reordering are automatic.
+
+Scale notes are inline per query; the common ones:
+- nation/region are broadcast explicitly (fixed-size dims at any SF);
+- aggregates pre-shuffle partially (Spark's hash agg does map-side combine);
+- top-k uses ``orderBy().limit()`` which Spark executes as TakeOrdered —
+  no global sort materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from codegraphdb_spark.queries._determinism import davg, dsum, sql_davg, sql_dsum
+from codegraphdb_spark.registry import query
+from codegraphdb_spark.sources.tables import load_table
+
+
+# --- scan / filter / project -------------------------------------------------
+
+@query(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS net_price
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+      AND l_quantity BETWEEN 10 AND 30
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan + predicate pushdown + column pruning (SURVEY §2.G row 1).
+
+    ``explain`` shows PushedFilters on l_returnflag/l_quantity/l_shipdate and
+    a 6-column ReadSchema — the scan never reads the other 5 columns.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_returnflag") == "R")
+            & F.col("l_quantity").between(10, 30)
+            & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("net_price"),
+        )
+    )
+
+
+@query(
+    "point_lookup",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey = 42
+    """,
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup by key (reference `_match_node` graphDB.py:65-70).
+
+    On a partitioned/sorted layout this is a single-file, single-row-group
+    read via min/max pruning; pushdown makes it cheap even unpartitioned.
+    """
+    return load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
+
+
+@query(
+    "filter_prefix_isin",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderpriority, o_orderstatus
+    FROM orders
+    WHERE o_orderpriority LIKE '1%' AND o_orderstatus IN ('F', 'P')
+    """,
+)
+def filter_prefix_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-prefix + isin predicates (reference B7/B8 change-list and
+    path-prefix filters, update_version.py:36-42, graphDB.py:155-174)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").startswith("1") & F.col("o_orderstatus").isin("F", "P")
+    ).select("o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus")
+
+
+# --- aggregation --------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_discount')} AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical scan→filter→hash-agg.
+
+    Grouping keys are tiny-cardinality (RF×LS ≈ 4) so the shuffle moves only
+    partial aggregates — map-side combine does nearly all the work; this
+    plan is flat-cost in partition count and safe at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_stats_by_segment",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+           {sql_davg('c_acctbal')} AS avg_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def agg_stats_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped multi-aggregate incl. COUNT DISTINCT (expands to a two-phase
+    partial/final agg under Catalyst; distinct is per-group hash-expanded)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            davg("c_acctbal").alias("avg_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query("approx_distinct_orders")  # no oracle: HLL sketches differ across engines
+def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct — the scale guard for 100 TB cardinality stats
+    (SURVEY §2.G last row). HLL++ sketch: constant memory per group, exact
+    COUNT(DISTINCT) would shuffle every distinct value."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+    )
+
+
+# --- joins --------------------------------------------------------------------
+
+@query(
+    "revenue_by_nation",
+    oracle=f"""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name, r.r_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP (SURVEY §7.1): 5-way join + agg + sort — the spine of every
+    reference query shape (C3–C5 expansions are exactly these equi-joins).
+
+    Join strategy at scale: lineitem⋈orders is the one real shuffle (both
+    sides huge, co-partitioned on the join key after shuffle); customer
+    joins on the already-shuffled order side; nation/region are explicitly
+    broadcast (constant-size dims). Revenue agg is decimal-exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+@query(
+    "broadcast_dim_join",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {sql_dsum('c.c_acctbal')} AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join against a fixed-size dimension — zero shuffle on
+    the fact side (the C3 module-side-small case, ast_manage.py:24-35)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "left_outer_orders_per_customer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY c.c_custkey
+    """,
+)
+def left_outer_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving zero-order customers (reference C3
+    miss-handling branch, ast_manage.py:162-167)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "semi_join_active_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    ORDER BY c_custkey
+    """,
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (reference B5 cascade / B7 change-list membership).
+    Semi joins ship only the join key of the probe side — no payload
+    duplication, no fan-out on multi-match."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "anti_join_dormant_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (reference B4 missing-endpoint synthesis: keys present
+    in edges but absent from nodes, graphDB.py:133-153)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_part_supplier_lineitem",
+    oracle=f"""
+    SELECT p.p_brand AS brand, s.s_name AS supplier_name,
+           {sql_dsum('l.l_quantity')} AS total_qty
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE p.p_size >= 20
+    GROUP BY p.p_brand, s.s_name
+    ORDER BY brand, supplier_name
+    """,
+)
+def join_part_supplier_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dim star join with a pushed filter on the dimension; Catalyst
+    prunes part rows before the join (dim filter → smaller build side, AQE
+    converts to broadcast when it fits)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 20)
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("s_name").alias("supplier_name"))
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .orderBy("brand", "supplier_name")
+    )
+
+
+# --- set operations / dedupe ---------------------------------------------------
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT ALL
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY c_custkey
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exceptAll — multiset difference (reference B4 endpoint synthesis uses
+    exactly nodes-minus-edge-endpoints set algebra)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    left = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    right = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return left.exceptAll(right).orderBy("c_custkey")
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT DISTINCT k FROM (
+      SELECT c_nationkey AS k FROM customer
+      UNION ALL
+      SELECT s_nationkey AS k FROM supplier
+    ) ORDER BY k
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName + distinct (reference B1 merge unions new facts into the
+    node set before window-dedupe)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.unionByName(s).distinct().orderBy("k")
+
+
+@query(
+    "dedupe_drop_duplicates",
+    oracle="""
+    SELECT DISTINCT c_nationkey, c_mktsegment
+    FROM customer
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def dedupe_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on a key subset (reference E5 processed_relations set,
+    ast_manage.py:21-23)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_nationkey", "c_mktsegment")
+        .dropDuplicates(["c_nationkey", "c_mktsegment"])
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+# --- windows -------------------------------------------------------------------
+
+@query(
+    "window_last_wins_merge",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           o_orderdate AS latest_orderdate, o_totalprice AS latest_totalprice
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+)
+def window_last_wins_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window last-wins dedupe — THE merge primitive replacing the
+    reference's read-modify-write node upsert (B1, graphDB.py:121-131):
+    partition by key, order by recency desc, keep row 1. Set-oriented, no
+    lock, deterministic under any partitioning (tie broken by unique key)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").alias("latest_orderdate"),
+            F.col("o_totalprice").alias("latest_totalprice"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "window_rank_lag_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(RANK() OVER w_price AS BIGINT)  AS price_rank,
+           LAG(o_orderkey) OVER w_time           AS prev_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    WINDOW w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+           w_time  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_rank_lag_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: rank / lag / running sum (SURVEY §2.G ranking row).
+    Running sum is decimal-exact so the cumulative double is identical on
+    both engines at every row."""
+    o = load_table(spark, sf_dir, "orders")
+    w_price = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w_time.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w_price).cast("bigint").alias("price_rank"),
+            F.lag("o_orderkey").over(w_time).alias("prev_orderkey"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,4)")).over(w_run)
+            .cast("double")
+            .alias("running_spend"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --- sort / limit ---------------------------------------------------------------
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    heaps + driver merge, never a full sort shuffle. The only safe global
+    top-k at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --- scalar functions ------------------------------------------------------------
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           CONCAT(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_key,
+           REPLACE(c_name, '#', '-') AS name_dashed,
+           CAST(LENGTH(c_name) AS INT) AS name_len
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string kernel (reference D-group: path strip D9, display join
+    D7, composite keys D10 are all concat/substr/replace shapes)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.upper("c_name").alias("name_upper"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.concat(
+                F.col("c_mktsegment"), F.lit(":"), F.col("c_nationkey").cast("string")
+            ).alias("seg_key"),
+            F.regexp_replace("c_name", "#", "-").alias("name_dashed"),
+            F.length("c_name").cast("int").alias("name_len"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "date_parts_orders",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def date_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp part extraction + group (calendar rollup shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("order_year", "order_month")
+    )
+
+
+@query(
+    "case_when_bucketing",
+    oracle=f"""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS price_band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_davg('o_totalprice')} AS avg_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY price_band
+    """,
+)
+def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + agg (reference label-promotion conditional B3,
+    graphDB.py:82-92, is exactly a when/otherwise column rewrite)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.when(F.col("o_totalprice") < 50000, "small")
+            .when(F.col("o_totalprice") < 150000, "medium")
+            .otherwise("large")
+            .alias("price_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            davg("o_totalprice").alias("avg_price"),
+        )
+        .orderBy("price_band")
+    )
+
+
+@query(
+    "grouped_collect_sorted",
+    oracle="""
+    SELECT n_regionkey,
+           LIST(n_name ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def grouped_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list with deterministic ordering via sort_array (reference C4
+    result sets: children-of-module lists, ast_manage.py:37-50)."""
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .orderBy("n_regionkey")
+    )

@@ -1,0 +1,159 @@
+"""Embedding similarity-search catalog over the ``embeddings`` fixture
+(driver-mandated extension, SURVEY §2.H).
+
+Exact brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant (``codegraphdb_spark.operators.similarity``) is the scale path —
+random-hyperplane signatures bucket the corpus so a probe only scores its
+bucket. Dot products run through exact DECIMAL accumulation (see
+``_determinism``) so Spark and DuckDB emit bit-identical doubles regardless
+of summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from codegraphdb_spark.registry import query
+from codegraphdb_spark.sources.tables import load_table
+
+DIM = 64
+N_PROBES = 5
+TOP_K = 10
+
+# Dot products accumulate in scaled-integer space (round(x*y*1e12) → bigint
+# sum): order-independent, exact, and — unlike double→decimal casts —
+# bit-identical across engines (see _determinism.isum). 64 products of
+# unit-scale floats × 1e12 stays far inside int64.
+_SCALE = 1_000_000_000_000
+
+
+def _ddot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: F.round(x * y * _SCALE).cast("bigint"))
+    total = F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+    return (total.cast("double") / _SCALE).cast("double")
+
+
+def _sql_ddot(a: str, b: str) -> str:
+    return (
+        f"CAST(CAST(list_sum(list_transform(generate_series(1, {DIM}), "
+        f"i -> CAST(ROUND(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * {_SCALE}) AS BIGINT)"
+        f")) AS DOUBLE) / {_SCALE} AS DOUBLE)"
+    )
+
+
+@query(
+    "emb_cosine_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < {N_PROBES}
+    ), scored AS (
+      SELECT p.probe_id, c.vec_id AS cand_id,
+             {_sql_ddot('p.pe', 'c.e')} /
+             (SQRT({_sql_ddot('p.pe', 'p.pe')}) * SQRT({_sql_ddot('c.e', 'c.e')})) AS cosine
+      FROM probes p, v c
+      WHERE c.vec_id <> p.probe_id
+    )
+    SELECT probe_id, cand_id, cosine,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cosine DESC, cand_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    ORDER BY probe_id, rnk
+    """,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (tiny) probe set against the
+    corpus — a broadcast nested-loop the executor side streams once, then a
+    per-probe top-k window. At 100 TB you swap the probe×corpus product for
+    the LSH-bucketed join; the scoring and ranking stages are identical."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    probes = v.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    pairs = F.broadcast(probes).join(v, F.col("vec_id") != F.col("probe_id"))
+    cosine = _ddot(F.col("pe"), F.col("e")) / (
+        F.sqrt(_ddot(F.col("pe"), F.col("pe"))) * F.sqrt(_ddot(F.col("e"), F.col("e")))
+    )
+    scored = pairs.select(
+        "probe_id", F.col("vec_id").alias("cand_id"), cosine.alias("cosine")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
+        .orderBy("probe_id", "rnk")
+    )
+
+
+@query(
+    "emb_norm_stats",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT vec_id, label,
+           CAST(len(e) AS INT) AS dim,
+           SQRT({_sql_ddot('e', 'e')}) AS l2_norm
+    FROM v
+    ORDER BY vec_id
+    """,
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm + dimensionality — the cheap scan-side audit every
+    embedding pipeline runs before indexing (catches zero/NaN vectors)."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return v.select(
+        "vec_id",
+        "label",
+        F.size("e").cast("int").alias("dim"),
+        F.sqrt(_ddot(F.col("e"), F.col("e"))).alias("l2_norm"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "emb_centroid_by_label",
+    oracle="""
+    WITH expl AS (
+      SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, (SELECT UNNEST(generate_series(1, 64)) AS i)
+    )
+    SELECT label, CAST(pos AS INT) AS pos,
+           CAST(CAST(SUM(CAST(ROUND(x * 1000000000 ) AS BIGINT)) AS DOUBLE)
+                / COUNT(*) / 1000000000 AS DOUBLE) AS centroid_val
+    FROM expl
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+)
+def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, element-wise (posexplode → decimal-exact mean per
+    (label, position)). This is the reduce side of k-means / IVF coarse
+    quantizer training; partial aggregation keeps the shuffle at
+    labels × dim rows, independent of corpus size."""
+    v = load_table(spark, sf_dir, "embeddings")
+    expl = v.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x")
+    ).select("label", (F.col("pos0") + 1).cast("int").alias("pos"), "x")
+    return (
+        expl.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("x") * 1_000_000_000).cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+                / 1_000_000_000
+            )
+            .cast("double")
+            .alias("centroid_val")
+        )
+        .orderBy("label", "pos")
+    )

@@ -1,0 +1,445 @@
+"""Text-analysis + deduplication catalog over the ``documents`` fixture
+(driver-mandated extensions, SURVEY §2.H: exact dedup, n-gram Jaccard
+near-dup, MinHash+LSH, SimHash, token counting, quality scoring, language
+heuristic, rolling-hash fingerprinting).
+
+Everything here is built-in-function only (no Python UDFs): tokenization is
+``split``, hashing is ``md5`` + hex→int ``conv``, signatures are
+higher-order array functions (``transform`` / ``aggregate`` / ``filter``)
+— all JVM-side, whole-stage-codegen friendly. The DuckDB oracles compute
+the *identical* integer arithmetic, so results hash-match exactly.
+
+Scale notes: the inverted-index join (exact Jaccard) is quadratic in
+documents-per-shingle; at 100 TB you run MinHash LSH banding first
+(candidate pairs only), then verify candidates with exact Jaccard — which
+is precisely the `minhash_lsh_candidates` → `ngram_jaccard_pairs` split
+below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codegraphdb_spark.registry import query
+from codegraphdb_spark.sources.tables import load_table
+
+# --- shared hashing constants (identical in Spark + DuckDB oracles) -----------
+
+P = 2_147_483_647  # 2^31 - 1
+NUM_MINHASH = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+MINHASH_A = [1_000_003 * j + 777 for j in range(NUM_MINHASH)]
+MINHASH_B = [999_983 * j + 12_345 for j in range(NUM_MINHASH)]
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def _shingles(tok: Column) -> Column:
+    """3-word shingles, order-preserving (k=3 keeps selectivity high even on
+    a small vocabulary — single-word 'shingles' would make every pair of
+    docs a candidate and the inverted index degenerate)."""
+    n = F.size(tok)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tok, i), F.element_at(tok, i + 1), F.element_at(tok, i + 2)
+            ),
+        ),
+    ).otherwise(F.array(F.col("text")))
+
+
+def _h28(s: Column) -> Column:
+    """Deterministic 28-bit integer hash: first 7 hex digits of md5.
+    (Same construction as the reference's content-addressed identities;
+    chosen so (a*h+b) stays inside int64 for the minhash family.)"""
+    return F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint")
+
+
+SQL_TOKS = "string_split(text, ' ')"
+SQL_SHINGLES = f"""
+  CASE WHEN len({SQL_TOKS}) >= 3
+       THEN list_transform(generate_series(1, len({SQL_TOKS}) - 2),
+                           i -> {SQL_TOKS}[i] || ' ' || {SQL_TOKS}[i+1] || ' ' || {SQL_TOKS}[i+2])
+       ELSE [text] END
+"""
+
+
+def _sql_h28(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 7) AS BIGINT)"
+
+
+# --- token counting / quality / language ---------------------------------------
+
+@query(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({SQL_TOKS}) AS INT) AS n_tokens,
+           CAST(len(list_distinct({SQL_TOKS})) AS INT) AS n_unique_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_word_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]{{1,4}}')) AS INT) AS n_bpe_ish_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, unique tokens, regex word tokens,
+    and a BPE-ish greedy ≤4-char chunking — all codegen'd, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = _tokens()
+    return (
+        d.select(
+            "doc_id",
+            F.size(tok).cast("int").alias("n_tokens"),
+            F.size(F.array_distinct(tok)).cast("int").alias("n_unique_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).cast("int").alias("n_word_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0)).cast("int").alias("n_bpe_ish_tokens"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_TOKS} AS toks, n_chars FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS avg_token_len,
+           CAST(len(list_filter(toks, x -> x IN {STOPWORDS!r})) AS DOUBLE) / len(toks) AS stopword_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio,
+           CAST(CASE WHEN len(toks) BETWEEN 20 AND 1000
+                      AND len(list_distinct(toks)) > 5 THEN 1 ELSE 0 END AS INT) AS quality_keep
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: avg token length, stopword ratio, type/token ratio,
+    and a keep/drop gate — the standard cheap pre-filters of a training-data
+    pipeline. All ratios are int/int divisions → bit-identical doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = _tokens()
+    n = F.size(tok)
+    tok_len_sum = F.aggregate(tok, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_stop = F.size(F.filter(tok, lambda x: x.isin(*STOPWORDS)))
+    n_uniq = F.size(F.array_distinct(tok))
+    return (
+        d.select(
+            "doc_id",
+            (tok_len_sum.cast("double") / n).alias("avg_token_len"),
+            (n_stop.cast("double") / n).alias("stopword_ratio"),
+            (n_uniq.cast("double") / n).alias("type_token_ratio"),
+            F.when(n.between(20, 1000) & (n_uniq > 5), 1).otherwise(0).cast("int").alias("quality_keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_lang_heuristic",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> x IN ('the','a','of'))) AS en_score,
+             len(list_filter(toks, x -> x IN ('data','query','table'))) AS tech_score,
+             len(toks) AS n
+      FROM t
+    )
+    SELECT doc_id, lang AS lang_tagged,
+           CASE WHEN en_score * 20 >= n THEN 'en-like'
+                WHEN tech_score * 10 >= n THEN 'tech'
+                ELSE 'other' END AS lang_pred,
+           CAST(en_score AS INT) AS en_score,
+           CAST(tech_score AS INT) AS tech_score
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def doc_lang_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (n-gram/stopword scoring — the container has no
+    langid model, so the scoring IS the implementation, not a stub). The
+    marker-word lists are the tunable; the plan shape (tokenize → score →
+    argmax) is what scales."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = _tokens()
+    en = F.size(F.filter(tok, lambda x: x.isin("the", "a", "of")))
+    tech = F.size(F.filter(tok, lambda x: x.isin("data", "query", "table")))
+    n = F.size(tok)
+    return (
+        d.select(
+            "doc_id",
+            F.col("lang").alias("lang_tagged"),
+            F.when(en * 20 >= n, "en-like")
+            .when(tech * 10 >= n, "tech")
+            .otherwise("other")
+            .alias("lang_pred"),
+            en.cast("int").alias("en_score"),
+            tech.cast("int").alias("tech_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform({SQL_TOKS}, x -> {_sql_h28('x')}) AS tokhs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_reduce(tokhs, (acc, h) -> (acc * 31 + h) % {P}) AS BIGINT) AS fingerprint
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (reference-style
+    content identity, cf. full_name-keyed identity graphDB.py:65-70 —
+    here content-addressed). Spark's fold starts at 0 (0*31+h1 = h1) so it
+    matches DuckDB's first-element-init reduce step for step."""
+    d = load_table(spark, sf_dir, "documents")
+    tokhs = F.transform(_tokens(), _h28)
+    fp = F.aggregate(
+        tokhs,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 31 + h) % P,
+    )
+    return d.select("doc_id", fp.cast("bigint").alias("fingerprint")).orderBy("doc_id")
+
+
+# --- dedup ----------------------------------------------------------------------
+
+@query(
+    "doc_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY keep_doc_id
+    """,
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: group on md5(text), keep min doc_id.
+    Hash-groupBy shuffles 16-byte digests, not document bodies — at 100 TB
+    the shuffle is ~0.02% of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({SQL_SHINGLES}) AS shs FROM documents
+    ), sizes AS (
+      SELECT doc_id, len(shs) AS nsh FROM sh
+    ), inv AS (
+      SELECT doc_id, UNNEST(shs) AS shingle FROM sh
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           CAST(c.n_common AS DOUBLE) / (sa.nsh + sb.nsh - c.n_common) AS jaccard
+    FROM common c
+    JOIN sizes sa ON c.doc_a = sa.doc_id
+    JOIN sizes sb ON c.doc_b = sb.doc_id
+    WHERE CAST(c.n_common AS DOUBLE) / (sa.nsh + sb.nsh - c.n_common) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join (never a
+    cross join): explode distinct shingles → self-join on shingle →
+    count common → Jaccard from set sizes. Jaccard is int/int → exact."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.array_distinct(_shingles(_tokens())).alias("shs")
+    )
+    sizes = sh.select("doc_id", F.size("shs").alias("nsh"))
+    inv = sh.select("doc_id", F.explode("shs").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("nsh_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nsh_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("nsh_a") + F.col("nsh_b") - F.col("n_common")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _perm_hash(a: int, b: int):
+    """Closure factory: PySpark inspects lambda arity, so default-arg
+    closures (lambda h, a=a: ...) would be mis-read as 3-arg lambdas."""
+
+    def apply(h: Column) -> Column:
+        return (F.lit(a) * h + F.lit(b)) % P
+
+    return apply
+
+
+def _minhash_sig(shingle_hashes: Column) -> Column:
+    """16-permutation MinHash signature as an array<bigint>."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_hashes, _perm_hash(a, b)))
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        ]
+    )
+
+
+def _sql_minhash_sig() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(shs_h, h -> ({a} * h + {b}) % {P}))"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    )
+    return f"[{mins}]"
+
+
+@query(
+    "minhash_lsh_candidates",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_transform(list_distinct({SQL_SHINGLES}), s -> {_sql_h28('s')}) AS shs_h
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id, {_sql_minhash_sig()} AS sig FROM sh
+    ), bands AS (
+      SELECT doc_id, sig, b.band_idx,
+             sig[b.band_idx * 4 + 1] || ':' || sig[b.band_idx * 4 + 2] || ':' ||
+             sig[b.band_idx * 4 + 3] || ':' || sig[b.band_idx * 4 + 4] AS band_key
+      FROM sigs, (SELECT UNNEST(generate_series(0, {LSH_BANDS - 1})) AS band_idx) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST({' + '.join(f'CASE WHEN sig_a[{i + 1}] = sig_b[{i + 1}] THEN 1 ELSE 0 END' for i in range(NUM_MINHASH))} AS INT) AS n_equal_minhash
+    FROM cand
+    ORDER BY doc_a, doc_b
+    """,
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: shingle → 16-hash signature → 4 bands of 4 →
+    bucket self-join on band key → candidate pairs with signature-agreement
+    count. THIS is the 100 TB near-dup path: the join touches only docs
+    whose band keys collide (≈ near-dups), never all pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.transform(F.array_distinct(_shingles(_tokens())), _h28).alias("shs_h"),
+    )
+    sigs = sh.select("doc_id", _minhash_sig(F.col("shs_h")).alias("sig"))
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band_idx"),
+    ).withColumn(
+        "band_key",
+        F.concat_ws(
+            ":",
+            *[F.element_at("sig", F.col("band_idx") * 4 + i + 1) for i in range(4)],
+        ),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    n_eq = sum(
+        F.when(F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1), 1).otherwise(0)
+        for i in range(NUM_MINHASH)
+    )
+    return (
+        cand.select("doc_a", "doc_b", n_eq.cast("int").alias("n_equal_minhash"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "simhash_fingerprint",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(list_distinct({SQL_TOKS}), x -> {_sql_h28('x')}) AS tokhs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(generate_series(0, 27), bb ->
+             CASE WHEN list_sum(list_transform(tokhs, h ->
+                    CAST(FLOOR(h / POWER(2, bb)) AS BIGINT) % 2 * 2 - 1)) > 0
+                  THEN CAST(POWER(2, bb) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """28-bit SimHash per document: majority vote per bit over distinct-token
+    hashes. Pure higher-order array math — zero shuffle besides the scan;
+    near-dup lookup then partitions by fingerprint prefix (pytest covers the
+    hamming-distance pairing)."""
+    d = load_table(spark, sf_dir, "documents")
+    tokhs = F.transform(F.array_distinct(_tokens()), _h28)
+    bit_of = lambda h, bb: F.floor(h / F.pow(F.lit(2.0), bb)).cast("bigint") % 2  # noqa: E731
+    simhash = F.aggregate(
+        F.sequence(F.lit(0), F.lit(27)),
+        F.lit(0).cast("bigint"),
+        lambda acc, bb: acc
+        + F.when(
+            F.aggregate(tokhs, F.lit(0).cast("bigint"), lambda a, h: a + (bit_of(h, bb) * 2 - 1)) > 0,
+            F.pow(F.lit(2.0), bb).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return d.select("doc_id", simhash.cast("bigint").alias("simhash")).orderBy("doc_id")

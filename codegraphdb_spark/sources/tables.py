@@ -1,0 +1,56 @@
+"""Fixture-table source (parquet scans with pruning-friendly access).
+
+The engine's relational inputs are the driver fixtures (TESTDATA.md).
+Always go through :func:`load_table` so every query starts from a plain
+``spark.read.parquet`` scan — Catalyst then gets predicate pushdown and
+column pruning for free (verify with ``df.explain``: ``PushedFilters`` /
+``ReadSchema`` should reflect the query's filters/projection).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (region and
+# nation are fixed-size in TPC-H-like schemas; supplier stays tiny here).
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read nanos as long and truncate to microseconds
+        # (identical to DuckDB's ns→us cast, so oracles agree).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register fixture tables as temp views so ``spark.sql`` works over them
+    (the engine's user-facing SQL surface, replacing the reference's
+    arbitrary-Cypher passthrough graphDB.py:106-112)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
