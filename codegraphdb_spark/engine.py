@@ -1,0 +1,142 @@
+"""GraphEngine — the end-to-end pipeline facade (reference lifecycles §3).
+
+Whole-repo build (reference 3.1, run_mutiprocess.py:107-121):
+    files DF → extract_facts (mapInPandas) → merge node/edge facts →
+    resolution joins (refs + E2 re-exports) → E1 inheritance closure →
+    endpoint synthesis → (nodes, edges) snapshot.
+
+All the reference's process/thread/lock boundaries (thread pool →
+subprocess per file → jedi env subprocess → Neo4j HTTP → file lock)
+collapse into Spark stages; the only shuffles are the merges (by
+full_name / edge key) and the resolution joins (by candidate name).
+
+Incremental update (reference 3.3, update_version.py:58-73): facts are the
+durable intermediate — re-extract ONLY changed files (the expensive part),
+carry forward facts of unchanged files, recompile (cheap joins), then
+version-merge with the old snapshot (stamp + array_union). This is the
+partition-pruning analog of the reference's label-stamping walk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codegraphdb_spark.extract.ast_extract import extract_facts
+from codegraphdb_spark.operators.closure import inherited_method_closure
+from codegraphdb_spark.operators.merge import (
+    clear_version,
+    merge_edge_facts,
+    merge_node_facts,
+    merge_snapshots,
+    stamp_version,
+    synthesize_endpoints,
+)
+from codegraphdb_spark.operators.resolve import reexport_contains, resolve_refs
+
+
+class GraphEngine:
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+
+    # -- pipeline stages -----------------------------------------------------
+
+    def extract(self, files: DataFrame) -> DataFrame:
+        return extract_facts(files)
+
+    def compile(self, facts: DataFrame, version: str) -> tuple[DataFrame, DataFrame]:
+        """facts → (nodes, edges) for one version."""
+        facts = facts.cache()
+        nodes = merge_node_facts(facts.filter(F.col("fact") == "node"), version)
+        local_edges = merge_edge_facts(facts.filter(F.col("fact") == "edge"), version)
+        imports = facts.filter(F.col("fact") == "import")
+        refs = facts.filter(F.col("fact") == "ref")
+
+        resolved = resolve_refs(refs, imports, nodes).withColumn(
+            "versions", F.array(F.lit(version))
+        )
+        contains = local_edges.filter(F.col("rel_type") == "CONTAINS")
+        reexports = reexport_contains(imports, nodes, contains).withColumn(
+            "versions", F.array(F.lit(version))
+        )
+        edges = (
+            local_edges.unionByName(resolved.select(*local_edges.columns))
+            .unionByName(reexports.select(*local_edges.columns))
+            .dropDuplicates(["src", "dst", "rel_type"])
+        )
+        edges = edges.unionByName(
+            inherited_method_closure(edges).select(*edges.columns)
+        ).dropDuplicates(["src", "dst", "rel_type"])
+        nodes = synthesize_endpoints(nodes, edges, version)
+        return nodes, edges
+
+    def build(self, files: DataFrame, version: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """Whole-repo build → (nodes, edges, facts). facts is returned so
+        callers can persist it as the incremental-update cache."""
+        facts = self.extract(files).cache()
+        nodes, edges = self.compile(facts, version)
+        return nodes, edges, facts
+
+    # -- incremental versioning (F3) -------------------------------------------
+
+    def update_version(
+        self,
+        old_nodes: DataFrame,
+        old_edges: DataFrame,
+        old_facts: DataFrame,
+        changed_files: DataFrame,
+        change_list: list[str],
+        new_version: str,
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """Re-extract only ``changed_files``; carry forward other facts;
+        recompile; merge versions with the old snapshot (B7 + B1)."""
+        kept = old_facts.filter(~F.col("file_path").isin(change_list))
+        fresh = self.extract(changed_files)
+        facts_new = kept.unionByName(fresh).cache()
+        n2, e2 = self.compile(facts_new, new_version)
+
+        stamped_nodes = stamp_version(old_nodes, new_version, change_list)
+        # nodes from unchanged files already got the new version via stamping;
+        # merge_snapshots unions versions and takes new properties when present
+        nodes = merge_snapshots(stamped_nodes, n2, ["full_name"])
+        edges = merge_snapshots(old_edges, e2, ["src", "dst", "rel_type"])
+        return nodes, edges, facts_new
+
+    def clear_version(
+        self, nodes: DataFrame, edges: DataFrame, version: str
+    ) -> tuple[DataFrame, DataFrame]:
+        return clear_version(nodes, edges, version)
+
+    # -- persistence -----------------------------------------------------------
+
+    def write_snapshot(self, nodes: DataFrame, edges: DataFrame, path: str) -> None:
+        """Parquet snapshot partitioned by kind/rel_type (partition pruning
+        for label-filtered queries — the reference's C2 shape) and sorted
+        within partitions by key for row-group min/max pruning on point
+        lookups (C1)."""
+        (
+            nodes.repartition("kind")
+            .sortWithinPartitions("full_name")
+            .write.partitionBy("kind")
+            .mode("overwrite")
+            .parquet(f"{path}/nodes")
+        )
+        (
+            edges.repartition("rel_type")
+            .sortWithinPartitions("src", "dst")
+            .write.partitionBy("rel_type")
+            .mode("overwrite")
+            .parquet(f"{path}/edges")
+        )
+
+    def read_snapshot(self, path: str) -> tuple[DataFrame, DataFrame]:
+        return (
+            self.spark.read.parquet(f"{path}/nodes"),
+            self.spark.read.parquet(f"{path}/edges"),
+        )
+
+    def register_views(self, nodes: DataFrame, edges: DataFrame) -> None:
+        """SQL surface over the graph (replaces arbitrary-Cypher passthrough
+        C8, graphDB.py:106-112): spark.sql over nodes/edges views."""
+        nodes.createOrReplaceTempView("nodes")
+        edges.createOrReplaceTempView("edges")

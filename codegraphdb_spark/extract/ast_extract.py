@@ -1,0 +1,333 @@
+"""AST fact extraction (reference A3: shallow_indexer.py:74-625; the deep
+indexer A4's jedi resolution is reproduced as a second-pass DataFrame join
+in operators/resolve.py — per SURVEY §2.A A4, jedi's per-env subprocess
+does not distribute, so name resolution becomes set-oriented).
+
+Shape: files DataFrame (path, content) → ``mapInPandas`` with Python's
+stdlib ``ast`` → one fact row per symbol / local edge / import / raw
+reference (FACTS_SCHEMA). The extractor is embarrassingly parallel — one
+task per file partition, no shared state, no locks (the reference needed a
+global file lock around every write, graphDB.py:18-33; here extraction is
+pure and merging is a deterministic downstream job).
+
+Emitted facts mirror the reference's materialized surface (SURVEY §1.4):
+- node facts: MODULE / CLASS / FUNCTION / METHOD / GLOBAL_VARIABLE / FIELD
+  with name, file_path, enclosing class, signature and a lazy code pointer
+  (myClient.py:153-257).
+- edge facts (local, no resolution needed): CONTAINS (module → top-level
+  def, with association_type, myClient.py:187-194), HAS_METHOD
+  (myClient.py:195-199), HAS_FIELD (myClient.py:200-204).
+- import facts: per `import X` / `from X import y [as z]` / `from X import *`
+  with relative-import level resolution (ast_utils.py:64-95) — input to the
+  E2 re-export pass and the reference resolver.
+- ref facts: raw CALL / USES / INHERITS references with the *textual*
+  target (dotted path or self.attr already rewritten to Class.attr);
+  resolution happens in the join pass. Module-level calls are suppressed
+  exactly like the reference (myClient.py:294).
+- error facts: files that fail to parse (reference records error tokens,
+  shallow_indexer.py:521-522) — never fail the job for one bad file.
+"""
+
+from __future__ import annotations
+
+import ast
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from codegraphdb_spark.datamodel import FACTS_SCHEMA
+
+_COLS = [f.name for f in FACTS_SCHEMA.fields]
+
+
+def _module_name(path: str) -> str:
+    name = path[:-3] if path.endswith(".py") else path
+    parts = name.split("/")
+    if parts and parts[-1] == "__init__":
+        parts = parts[:-1]
+    return ".".join(p for p in parts if p)
+
+
+def _dotted(expr: ast.AST) -> str | None:
+    """Render a Name / Attribute chain as 'a.b.c'; None for anything
+    dynamic (subscripts, calls, lambdas) — the reference punts those to
+    'unsolved symbol' too (index_utils.py:62)."""
+    parts: list[str] = []
+    node = expr
+    while isinstance(node, ast.Attribute):
+        parts.append(node.attr)
+        node = node.value
+    if isinstance(node, ast.Name):
+        parts.append(node.id)
+        return ".".join(reversed(parts))
+    return None
+
+
+def _signature(src_lines: list[str], node: ast.AST) -> str:
+    """Header line(s) of a def/class: from its first line to the line the
+    body starts on (reference slices the symbol's *location* range,
+    myClient.py:208-228)."""
+    body_line = node.body[0].lineno if getattr(node, "body", None) else node.lineno + 1
+    end = min(body_line - 1, len(src_lines))
+    return "\n".join(src_lines[node.lineno - 1 : end]).strip()
+
+
+class _Extractor(ast.NodeVisitor):
+    def __init__(self, path: str, source: str) -> None:
+        self.path = path
+        self.module = _module_name(path)
+        self.lines = source.split("\n")
+        self.facts: list[dict[str, Any]] = []
+        # lexical context
+        self.class_stack: list[str] = []  # full_names
+        self.func_stack: list[str] = []  # full_names
+        self.seen_fields: set[str] = set()
+
+    # --- fact emitters ---------------------------------------------------
+
+    def _base(self) -> dict[str, Any]:
+        return dict.fromkeys(_COLS)
+
+    def node_fact(self, full_name: str, kind: str, name: str, node: ast.AST | None,
+                  cls: str | None = None, signature: str | None = None) -> None:
+        f = self._base()
+        f.update(
+            fact="node", full_name=full_name, kind=kind, name=name,
+            file_path=self.path, module=self.module, signature=signature,
+        )
+        f["class"] = cls
+        if node is not None:
+            f.update(
+                code_file=self.path,
+                code_start=node.lineno,
+                code_end=getattr(node, "end_lineno", node.lineno),
+            )
+        self.facts.append(f)
+
+    def edge_fact(self, src: str, rel: str, dst: str, assoc: str | None = None) -> None:
+        f = self._base()
+        f.update(fact="edge", full_name=src, kind=rel, dst=dst,
+                 association_type=assoc, module=self.module, file_path=self.path)
+        self.facts.append(f)
+
+    def ref_fact(self, src: str, rel: str, target: str) -> None:
+        f = self._base()
+        f.update(fact="ref", full_name=src, kind=rel, dst=target,
+                 module=self.module, file_path=self.path)
+        self.facts.append(f)
+
+    def import_fact(self, target_module: str, target_name: str | None,
+                    alias: str | None, is_star: bool) -> None:
+        f = self._base()
+        f.update(
+            fact="import", full_name=self.module, module=self.module,
+            file_path=self.path, imp_target_module=target_module,
+            imp_target_name=target_name, imp_alias=alias, imp_is_star=is_star,
+        )
+        self.facts.append(f)
+
+    # --- context helpers ---------------------------------------------------
+
+    @property
+    def scope(self) -> str:
+        """Innermost def/class full_name, or the module."""
+        if self.func_stack:
+            return self.func_stack[-1]
+        if self.class_stack:
+            return self.class_stack[-1]
+        return self.module
+
+    @property
+    def in_module_scope(self) -> bool:
+        return not self.func_stack and not self.class_stack
+
+    def qualify(self, name: str) -> str:
+        if self.func_stack:
+            return f"{self.func_stack[-1]}.{name}"
+        if self.class_stack:
+            return f"{self.class_stack[-1]}.{name}"
+        return f"{self.module}.{name}"
+
+    # --- visitors ----------------------------------------------------------
+
+    def run(self, tree: ast.Module) -> None:
+        self.node_fact(self.module, "MODULE", self.module, node=None)
+        # module code span = whole file (ast.Module carries no lineno)
+        self.facts[-1]["code_start"] = 1
+        self.facts[-1]["code_end"] = len(self.lines)
+        self.facts[-1]["code_file"] = self.path
+        for child in tree.body:
+            self.visit(child)
+
+    def visit_ClassDef(self, node: ast.ClassDef) -> None:
+        full = self.qualify(node.name)
+        enclosing_class = self.class_stack[-1] if self.class_stack else None
+        self.node_fact(full, "CLASS", node.name, node,
+                       cls=enclosing_class, signature=_signature(self.lines, node))
+        if self.in_module_scope:
+            self.edge_fact(self.module, "CONTAINS", full, assoc="CLASS")
+        for base in node.bases:
+            target = _dotted(base)
+            if target:
+                self.ref_fact(full, "INHERITS", target)
+        self.class_stack.append(full)
+        for child in node.body:
+            self.visit(child)
+        self.class_stack.pop()
+
+    def _visit_def(self, node: ast.FunctionDef | ast.AsyncFunctionDef) -> None:
+        full = self.qualify(node.name)
+        in_class = bool(self.class_stack) and not self.func_stack
+        if in_class:
+            self.node_fact(full, "METHOD", node.name, node,
+                           cls=self.class_stack[-1],
+                           signature=_signature(self.lines, node))
+            self.edge_fact(self.class_stack[-1], "HAS_METHOD", full)
+        else:
+            self.node_fact(full, "FUNCTION", node.name, node,
+                           signature=_signature(self.lines, node))
+            if self.in_module_scope:
+                self.edge_fact(self.module, "CONTAINS", full, assoc="FUNCTION")
+        self.func_stack.append(full)
+        for child in node.body:
+            self.visit(child)
+        self.func_stack.pop()
+
+    visit_FunctionDef = _visit_def
+    visit_AsyncFunctionDef = _visit_def
+
+    def visit_Assign(self, node: ast.Assign) -> None:
+        self._handle_assign_targets(node.targets, node)
+        self.visit(node.value)
+
+    def visit_AnnAssign(self, node: ast.AnnAssign) -> None:
+        self._handle_assign_targets([node.target], node)
+        if node.value is not None:
+            self.visit(node.value)
+
+    def _handle_assign_targets(self, targets: list[ast.expr], node: ast.AST) -> None:
+        flat: list[ast.expr] = []
+        for t in targets:
+            if isinstance(t, (ast.Tuple, ast.List)):
+                flat.extend(t.elts)
+            else:
+                flat.append(t)
+        for t in flat:
+            if isinstance(t, ast.Name):
+                if self.in_module_scope:
+                    full = f"{self.module}.{t.id}"
+                    self.node_fact(full, "GLOBAL_VARIABLE", t.id, node)
+                    self.edge_fact(self.module, "CONTAINS", full, assoc="GLOBAL_VARIABLE")
+                elif self.class_stack and not self.func_stack:
+                    cls = self.class_stack[-1]
+                    full = f"{cls}.{t.id}"
+                    if full not in self.seen_fields:
+                        self.seen_fields.add(full)
+                        self.node_fact(full, "FIELD", t.id, node, cls=cls)
+                        self.edge_fact(cls, "HAS_FIELD", full)
+            elif (
+                isinstance(t, ast.Attribute)
+                and isinstance(t.value, ast.Name)
+                and t.value.id == "self"
+                and self.class_stack
+            ):
+                cls = self.class_stack[-1]
+                full = f"{cls}.{t.attr}"
+                if full not in self.seen_fields:
+                    self.seen_fields.add(full)
+                    self.node_fact(full, "FIELD", t.attr, node, cls=cls)
+                    self.edge_fact(cls, "HAS_FIELD", full)
+
+    def visit_Call(self, node: ast.Call) -> None:
+        # module-level calls suppressed (reference myClient.py:294)
+        if self.func_stack or self.class_stack:
+            target = self._ref_target(node.func)
+            if target:
+                self.ref_fact(self.scope, "CALL", target)
+        for arg in node.args:
+            self.visit(arg)
+        for kw in node.keywords:
+            self.visit(kw.value)
+        # nested calls in func expression (e.g. f()() ) — visit it too
+        if isinstance(node.func, (ast.Call, ast.Attribute)):
+            for child in ast.iter_child_nodes(node.func):
+                self.visit(child)
+
+    def visit_Attribute(self, node: ast.Attribute) -> None:
+        if isinstance(node.ctx, ast.Load) and self.func_stack:
+            target = self._ref_target(node)
+            if target and "." in target:
+                self.ref_fact(self.scope, "USES", target)
+        self.generic_visit(node)
+
+    def visit_Name(self, node: ast.Name) -> None:
+        if isinstance(node.ctx, ast.Load) and self.func_stack:
+            self.ref_fact(self.scope, "USES", node.id)
+
+    def _ref_target(self, expr: ast.AST) -> str | None:
+        """Textual target; 'self.x' is rewritten against the enclosing
+        class (reference D10 local naming / deep-indexer self resolution)."""
+        dotted = _dotted(expr)
+        if dotted is None:
+            return None
+        if dotted.startswith("self.") and self.class_stack:
+            return f"{self.class_stack[-1]}.{dotted[5:]}"
+        if dotted == "self":
+            return None
+        return dotted
+
+    def visit_Import(self, node: ast.Import) -> None:
+        for a in node.names:
+            self.import_fact(a.name, None, a.asname or a.name.split(".")[0], False)
+
+    def visit_ImportFrom(self, node: ast.ImportFrom) -> None:
+        # relative-import resolution against the file's package
+        # (reference get_module_name, ast_utils.py:64-95)
+        if node.level:
+            pkg_parts = self.module.split(".")
+            # level 1 = current package; for a module (not __init__) drop the
+            # module segment first
+            is_init = self.path.endswith("__init__.py")
+            base = pkg_parts if is_init else pkg_parts[:-1]
+            if node.level > 1:
+                base = base[: len(base) - (node.level - 1)]
+            target = ".".join(base + ([node.module] if node.module else []))
+        else:
+            target = node.module or ""
+        if not target:
+            return
+        for a in node.names:
+            if a.name == "*":
+                self.import_fact(target, "*", None, True)
+            else:
+                self.import_fact(target, a.name, a.asname or a.name, False)
+
+
+def _extract_one(path: str, content: str) -> list[dict[str, Any]]:
+    ex = _Extractor(path, content)
+    try:
+        tree = ast.parse(content)
+    except SyntaxError as e:  # reference records error tokens and moves on
+        f = ex._base()
+        f.update(fact="error", full_name=ex.module, file_path=path,
+                 module=ex.module, name=f"SyntaxError: {e.msg} (line {e.lineno})")
+        return [f]
+    ex.run(tree)
+    return ex.facts
+
+
+def extract_facts(files_df):
+    """files(path, content) → facts DataFrame (FACTS_SCHEMA) via
+    mapInPandas. Arrow-batched; one Python worker per partition."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: list[dict[str, Any]] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(_extract_one(path, content))
+            yield pd.DataFrame(rows, columns=_COLS) if rows else pd.DataFrame(
+                {c: [] for c in _COLS}
+            )
+
+    return files_df.mapInPandas(batches, schema=FACTS_SCHEMA)

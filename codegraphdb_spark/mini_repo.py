@@ -1,0 +1,101 @@
+"""Deterministic mini-repo fixture (FIXTURES.md §2.1): 2 packages, 7
+modules, __init__ re-exports (named + star), a 3-level inheritance chain
+(Animal → Dog → Puppy), cross-module calls, a relative import, and one
+syntax-error file. v2 changes exactly one file (pkgb/dog.py)."""
+
+from __future__ import annotations
+
+PKGA_INIT = """\
+from pkga.base import Animal
+from pkga.util import *
+"""
+
+PKGA_BASE = """\
+GREETING = "hello"
+
+class Animal:
+    species = "generic"
+
+    def __init__(self, name):
+        self.name = name
+
+    def speak(self):
+        return GREETING
+
+    def describe(self):
+        return self.species
+"""
+
+PKGA_UTIL = """\
+def helper(x):
+    return x + 1
+
+def shout(x):
+    return helper(x)
+"""
+
+PKGA_CONSTS = """\
+MAX_DEPTH = 3
+"""
+
+PKGB_INIT = """\
+"""
+
+PKGB_DOG_V1 = """\
+from pkga.base import Animal
+from pkga.consts import MAX_DEPTH
+
+class Dog(Animal):
+    def speak(self):
+        return "woof"
+
+    def fetch(self):
+        self.speak()
+        return MAX_DEPTH
+"""
+
+PKGB_DOG_V2 = """\
+from pkga.base import Animal
+from pkga.consts import MAX_DEPTH
+
+class Dog(Animal):
+    def speak(self):
+        return "woof woof"
+
+    def fetch(self):
+        self.speak()
+        return MAX_DEPTH
+
+    def roll(self):
+        return self.fetch()
+"""
+
+PKGB_PUPPY = """\
+from .dog import Dog
+
+class Puppy(Dog):
+    def whine(self):
+        self.fetch()
+        return external_thing()
+"""
+
+PKGB_BROKEN = """\
+def broken(:
+    return
+"""
+
+V1 = [
+    ("pkga/__init__.py", PKGA_INIT),
+    ("pkga/base.py", PKGA_BASE),
+    ("pkga/util.py", PKGA_UTIL),
+    ("pkga/consts.py", PKGA_CONSTS),
+    ("pkgb/__init__.py", PKGB_INIT),
+    ("pkgb/dog.py", PKGB_DOG_V1),
+    ("pkgb/puppy.py", PKGB_PUPPY),
+    ("pkgb/broken.py", PKGB_BROKEN),
+]
+
+CHANGE_LIST = ["pkgb/dog.py"]
+
+V2 = [(p, PKGB_DOG_V2 if p == "pkgb/dog.py" else c) for p, c in V1]
+V2_CHANGED_ONLY = [(p, c) for p, c in V2 if p in CHANGE_LIST]

@@ -1,5 +1,319 @@
-"""Code-property-graph query catalog (reference C1–C10, E1–E3 reproduced
-over the engine's nodes/edges DataFrames built from the embedded mini-repo
-fixture). Registered incrementally as the graph engine lands."""
+"""Code-property-graph query catalog — reference C1–C10 / E1–E3 / B7
+exposed as driver-checkable queries.
+
+The graph is built from the embedded deterministic mini-repo
+(codegraphdb_spark/mini_repo.py, FIXTURES.md §2) through the full pipeline:
+v1 build → v1→v2 incremental update. Results are constants, so each query
+carries a literal-VALUES DuckDB oracle holding the hand-verified golden
+rows (also asserted in tests/test_graph_build.py) — a REAL hash check, not
+a rows-only pass. Arrays (versions) are rendered as comma-joined strings
+for hashability.
+
+The built snapshot is cached per SparkSession so the ~17 graph queries
+don't re-run the pipeline each time.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codegraphdb_spark.registry import query
+
+_CACHE: dict[int, tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
+def _graph(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(nodes, edges, files_v2) for the two-version mini-repo build."""
+    key = id(spark._jsparkSession)
+    if key not in _CACHE:
+        from codegraphdb_spark import mini_repo
+        from codegraphdb_spark.engine import GraphEngine
+        from codegraphdb_spark.sources.repo import files_from_pairs
+
+        eng = GraphEngine(spark)
+        n1, e1, f1 = eng.build(files_from_pairs(spark, mini_repo.V1), "v1")
+        n2, e2, _ = eng.update_version(
+            n1.localCheckpoint(),
+            e1.localCheckpoint(),
+            f1,
+            files_from_pairs(spark, mini_repo.V2_CHANGED_ONLY),
+            mini_repo.CHANGE_LIST,
+            "v2",
+        )
+        files_v2 = files_from_pairs(spark, mini_repo.V2)
+        _CACHE[key] = (
+            n2.localCheckpoint(),
+            e2.localCheckpoint(),
+            files_v2.cache(),
+        )
+    return _CACHE[key]
+
+
+def _vjoin(col: str = "versions"):
+    return F.array_join(F.sort_array(F.col(col)), ",").alias("versions")
+
+
+# --- C1: point lookup ---------------------------------------------------------
+
+@query(
+    "g_point_lookup",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('pkga.base.Animal', 'CLASS', 'Animal', 'pkga/base.py', 'v1,v2')
+    ) t(full_name, kind, name, file_path, versions)
+    """,
+)
+def g_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: first node by full_name (graphDB.py:65-70). On the partitioned
+    snapshot this prunes to one kind partition + row-group stats."""
+    nodes, _, _ = _graph(spark)
+    return nodes.filter(F.col("full_name") == "pkga.base.Animal").select(
+        "full_name", "kind", "name", "file_path", _vjoin()
+    )
+
+
+# --- C2: label + property filter ------------------------------------------------
+
+@query(
+    "g_filter_kind_name",
+    oracle="""
+    SELECT * FROM (VALUES ('pkgb.dog.Dog', 'CLASS', 'pkgb/dog.py'))
+    t(full_name, kind, file_path)
+    """,
+)
+def g_filter_kind_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: MATCH (c:`v1`:CLASS {name:'Dog'}) (graphDB.py:269-272) as a
+    kind+name+version filter."""
+    nodes, _, _ = _graph(spark)
+    return (
+        nodes.filter(
+            (F.col("kind") == "CLASS")
+            & (F.col("name") == "Dog")
+            & F.array_contains("versions", "v1")
+        )
+        .select("full_name", "kind", "file_path")
+    )
+
+
+# --- C3/C4: 1-hop CONTAINS expansion ---------------------------------------------
+
+@query(
+    "g_module_children",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('pkga.base.Animal', 'CLASS', 'CLASS'),
+      ('pkga.base.GREETING', 'GLOBAL_VARIABLE', 'GLOBAL_VARIABLE')
+    ) t(child_full_name, child_kind, association_type)
+    ORDER BY child_full_name
+    """,
+)
+def g_module_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: all CONTAINS children of a module (ast_manage.py:37-50) — the
+    canonical 1-hop equi-join, broadcast on the bound side."""
+    nodes, edges, _ = _graph(spark)
+    e = edges.filter(
+        (F.col("rel_type") == "CONTAINS") & (F.col("src") == "pkga.base")
+    )
+    c = nodes.select(
+        F.col("full_name").alias("dst"), F.col("kind").alias("child_kind")
+    )
+    return (
+        e.join(c, "dst")
+        .select(
+            F.col("dst").alias("child_full_name"), "child_kind", "association_type"
+        )
+        .orderBy("child_full_name")
+    )
+
+
+# --- C5 + E1: methods of class incl. inherited closure ----------------------------
+
+@query(
+    "g_methods_of_class",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('pkga.base.Animal.describe', 'v1,v2'),
+      ('pkga.base.Animal.speak', 'v1,v2'),
+      ('pkgb.dog.Dog.fetch', 'v1,v2'),
+      ('pkgb.dog.Dog.roll', 'v2'),
+      ('pkgb.dog.Dog.speak', 'v1,v2'),
+      ('pkgb.puppy.Puppy.whine', 'v1,v2')
+    ) t(method_full_name, versions)
+    ORDER BY method_full_name
+    """,
+)
+def g_methods_of_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 (ast_manage.py:52-62) on Puppy — answers include transitively
+    inherited methods from the E1 closure (never __init__), and the
+    v2-only Dog.roll proves closure recomputation after incremental update."""
+    _, edges, _ = _graph(spark)
+    return (
+        edges.filter(
+            (F.col("rel_type") == "HAS_METHOD")
+            & (F.col("src") == "pkgb.puppy.Puppy")
+        )
+        .select(F.col("dst").alias("method_full_name"), _vjoin())
+        .orderBy("method_full_name")
+    )
+
+
+# --- E3: inheritance edges ----------------------------------------------------
+
+@query(
+    "g_inherits_edges",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('pkgb.dog.Dog', 'pkga.base.Animal'),
+      ('pkgb.puppy.Puppy', 'pkgb.dog.Dog')
+    ) t(src, dst) ORDER BY src
+    """,
+)
+def g_inherits_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: INHERITS extraction + resolution — note pkgb.puppy imports Dog
+    via a RELATIVE import (from .dog import Dog), exercising the
+    level-resolution of ast_utils.py:64-95."""
+    _, edges, _ = _graph(spark)
+    return (
+        edges.filter(F.col("rel_type") == "INHERITS")
+        .select("src", "dst")
+        .orderBy("src")
+    )
+
+
+# --- E2: re-export CONTAINS ------------------------------------------------------
+
+@query(
+    "g_reexport_contains",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('pkga.base.Animal', 'CLASS'),
+      ('pkga.util.helper', 'FUNCTION'),
+      ('pkga.util.shout', 'FUNCTION')
+    ) t(dst, association_type) ORDER BY dst
+    """,
+)
+def g_reexport_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: pkga/__init__.py's named re-export (Animal) and star re-export
+    (from pkga.util import *) become MODULE-CONTAINS edges with
+    association_type (ast_manage.py:101-167)."""
+    _, edges, _ = _graph(spark)
+    return (
+        edges.filter((F.col("rel_type") == "CONTAINS") & (F.col("src") == "pkga"))
+        .select("dst", "association_type")
+        .orderBy("dst")
+    )
+
+
+# --- CALL / USES edges -------------------------------------------------------------
+
+@query(
+    "g_call_edges",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('pkga.util.shout', 'pkga.util.helper'),
+      ('pkgb.dog.Dog.fetch', 'pkgb.dog.Dog.speak'),
+      ('pkgb.dog.Dog.roll', 'pkgb.dog.Dog.fetch'),
+      ('pkgb.puppy.Puppy.whine', 'unsolved symbol')
+    ) t(src, dst) ORDER BY src, dst
+    """,
+)
+def g_call_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL graph (myClient.py:291-297 semantics): same-module calls,
+    self.method calls, and the 'unsolved symbol' sentinel for
+    unresolvable targets (index_utils.py:62). Module-level calls are
+    suppressed (myClient.py:294)."""
+    _, edges, _ = _graph(spark)
+    return edges.filter(F.col("rel_type") == "CALL").select("src", "dst").orderBy("src", "dst")
+
+
+@query(
+    "g_uses_edges",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('pkga.base.Animal.describe', 'pkga.base.Animal.species'),
+      ('pkga.base.Animal.speak', 'pkga.base.GREETING'),
+      ('pkgb.dog.Dog.fetch', 'pkga.consts.MAX_DEPTH')
+    ) t(src, dst) ORDER BY src
+    """,
+)
+def g_uses_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USES edges (myClient.py:299-305): method→field via self, method→
+    global in-module, and method→global via cross-module import — the
+    import one resolved by the second-pass join that replaces jedi."""
+    _, edges, _ = _graph(spark)
+    return edges.filter(F.col("rel_type") == "USES").select("src", "dst").orderBy("src")
+
+
+# --- B7/F3: incremental version stamping ----------------------------------------
+
+@query(
+    "g_version_stamping",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('pkgb.dog', 'MODULE', 'v1,v2'),
+      ('pkgb.dog.Dog', 'CLASS', 'v1,v2'),
+      ('pkgb.dog.Dog.fetch', 'METHOD', 'v1,v2'),
+      ('pkgb.dog.Dog.roll', 'METHOD', 'v2'),
+      ('pkgb.dog.Dog.speak', 'METHOD', 'v1,v2')
+    ) t(full_name, kind, versions) ORDER BY full_name
+    """,
+)
+def g_version_stamping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7/F3 golden: after the v1→v2 incremental update of pkgb/dog.py,
+    surviving symbols carry both versions; the v2-only Dog.roll carries
+    just v2 (update_version.py:21-44 semantics, vectorized)."""
+    nodes, _, _ = _graph(spark)
+    return (
+        nodes.filter(F.col("file_path") == "pkgb/dog.py")
+        .select("full_name", "kind", _vjoin())
+        .orderBy("full_name")
+    )
+
+
+# --- kind census (B1/B3/B4 aggregate view) ----------------------------------------
+
+@query(
+    "g_kind_census",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('CLASS', CAST(3 AS BIGINT)), ('FIELD', CAST(2 AS BIGINT)),
+      ('FUNCTION', CAST(2 AS BIGINT)), ('GLOBAL_VARIABLE', CAST(2 AS BIGINT)),
+      ('METHOD', CAST(7 AS BIGINT)), ('MODULE', CAST(7 AS BIGINT)),
+      ('none', CAST(1 AS BIGINT))
+    ) t(kind, n) ORDER BY kind
+    """,
+)
+def g_kind_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node census by kind: proves label promotion (B3) — only the
+    'unsolved symbol' placeholder remains 'none'; the syntax-error file
+    contributes nothing (error fact, not a module)."""
+    nodes, _, _ = _graph(spark)
+    return nodes.groupBy("kind").agg(F.count(F.lit(1)).alias("n")).orderBy("kind")
+
+
+# --- C10 + D1–D3: lazy code hydration ---------------------------------------------
+
+@query(
+    "g_code_hydration",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('pkgb.dog.Dog.fetch',
+       'def fetch(self):',
+       '<CODE>{"S":8,"E":10,"F":"pkgb/dog.py"}</CODE>',
+       'def fetch(self):' || chr(10) || '    self.speak()' || chr(10) || '    return MAX_DEPTH')
+    ) t(full_name, signature, code_ptr, code)
+    """,
+)
+def g_code_hydration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10/D1-D3: the <CODE> pointer wire format (myClient.py:46-48) and its
+    render-time expansion — line slice + dedent (graphDB.py:208-257) — as a
+    broadcast join against the files table plus codegen'd array ops."""
+    from codegraphdb_spark.queries.graph_queries import GraphQueries
+
+    nodes, edges, files = _graph(spark)
+    q = GraphQueries(nodes, edges)
+    df = q.match_node("pkgb.dog.Dog.fetch")
+    return q.render_with_code(df, files).select(
+        "full_name", "signature", "code_ptr", "code"
+    )

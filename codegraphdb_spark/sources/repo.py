@@ -1,0 +1,55 @@
+"""Repository sources (reference §2.A A1/A2/A5/A8).
+
+- ``scan_repo``: recursive *.py discovery + content read as ONE distributed
+  scan (reference walks the tree on the driver, run_mutiprocess.py:19-25,
+  then spawns a subprocess per file; here `spark.read.text(wholetext)` with
+  recursive lookup turns the repo into a files DataFrame and extraction
+  parallelism is just partitioning).
+- ``files_from_pairs``: in-memory snippet-as-module source (A5,
+  indexer.py:73-98) — a code string becomes a one-row files DataFrame.
+- ``changed_files``: git-diff incremental source (A8,
+  update_version.py:47-56) — driver-side git, result as a plain list for
+  partition-pruned re-extraction.
+"""
+
+from __future__ import annotations
+
+import subprocess
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codegraphdb_spark.datamodel import FILES_SCHEMA
+
+
+def scan_repo(spark: SparkSession, root: str) -> DataFrame:
+    """All *.py files under ``root`` as (path repo-relative, content)."""
+    import re
+
+    df = (
+        spark.read.option("wholetext", "true")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.py")
+        .text(root)
+    )
+    prefix = "file:" + (root if root.endswith("/") else root + "/")
+    return df.select(
+        F.regexp_replace(F.input_file_name(), "^" + re.escape(prefix), "").alias("path"),
+        F.col("value").alias("content"),
+    )
+
+
+def files_from_pairs(spark: SparkSession, pairs: list[tuple[str, str]]) -> DataFrame:
+    """[(repo-relative path, source code)] → files DataFrame (A5)."""
+    return spark.createDataFrame(pairs, schema=FILES_SCHEMA)
+
+
+def changed_files(repo: str, commit1: str, commit2: str) -> list[str]:
+    """git diff --name-only between two commits (A8)."""
+    out = subprocess.run(
+        ["git", "-C", repo, "diff", "--name-only", commit1, commit2],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return [line for line in out.stdout.splitlines() if line.endswith(".py")]

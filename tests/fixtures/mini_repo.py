@@ -1,0 +1,9 @@
+"""Re-export: the fixture lives in the package so the driver-facing graph
+queries (codegraphdb_spark/queries/graph.py) can build it too."""
+
+from codegraphdb_spark.mini_repo import (  # noqa: F401
+    CHANGE_LIST,
+    V1,
+    V2,
+    V2_CHANGED_ONLY,
+)

@@ -1,0 +1,169 @@
+"""Golden graph tests (SURVEY §5): build the mini-repo and assert exact
+node/edge sets for the parts hand-verified against the reference's
+semantics (kinds per myClient.py:153-204, edges per SURVEY §1.4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from codegraphdb_spark.engine import GraphEngine
+from codegraphdb_spark.sources.repo import files_from_pairs
+from tests.fixtures import mini_repo
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    eng = GraphEngine(spark)
+    files = files_from_pairs(spark, mini_repo.V1)
+    nodes, edges, facts = eng.build(files, "v1")
+    nodes = nodes.cache()
+    edges = edges.cache()
+    return eng, nodes, edges, facts
+
+
+def _set(df, *cols):
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+def test_module_nodes(graph):
+    _, nodes, _, _ = graph
+    mods = _set(nodes.filter(F.col("kind") == "MODULE"), "full_name")
+    # broken.py fails to parse → no module node (error fact instead)
+    assert mods == {
+        ("pkga",),
+        ("pkga.base",),
+        ("pkga.util",),
+        ("pkga.consts",),
+        ("pkgb",),
+        ("pkgb.dog",),
+        ("pkgb.puppy",),
+    }
+
+
+def test_class_and_method_nodes(graph):
+    _, nodes, _, _ = graph
+    classes = _set(nodes.filter(F.col("kind") == "CLASS"), "full_name")
+    assert classes == {("pkga.base.Animal",), ("pkgb.dog.Dog",), ("pkgb.puppy.Puppy",)}
+    methods = _set(nodes.filter(F.col("kind") == "METHOD"), "full_name", "class")
+    assert methods == {
+        ("pkga.base.Animal.__init__", "pkga.base.Animal"),
+        ("pkga.base.Animal.speak", "pkga.base.Animal"),
+        ("pkga.base.Animal.describe", "pkga.base.Animal"),
+        ("pkgb.dog.Dog.speak", "pkgb.dog.Dog"),
+        ("pkgb.dog.Dog.fetch", "pkgb.dog.Dog"),
+        ("pkgb.puppy.Puppy.whine", "pkgb.puppy.Puppy"),
+    }
+
+
+def test_fields_and_globals(graph):
+    _, nodes, _, _ = graph
+    fields = _set(nodes.filter(F.col("kind") == "FIELD"), "full_name")
+    assert fields == {("pkga.base.Animal.species",), ("pkga.base.Animal.name",)}
+    gvars = _set(nodes.filter(F.col("kind") == "GLOBAL_VARIABLE"), "full_name")
+    assert gvars == {("pkga.base.GREETING",), ("pkga.consts.MAX_DEPTH",)}
+
+
+def test_inherits_edges(graph):
+    _, _, edges, _ = graph
+    inh = _set(edges.filter(F.col("rel_type") == "INHERITS"), "src", "dst")
+    assert inh == {
+        ("pkgb.dog.Dog", "pkga.base.Animal"),
+        ("pkgb.puppy.Puppy", "pkgb.dog.Dog"),
+    }
+
+
+def test_inherited_method_closure(graph):
+    """E1 golden: methods copied transitively, never __init__
+    (ast_manage.py:79-99, 92-93)."""
+    _, _, edges, _ = graph
+    hm = _set(
+        edges.filter((F.col("rel_type") == "HAS_METHOD") & (F.col("src") == "pkgb.puppy.Puppy")),
+        "dst",
+    )
+    assert hm == {
+        ("pkgb.puppy.Puppy.whine",),  # own
+        ("pkgb.dog.Dog.speak",),  # from Dog
+        ("pkgb.dog.Dog.fetch",),  # from Dog
+        ("pkga.base.Animal.speak",),  # transitively from Animal
+        ("pkga.base.Animal.describe",),
+        # NOT Animal.__init__
+    }
+    dog = _set(
+        edges.filter((F.col("rel_type") == "HAS_METHOD") & (F.col("src") == "pkgb.dog.Dog")),
+        "dst",
+    )
+    assert ("pkga.base.Animal.__init__",) not in dog
+    assert ("pkga.base.Animal.speak",) in dog
+
+
+def test_call_edges(graph):
+    _, _, edges, _ = graph
+    calls = _set(edges.filter(F.col("rel_type") == "CALL"), "src", "dst")
+    assert ("pkga.util.shout", "pkga.util.helper") in calls  # same-module call
+    assert ("pkgb.dog.Dog.fetch", "pkgb.dog.Dog.speak") in calls  # self.method
+    assert ("pkgb.puppy.Puppy.whine", "pkgb.puppy.Puppy.fetch") not in calls
+    # self.fetch on Puppy resolves via... Puppy has no own fetch; target is
+    # textual Puppy.fetch which doesn't exist → unsolved
+    assert ("pkgb.puppy.Puppy.whine", "unsolved symbol") in calls
+    # external_thing() is unresolvable → unsolved sentinel (index_utils.py:62)
+    unsolved_srcs = {s for s, d in calls if d == "unsolved symbol"}
+    assert "pkgb.puppy.Puppy.whine" in unsolved_srcs
+
+
+def test_uses_edges(graph):
+    _, _, edges, _ = graph
+    uses = _set(edges.filter(F.col("rel_type") == "USES"), "src", "dst")
+    assert ("pkga.base.Animal.speak", "pkga.base.GREETING") in uses
+    assert ("pkgb.dog.Dog.fetch", "pkga.consts.MAX_DEPTH") in uses  # via import
+    assert ("pkga.base.Animal.describe", "pkga.base.Animal.species") in uses  # self field
+
+
+def test_reexport_contains(graph):
+    """E2 golden: named + star re-exports become MODULE-CONTAINS edges with
+    association_type (ast_manage.py:101-167)."""
+    _, _, edges, _ = graph
+    contains = _set(
+        edges.filter((F.col("rel_type") == "CONTAINS") & (F.col("src") == "pkga")),
+        "dst",
+        "association_type",
+    )
+    assert ("pkga.base.Animal", "CLASS") in contains  # named re-export
+    assert ("pkga.util.helper", "FUNCTION") in contains  # star re-export
+    assert ("pkga.util.shout", "FUNCTION") in contains
+
+
+def test_none_placeholder_promotion(graph):
+    """B4/B3: unsolved endpoints exist as 'none'-kind placeholder nodes;
+    defined symbols are never 'none'."""
+    _, nodes, _, _ = graph
+    none_names = _set(nodes.filter(F.col("kind") == "none"), "full_name")
+    assert ("unsolved symbol",) in none_names
+    defined = _set(nodes.filter(F.col("kind") != "none"), "full_name")
+    assert not ({n for (n,) in none_names} & {n for (n,) in defined})
+
+
+def test_syntax_error_recorded_not_fatal(graph):
+    _, _, _, facts = graph
+    errs = facts.filter(F.col("fact") == "error").collect()
+    assert len(errs) == 1
+    assert errs[0]["file_path"] == "pkgb/broken.py"
+    assert "SyntaxError" in errs[0]["name"]
+
+
+def test_signature_and_code_pointer(graph):
+    _, nodes, _, _ = graph
+    dog_speak = nodes.filter(F.col("full_name") == "pkgb.dog.Dog.speak").first()
+    assert dog_speak["signature"] == "def speak(self):"
+    assert dog_speak["code_file"] == "pkgb/dog.py"
+    assert dog_speak["code_start"] == 5 and dog_speak["code_end"] == 6
+
+
+def test_build_is_idempotent(spark, graph):
+    """Property: re-building the same files yields the identical snapshot
+    (the reference's upsert relies on arrival order; ours must not)."""
+    eng, nodes, edges, _ = graph
+    files = files_from_pairs(spark, mini_repo.V1)
+    n2, e2, _ = eng.build(files, "v1")
+    assert _set(nodes, "full_name", "kind") == _set(n2, "full_name", "kind")
+    assert _set(edges, "src", "dst", "rel_type") == _set(e2, "src", "dst", "rel_type")
