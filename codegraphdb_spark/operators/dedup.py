@@ -1,0 +1,128 @@
+"""Deduplication operator APIs (SURVEY §2.H) — the reusable forms of the
+oracle-checked queries in queries/text.py, returning keep/drop decisions
+rather than diagnostics.
+
+Pipeline shape at 100 TB:
+  1. exact_dedup            — hash-groupBy, shuffles digests only;
+  2. minhash_lsh_candidates — banded signatures → candidate pairs only;
+  3. verify candidates with exact Jaccard (ngram_jaccard on the candidate
+     semi-join, never all pairs);
+  4. connected components over the duplicate-pair graph → keep one doc per
+     component (union-find via iterative min-label propagation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_CC_ITERATIONS = 30
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One surviving row per distinct content hash (keep min id)."""
+    keep = docs.groupBy(F.md5(text_col).alias("__h")).agg(
+        F.min(id_col).alias(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+def duplicate_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over duplicate pairs (doc_a, doc_b) →
+    (doc_id, component) where component = min doc_id reachable.
+
+    Iterative min-label propagation — the standard Spark union-find
+    approximation; converges in O(diameter) rounds, each a join+agg. Dup
+    clusters are tiny (near-identical docs), so the diameter is small."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+    )
+    for _ in range(MAX_CC_ITERATIONS):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.component") != F.col("l.component"))
+        )
+        no_change = changed.isEmpty()
+        labels = updated.localCheckpoint(eager=True)
+        if no_change:
+            break
+    return labels
+
+
+def near_dedup_minhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_agreement: int = 8,
+) -> DataFrame:
+    """Full near-dedup: MinHash-LSH candidates (queries/text.py) filtered by
+    signature agreement → connected components → keep the min-id doc per
+    component. Returns the surviving rows of ``docs``."""
+    from codegraphdb_spark.queries import text as tq
+
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            F.array_distinct(tq._shingles(tq._tokens(text_col))), tq._h28
+        ).alias("shs_h"),
+    )
+    sigs = sh.select("doc_id", tq._minhash_sig(F.col("shs_h")).alias("sig"))
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(tq.LSH_BANDS - 1))).alias("band_idx"),
+    ).withColumn(
+        "band_key",
+        F.concat_ws(
+            ":",
+            *[F.element_at("sig", F.col("band_idx") * 4 + i + 1) for i in range(4)],
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    n_eq = sum(
+        F.when(F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1), 1).otherwise(0)
+        for i in range(tq.NUM_MINHASH)
+    )
+    dup_pairs = cand.withColumn("n_eq", n_eq).filter(F.col("n_eq") >= min_agreement)
+    comps = duplicate_components(dup_pairs.select("doc_a", "doc_b"))
+    drop = comps.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return docs.join(
+        drop.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )

@@ -1,0 +1,146 @@
+"""Similarity-search operators over embedding columns (SURVEY §2.H).
+
+- ``brute_force_topk``: exact cosine top-k (the correctness baseline; the
+  oracle-checked query form lives in queries/similarity.py).
+- ``lsh_bucket``: sign-random-projection signatures with DETERMINISTIC
+  hyperplanes derived from md5 (no RNG state, reproducible across runs and
+  engines) — the scale path: a probe only scores candidates sharing a
+  signature band, turning the N×M product into bucket-local joins.
+- ``ann_topk``: LSH-bucketed approximate top-k with multiprobe via several
+  independent signature tables.
+
+At 100 TB: bucket the corpus ONCE (write bucketed parquet partitioned by
+(table, signature)), then each probe batch shuffles only probe rows;
+candidate scoring is a per-bucket broadcast-ish join. Recall is tuned by
+n_tables × n_bits (pytest measures it against brute force).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _plane(table: int, bit: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: md5(table,bit,i) → [-1,1)."""
+    return [
+        int.from_bytes(
+            hashlib.md5(f"plane:{table}:{bit}:{i}".encode()).digest()[:4], "big"
+        )
+        / 2**31
+        - 1.0
+        for i in range(dim)
+    ]
+
+
+def _dot_lit(vec: Column, plane: list[float]) -> Column:
+    return F.aggregate(
+        F.zip_with(vec, F.array(*[F.lit(x) for x in plane]), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def signature(vec: Column, dim: int, table: int, n_bits: int = 8) -> Column:
+    """n_bits sign bits against fixed hyperplanes → int signature."""
+    bits = [
+        F.when(_dot_lit(vec, _plane(table, b, dim)) >= 0, 1 << b).otherwise(0)
+        for b in range(n_bits)
+    ]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total.cast("int")
+
+
+def lsh_bucket(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 4,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Corpus → (id, vec, table, sig) bucket assignments (one row per
+    table). Pure column math: no UDF, no shuffle until the consumer joins."""
+    v = F.col(vec_col).cast("array<double>")
+    per_table = [
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            v.alias("vec"),
+            F.lit(t).alias("table"),
+            signature(v, dim, t, n_bits).alias("sig"),
+        )
+        for t in range(n_tables)
+    ]
+    out = per_table[0]
+    for df in per_table[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    probes: DataFrame, corpus: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact baseline: probes(probe_id, vec) × corpus(vec_id, vec) → top-k
+    by cosine. Broadcast the probe side (assumed small)."""
+    pairs = F.broadcast(probes).join(corpus, F.col("vec_id") != F.col("probe_id"))
+    scored = pairs.select(
+        "probe_id",
+        F.col("vec_id").alias("cand_id"),
+        cosine(F.col("pvec"), F.col("vec")).alias("score"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), "cand_id")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def ann_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    dim: int = 64,
+    k: int = 10,
+    n_tables: int = 4,
+    n_bits: int = 8,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: candidates = corpus rows sharing a
+    (table, signature) bucket with the probe in ANY table; score only those.
+
+    probes: (probe_id, pvec double array); corpus: (vec_id, vec double array).
+    """
+    corpus_b = lsh_bucket(corpus, "vec_id", "vec", dim, n_tables, n_bits)
+    probe_b = lsh_bucket(
+        probes.withColumnRenamed("probe_id", "vec_id").withColumnRenamed("pvec", "embedding"),
+        "vec_id",
+        "embedding",
+        dim,
+        n_tables,
+        n_bits,
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("vec").alias("pvec"),
+        "table",
+        "sig",
+    )
+    cand = (
+        probe_b.join(corpus_b, ["table", "sig"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "pvec", "vec_id", "vec")
+        .dropDuplicates(["probe_id", "vec_id"])
+    )
+    scored = cand.select(
+        "probe_id",
+        F.col("vec_id").alias("cand_id"),
+        cosine(F.col("pvec"), F.col("vec")).alias("score"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), "cand_id")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -94,6 +94,50 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_near_dup_pairs",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           {_sql_ddot('a.e', 'b.e')} /
+           (SQRT({_sql_ddot('a.e', 'a.e')}) * SQRT({_sql_ddot('b.e', 'b.e')})) AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_sql_ddot('a.e', 'b.e')} /
+          (SQRT({_sql_ddot('a.e', 'a.e')}) * SQRT({_sql_ddot('b.e', 'b.e')})) >= 0.8
+    ORDER BY vec_a, vec_b
+    """,
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with LABEL BLOCKING: only pairs
+    sharing a label are scored (the blocking key stands in for an IVF/LSH
+    bucket — identical plan shape, pairs shrink by ~n_labels×). The
+    unblocked scale path is operators/similarity.ann_topk."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = _ddot(F.col("a.e"), F.col("b.e")) / (
+        F.sqrt(_ddot(F.col("a.e"), F.col("a.e"))) * F.sqrt(_ddot(F.col("b.e"), F.col("b.e")))
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.8)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@query(
     "emb_norm_stats",
     oracle=f"""
     WITH v AS (

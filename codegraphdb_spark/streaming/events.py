@@ -1,0 +1,175 @@
+"""Structured Streaming operators over event streams (SURVEY §2.H:
+driver-mandated extension — the reference has no streaming surface, so
+these are the engine's own capabilities, designed for unbounded input).
+
+Every operator takes a STREAMING DataFrame (readStream source with an
+``events``-shaped schema) and returns a streaming DataFrame ready for
+``writeStream``. The batch twins in queries/events.py are oracle-checked;
+these are exercised in tests/test_streaming.py with a file source +
+``Trigger.AvailableNow`` + memory sink (deterministic replay).
+
+Scale/state notes:
+- watermarks bound state: windowed aggs evict windows older than the
+  watermark; without one, state grows forever on an unbounded stream.
+- session_window merges adjacent sessions in the state store — state per
+  (user, open session), not per event.
+- dropDuplicatesWithinWatermark keeps one fingerprint per key inside the
+  watermark horizon — exactly-once-ish dedup with bounded memory.
+- the custom stateful op uses applyInPandasWithState with an explicit
+  processing-time timeout as the eviction policy (SURVEY §7.3(d):
+  session_window first, custom state only when eviction is custom).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_WATERMARK = "30 minutes"
+
+
+def tumbling_counts(
+    stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Watermarked tumbling-window counts + value sums per event_type —
+    the streaming twin of queries/events.py::events_tumbling_window."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    stream: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Sliding-window aggregation (each event contributes to
+    window/slide buckets)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
+def session_windows(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Native session windows (gap-based) per user — the streaming
+    equivalent of the batch lag+cumsum sessionization."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Drop duplicate (user_id, event_type) pairs arriving within the
+    watermark horizon — bounded-state streaming dedup."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def running_user_totals(stream: DataFrame, timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful operator: per-user running event count + value total,
+    emitted once per micro-batch per updated user (applyInPandasWithState).
+
+    ``timeout_ms`` enables processing-time eviction for unbounded key
+    spaces (long-running services). Leave None for drain-and-stop jobs:
+    with a timeout configured, Trigger.AvailableNow keeps scheduling
+    state-cleanup batches and never terminates.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
+    state_schema = "n BIGINT, total DOUBLE"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
+def read_events_stream(spark, source_dir: str, max_files_per_trigger: int | None = None):
+    """File-based streaming source with the events schema (used by tests and
+    as the template for real deployments — swap the path for a Kafka/files
+    landing zone; the operator pipeline is identical)."""
+    reader = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+            "value DOUBLE, props STRING"
+        )
+        .option("pathGlobFilter", "*.json")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(source_dir)
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> None:
+    """Drain a streaming DataFrame into a memory sink with AvailableNow
+    (process everything currently available, then stop) — deterministic
+    for tests."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

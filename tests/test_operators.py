@@ -1,0 +1,116 @@
+"""Tests for the operator APIs: ANN recall vs brute force, dedup pipeline
+end-to-end (incl. connected components), multimodal decode plumbing."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from codegraphdb_spark.operators import dedup, multimodal, similarity
+from codegraphdb_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def probes(corpus):
+    return corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("vec").alias("pvec")
+    )
+
+
+def test_ann_recall_vs_brute_force(probes, corpus):
+    k = 10
+    exact = {
+        (r["probe_id"], r["cand_id"])
+        for r in similarity.brute_force_topk(probes, corpus, k=k).collect()
+    }
+    approx = {
+        (r["probe_id"], r["cand_id"])
+        for r in similarity.ann_topk(probes, corpus, dim=64, k=k, n_tables=16, n_bits=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # near-random vectors are LSH's worst case: with 16 tables x 4 bits the
+    # per-neighbor collision probability is ~0.9; assert a safe floor (the
+    # point is candidate-generation correctness, not model quality)
+    assert recall >= 0.6, f"ANN recall too low: {recall}"
+
+
+def test_lsh_bucket_determinism(corpus):
+    b1 = similarity.lsh_bucket(corpus, "vec_id", "vec").orderBy("vec_id", "table")
+    b2 = similarity.lsh_bucket(corpus, "vec_id", "vec").orderBy("vec_id", "table")
+    assert [tuple(r) for r in b1.select("vec_id", "table", "sig").collect()] == [
+        tuple(r) for r in b2.select("vec_id", "table", "sig").collect()
+    ]
+
+
+def test_exact_dedup_operator(spark):
+    rows = [(1, "a b c"), (2, "a b c"), (3, "x y z"), (4, "a b c"), (5, "p q")]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(docs).collect())
+    assert kept == [1, 3, 5]
+
+
+def test_duplicate_components_transitive(spark):
+    # 1-2, 2-3 (one component), 7-9 (another)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    comps = {
+        (r["doc_id"], r["component"])
+        for r in dedup.duplicate_components(pairs).collect()
+    }
+    assert comps == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
+
+
+def test_near_dedup_minhash_end_to_end(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy", 1)  # single-edit near-duplicate
+    other = "completely different content about spark shuffles and parquet files " * 5
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], "doc_id BIGINT, text STRING"
+    )
+    survivors = sorted(
+        r["doc_id"] for r in dedup.near_dedup_minhash(docs, min_agreement=8).collect()
+    )
+    assert 1 in survivors  # component keeps min id
+    assert 2 not in survivors  # exact dup dropped
+    assert 3 not in survivors  # near dup dropped
+    assert 4 in survivors
+
+
+def test_multimodal_decode_plumbing(spark, tmp_path):
+    # fake binary fixtures: 2 'FAKE' images (one duplicated content) + 1 junk
+    img1 = b"FAKE" + struct.pack(">HH", 640, 480) + b"\x01" * 100
+    img2 = b"FAKE" + struct.pack(">HH", 1920, 1080) + b"\x02" * 200
+    (tmp_path / "a.img").write_bytes(img1)
+    (tmp_path / "b.img").write_bytes(img2)
+    (tmp_path / "c.img").write_bytes(img1)  # duplicate content
+    (tmp_path / "junk.bin").write_bytes(b"\x00\x01\x02")
+
+    binary = multimodal.read_binary_dir(spark, str(tmp_path))
+    decoded = multimodal.decode_images(binary).cache()
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in decoded.collect()}
+    assert rows["a.img"]["format"] == "fake"
+    assert (rows["a.img"]["width"], rows["a.img"]["height"]) == (640, 480)
+    assert (rows["b.img"]["width"], rows["b.img"]["height"]) == (1920, 1080)
+    assert rows["junk.bin"]["format"] == "unknown"
+    assert len(rows["a.img"]["feature"]) == 8
+    assert rows["a.img"]["content_hash"] == rows["c.img"]["content_hash"]
+
+    dups = multimodal.exact_binary_dedup(decoded)
+    assert dups.filter(F.col("n_copies") == 2).count() == 1
+
+
+def test_real_decode_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal._real_decode(b"anything")

@@ -1,0 +1,125 @@
+"""Structured Streaming tests: file source replayed in two chunks (late
+data crosses the chunk boundary) → memory sink, compared against the batch
+twin computed on the same rows — the streaming analog of the oracle
+differential."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from codegraphdb_spark.sources.tables import load_table
+from codegraphdb_spark.streaming import events as se
+
+pytestmark = pytest.mark.streaming
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, sf_dir):
+    """events fixture written as two JSON chunks: first the second half by
+    time, then the first half — so chunk 2 is 'late' relative to chunk 1."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    rows = load_table(spark, sf_dir, "events").orderBy("ts").collect()
+    half = len(rows) // 2
+    chunks = [rows[half:], rows[:half]]
+    for i, chunk in enumerate(chunks):
+        with open(f"{d}/chunk{i}.json", "w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": r["event_id"],
+                            "ts": r["ts"].isoformat(sep=" "),
+                            "user_id": r["user_id"],
+                            "event_type": r["event_type"],
+                            "value": r["value"],
+                            "props": r["props"],
+                        }
+                    )
+                    + "\n"
+                )
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tumbling_counts_match_batch(spark, sf_dir, stream_dir):
+    stream = se.read_events_stream(spark, stream_dir)
+    assert stream.isStreaming
+    se.run_to_memory(
+        se.tumbling_counts(stream, watermark="365 days"),
+        "t_tumbling",
+        "complete",
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from t_tumbling").collect()
+    }
+    batch = load_table(spark, sf_dir, "events")
+    expected = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in batch.groupBy(
+            F.window("ts", "10 minutes").start.alias("ws"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_session_windows_bounded_state(spark, stream_dir):
+    stream = se.read_events_stream(spark, stream_dir)
+    se.run_to_memory(
+        se.session_windows(stream, gap="30 minutes", watermark="365 days"),
+        "t_sessions",
+        "complete",
+    )
+    rows = spark.sql("select * from t_sessions").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["session_end"] > r["session_start"]
+        assert r["n_events"] >= 1
+
+
+def test_dedup_within_watermark(spark, sf_dir, stream_dir):
+    stream = se.read_events_stream(spark, stream_dir)
+    se.run_to_memory(
+        se.dedup_within_watermark(stream, watermark="365 days"),
+        "t_dedup",
+        "append",
+    )
+    got = spark.sql("select user_id, event_type from t_dedup").collect()
+    keys = {(r["user_id"], r["event_type"]) for r in got}
+    assert len(got) == len(keys)  # no duplicate key survived
+    batch = load_table(spark, sf_dir, "events")
+    expected_keys = {
+        (r["user_id"], r["event_type"])
+        for r in batch.select("user_id", "event_type").distinct().collect()
+    }
+    assert keys == expected_keys
+
+
+def test_custom_stateful_running_totals(spark, sf_dir, stream_dir):
+    stream = se.read_events_stream(spark, stream_dir, max_files_per_trigger=1)
+    se.run_to_memory(se.running_user_totals(stream), "t_state", "update")
+    # last emission per user = final running totals → must equal batch agg
+    got_rows = spark.sql(
+        """
+        select user_id, n_events, total_value from (
+          select *, row_number() over (partition by user_id order by n_events desc) rn
+          from t_state
+        ) where rn = 1
+        """
+    ).collect()
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in got_rows}
+    batch = load_table(spark, sf_dir, "events")
+    expected = {
+        r["user_id"]: (r["n"], round(r["total"], 6))
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == expected
