@@ -32,6 +32,14 @@ def main() -> None:
     # the session itself IS cold; only the flagship warms codegen).
     registry.QUERIES["revenue_by_nation"](spark, sf_dir).collect()
 
+    # The code-graph snapshot is built once per session (a lifecycle job,
+    # not a query); time it separately so g_* timings measure query latency.
+    from codegraphdb_spark.queries.graph import _graph
+
+    t0 = time.time()
+    _graph(spark)
+    graph_build_sec = round(time.time() - t0, 3)
+
     timings: dict[str, float] = {}
     for name, fn in sorted(registry.QUERIES.items()):
         t0 = time.time()
@@ -46,6 +54,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "graph_build_sec": graph_build_sec,
                 "sf": sf,
             }
         )

@@ -31,22 +31,33 @@ def _graph(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
         from codegraphdb_spark.engine import GraphEngine
         from codegraphdb_spark.sources.repo import files_from_pairs
 
-        eng = GraphEngine(spark)
-        n1, e1, f1 = eng.build(files_from_pairs(spark, mini_repo.V1), "v1")
-        n2, e2, _ = eng.update_version(
-            n1.localCheckpoint(),
-            e1.localCheckpoint(),
-            f1,
-            files_from_pairs(spark, mini_repo.V2_CHANGED_ONLY),
-            mini_repo.CHANGE_LIST,
-            "v2",
-        )
-        files_v2 = files_from_pairs(spark, mini_repo.V2)
-        _CACHE[key] = (
-            n2.localCheckpoint(),
-            e2.localCheckpoint(),
-            files_v2.cache(),
-        )
+        # The fixture is 8 files; the pipeline is many tiny stages. Drop
+        # shuffle parallelism to avoid paying 32-partition scheduling
+        # overhead ~30x (restored after — the data queries are unaffected).
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            eng = GraphEngine(spark)
+            n1, e1, f1 = eng.build(files_from_pairs(spark, mini_repo.V1), "v1")
+            n2, e2, _ = eng.update_version(
+                n1.localCheckpoint(),
+                e1.localCheckpoint(),
+                f1,
+                files_from_pairs(spark, mini_repo.V2_CHANGED_ONLY),
+                mini_repo.CHANGE_LIST,
+                "v2",
+            )
+            files_v2 = files_from_pairs(spark, mini_repo.V2)
+            _CACHE[key] = (
+                n2.localCheckpoint(),
+                e2.localCheckpoint(),
+                files_v2.cache(),
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return _CACHE[key]
 
 
@@ -290,6 +301,32 @@ def g_kind_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes nothing (error fact, not a module)."""
     nodes, _, _ = _graph(spark)
     return nodes.groupBy("kind").agg(F.count(F.lit(1)).alias("n")).orderBy("kind")
+
+
+# --- C8: Cypher-subset surface -----------------------------------------------------
+
+@query(
+    "g_cypher_match",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('pkga.base.Animal.describe'), ('pkga.base.Animal.speak'),
+      ('pkgb.dog.Dog.fetch'), ('pkgb.dog.Dog.roll'), ('pkgb.dog.Dog.speak')
+    ) t(method) ORDER BY method
+    """,
+)
+def g_cypher_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: the reference's user-facing Cypher surface (graphDB.py:106-112)
+    — a canned query in the reference's own syntax compiled to a DataFrame
+    plan by the Cypher-subset front end (plans/cypher.py)."""
+    from codegraphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges, _ = _graph(spark)
+    return run_cypher(
+        "MATCH (c:CLASS {full_name: 'pkgb.dog.Dog'})-[:HAS_METHOD]->(m) "
+        "RETURN m.full_name AS method",
+        nodes,
+        edges,
+    ).orderBy("method")
 
 
 # --- C10 + D1–D3: lazy code hydration ---------------------------------------------

@@ -97,14 +97,14 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_near_dup_pairs",
     oracle=f"""
     WITH v AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+             SQRT({_sql_ddot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-           {_sql_ddot('a.e', 'b.e')} /
-           (SQRT({_sql_ddot('a.e', 'a.e')}) * SQRT({_sql_ddot('b.e', 'b.e')})) AS cosine
+           {_sql_ddot('a.e', 'b.e')} / (a.nrm * b.nrm) AS cosine
     FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_sql_ddot('a.e', 'b.e')} /
-          (SQRT({_sql_ddot('a.e', 'a.e')}) * SQRT({_sql_ddot('b.e', 'b.e')})) >= 0.8
+    WHERE {_sql_ddot('a.e', 'b.e')} / (a.nrm * b.nrm) >= 0.38
     ORDER BY vec_a, vec_b
     """,
 )
@@ -112,19 +112,22 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs with LABEL BLOCKING: only pairs
     sharing a label are scored (the blocking key stands in for an IVF/LSH
     bucket — identical plan shape, pairs shrink by ~n_labels×). The
-    unblocked scale path is operators/similarity.ann_topk."""
+    unblocked scale path is operators/similarity.ann_topk.
+
+    Norms are precomputed per VECTOR (O(n)), never per pair — the pair
+    stage does exactly one dot product. At 100 TB the same rule applies:
+    normalize (or store norms) at ingest, score with dots only."""
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
+    v = v.withColumn("nrm", F.sqrt(_ddot(F.col("e"), F.col("e"))))
     a = v.alias("a")
     b = v.alias("b")
     pairs = a.join(
         b,
         (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
-    cos = _ddot(F.col("a.e"), F.col("b.e")) / (
-        F.sqrt(_ddot(F.col("a.e"), F.col("a.e"))) * F.sqrt(_ddot(F.col("b.e"), F.col("b.e")))
-    )
+    cos = _ddot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         pairs.select(
             F.col("a.vec_id").alias("vec_a"),
@@ -132,7 +135,7 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.label").alias("label"),
             cos.alias("cosine"),
         )
-        .filter(F.col("cosine") >= 0.8)
+        .filter(F.col("cosine") >= 0.38)
         .orderBy("vec_a", "vec_b")
     )
 

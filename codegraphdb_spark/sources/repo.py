@@ -40,8 +40,14 @@ def scan_repo(spark: SparkSession, root: str) -> DataFrame:
 
 
 def files_from_pairs(spark: SparkSession, pairs: list[tuple[str, str]]) -> DataFrame:
-    """[(repo-relative path, source code)] → files DataFrame (A5)."""
-    return spark.createDataFrame(pairs, schema=FILES_SCHEMA)
+    """[(repo-relative path, source code)] → files DataFrame (A5).
+
+    Partition count matches the data: createDataFrame would otherwise
+    spread a handful of rows across defaultParallelism slices, and every
+    downstream mapInPandas stage would schedule dozens of near-empty
+    Python-worker tasks."""
+    n = max(1, min(len(pairs) // 8, 64))
+    return spark.createDataFrame(pairs, schema=FILES_SCHEMA).coalesce(n)
 
 
 def changed_files(repo: str, commit1: str, commit2: str) -> list[str]:

@@ -1,0 +1,79 @@
+"""Cypher-subset front-end tests — including the reference's own query
+shapes run verbatim (graphDB.py:269-272, ast_manage.py:24-62)."""
+
+from __future__ import annotations
+
+import pytest
+
+from codegraphdb_spark.engine import GraphEngine
+from codegraphdb_spark.plans.cypher import CypherError, run_cypher
+from codegraphdb_spark.sources.repo import files_from_pairs
+from tests.fixtures import mini_repo
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    eng = GraphEngine(spark)
+    nodes, edges, _ = eng.build(files_from_pairs(spark, mini_repo.V1), "v1")
+    return nodes.cache(), edges.cache()
+
+
+def test_reference_c2_shape(graph):
+    """MATCH (c:`task`:CLASS {name:'X'}) RETURN c — graphDB.py:269-272."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:`v1`:CLASS {name: 'Dog'}) RETURN c", nodes, edges
+    ).collect()
+    assert [(r["c_full_name"], r["c_kind"]) for r in out] == [("pkgb.dog.Dog", "CLASS")]
+
+
+def test_reference_c3_shape(graph):
+    """1-hop property-qualified expansion — ast_manage.py:24-35."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (m:MODULE {full_name: 'pkga.base'})-[:CONTAINS]->(c {name: 'Animal'}) "
+        "RETURN c.full_name, labels(c)",
+        nodes,
+        edges,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["c_full_name"] == "pkga.base.Animal"
+    assert out[0]["labels_c"] == ["CLASS", "v1"]
+
+
+def test_reference_c5_shape(graph):
+    """Methods of class — ast_manage.py:52-62."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS {full_name: 'pkgb.dog.Dog'})-[:HAS_METHOD]->(m) "
+        "RETURN m.full_name AS method",
+        nodes,
+        edges,
+    ).collect()
+    methods = {r["method"] for r in out}
+    assert "pkgb.dog.Dog.fetch" in methods
+    assert "pkga.base.Animal.speak" in methods  # closure-derived
+
+
+def test_version_scan_and_limit(graph):
+    nodes, edges = graph
+    out = run_cypher("MATCH (m:`v1`) RETURN m.full_name LIMIT 3", nodes, edges).collect()
+    assert len(out) == 3
+
+
+def test_int_property_match(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (n {code_start: 1, kind: 'MODULE'}) RETURN n.full_name", nodes, edges
+    ).collect()
+    assert len(out) == 7  # every module spans from line 1
+
+
+def test_errors_are_loud(graph):
+    nodes, edges = graph
+    with pytest.raises(CypherError):
+        run_cypher("CREATE (n) RETURN n", nodes, edges)
+    with pytest.raises(CypherError):
+        run_cypher("MATCH (n) RETURN q.full_name", nodes, edges)
+    with pytest.raises(CypherError):
+        run_cypher("MATCH (n:CLASS:MODULE) RETURN n", nodes, edges)
