@@ -45,9 +45,16 @@ class GraphEngine:
         return extract_facts(files)
 
     def compile(self, facts: DataFrame, version: str) -> tuple[DataFrame, DataFrame]:
-        """facts → (nodes, edges) for one version."""
+        """facts → (nodes, edges) for one version.
+
+        nodes and the pre-closure edge set are checkpointed: the resolver
+        probes the symbol table three times and the E1 fixpoint re-reads
+        edges every iteration — without truncation each action would replay
+        the whole extract+merge lineage."""
         facts = facts.cache()
-        nodes = merge_node_facts(facts.filter(F.col("fact") == "node"), version)
+        nodes = merge_node_facts(
+            facts.filter(F.col("fact") == "node"), version
+        ).localCheckpoint(eager=True)
         local_edges = merge_edge_facts(facts.filter(F.col("fact") == "edge"), version)
         imports = facts.filter(F.col("fact") == "import")
         refs = facts.filter(F.col("fact") == "ref")
@@ -63,6 +70,7 @@ class GraphEngine:
             local_edges.unionByName(resolved.select(*local_edges.columns))
             .unionByName(reexports.select(*local_edges.columns))
             .dropDuplicates(["src", "dst", "rel_type"])
+            .localCheckpoint(eager=True)
         )
         edges = edges.unionByName(
             inherited_method_closure(edges).select(*edges.columns)
