@@ -1,0 +1,62 @@
+"""Skew-mitigation utilities (SURVEY §2 scale notes; BASELINE north star:
+"skewed keys → salting or AQE skew-join").
+
+AQE's skew-join splitting handles most sort-merge-join skew automatically
+(enabled in session.py). These helpers cover the cases AQE does not:
+
+- ``salted_aggregate``: two-phase aggregation for HOT GROUPING KEYS. A
+  single key with 10^9 rows lands on one reducer under plain groupBy;
+  salting spreads the partial aggregation over N tasks, then the tiny
+  second phase (one row per (key, salt)) merges. Works for any algebraic
+  aggregate (sum/count/min/max — pass partial and merge expressions).
+- ``salted_broadcast_left``: replicate-broadcast join for a skewed PROBE
+  side against a small build side — broadcasting sidesteps the shuffle
+  entirely, which is the canonical fix when the dimension fits.
+
+Salting is visible in the plan: two hash aggregates with the salt column
+in the first grouping — assert it in tests, measure it at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    partial_aggs: dict[str, Column],
+    merge_aggs: dict[str, Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    partial_aggs: output_col -> aggregate expression over raw rows.
+    merge_aggs:   output_col -> aggregate expression over partial rows
+                  (referencing the partial output columns).
+
+    Example (count + sum):
+        salted_aggregate(df, ["k"],
+            {"n": F.count(F.lit(1)), "s": F.sum("x")},
+            {"n": F.sum("n"), "s": F.sum("s")})
+    """
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    phase1 = salted.groupBy(*key_cols, "__salt").agg(
+        *[expr.alias(name) for name, expr in partial_aggs.items()]
+    )
+    return phase1.groupBy(*key_cols).agg(
+        *[expr.alias(name) for name, expr in merge_aggs.items()]
+    )
+
+
+def salted_broadcast_left(
+    skewed: DataFrame, small: DataFrame, on: str, how: str = "inner"
+) -> DataFrame:
+    """Join a skewed fact side against a small dimension WITHOUT shuffling
+    the fact side: broadcast the dimension. (The salt-and-replicate variant
+    for two big sides is subsumed by AQE skew-join; when the build side
+    fits in memory this is strictly better — zero shuffle.)"""
+    return skewed.join(F.broadcast(small), on, how)

@@ -168,6 +168,71 @@ def events_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_asof_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, event_id AS click_event_id
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           c.click_event_id AS click_event_id_asof,
+           c.ts AS ts_asof
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks, implemented as union+window in
+    operators/asof.py): each purchase gets the user's most recent prior (or
+    simultaneous) click. The oracle uses DuckDB's NATIVE ASOF JOIN — an
+    independent implementation hash-matching ours."""
+    from codegraphdb_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    return asof_join(
+        purchases, clicks, key="user_id", ts="ts",
+        payload_cols=["click_event_id", "ts"],
+    ).orderBy("event_id")
+
+
+@query(
+    "events_rollup_report",
+    oracle=f"""
+    SELECT event_type,
+           CAST(EXTRACT(year FROM ts) AS INT) AS y,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_isum('value')} AS total_value
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(EXTRACT(year FROM ts) AS INT))
+    ORDER BY event_type NULLS FIRST, y NULLS FIRST
+    """,
+)
+def events_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (engine extension beyond the reference's
+    surface — SURVEY §2.G notes the reference has no grouping sets; the
+    engine provides them). Same Expand-based plan as grouping sets; one
+    shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.rollup("event_type", F.year("ts").cast("int").alias("y"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            isum("value").alias("total_value"),
+        )
+        .orderBy(F.col("event_type").asc_nulls_first(), F.col("y").asc_nulls_first())
+    )
+
+
+@query(
     "events_json_extract",
     oracle="""
     SELECT event_id,

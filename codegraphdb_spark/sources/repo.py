@@ -27,12 +27,12 @@ def scan_repo(spark: SparkSession, root: str) -> DataFrame:
     import re
 
     df = (
-        spark.read.option("wholetext", "true")
-        .option("recursiveFileLookup", "true")
+        spark.read.option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.py")
-        .text(root)
+        .text(root, wholetext=True)
     )
-    prefix = "file:" + (root if root.endswith("/") else root + "/")
+    # input_file_name() yields file:///abs/path (scheme + absolute path)
+    prefix = "file://" + (root if root.endswith("/") else root + "/")
     return df.select(
         F.regexp_replace(F.input_file_name(), "^" + re.escape(prefix), "").alias("path"),
         F.col("value").alias("content"),

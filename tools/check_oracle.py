@@ -67,6 +67,10 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     registry.load_all()
     only = set(sys.argv[2:])
+    unknown = only - set(registry.QUERIES)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
