@@ -189,6 +189,82 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_ivf_assign",
+    oracle=f"""
+    WITH expl AS (
+      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, (SELECT UNNEST(generate_series(1, {DIM})) AS i)
+    ), cent AS (
+      SELECT label AS clabel, pos,
+             CAST(CAST(SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) AS DOUBLE)
+                  / COUNT(*) / 1000000000 AS DOUBLE) AS c
+      FROM expl GROUP BY label, pos
+    ), dists AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             SUM(CAST(ROUND((e.x - c.c) * (e.x - c.c) * 1000000000) AS BIGINT)) AS d
+      FROM expl e JOIN cent c ON e.pos = c.pos
+      GROUP BY e.vec_id, e.label, c.clabel
+    )
+    SELECT vec_id, label,
+           CAST(clabel AS INT) AS assigned_label,
+           CAST(d AS BIGINT) AS dist_scaled
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+      FROM dists
+    ) WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    label-centroid by squared L2 (the inverted-file ANN scale path named in
+    SURVEY §2.H — centroids from emb_centroid_by_label become the coarse
+    index; probes then search only their nearest cells).
+
+    Plan: centroids are k×dim rows (tiny → broadcast); the vector side
+    explodes to (vec, pos) once and aggregates per (vec, centroid) — one
+    shuffle, linear in corpus size, independent of corpus×corpus."""
+    v = load_table(spark, sf_dir, "embeddings")
+    expl = v.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x"),
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "x")
+    cent = (
+        expl.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("x") * 1_000_000_000).cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+                / 1_000_000_000
+            ).alias("c")
+        )
+    )
+    dists = (
+        expl.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(
+                F.round((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * 1_000_000_000)
+                .cast("bigint")
+            ).alias("d")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "clabel")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("clabel").cast("int").alias("assigned_label"),
+            F.col("d").cast("bigint").alias("dist_scaled"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
     "emb_centroid_by_label",
     oracle="""
     WITH expl AS (
