@@ -303,6 +303,26 @@ def g_kind_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.groupBy("kind").agg(F.count(F.lit(1)).alias("n")).orderBy("kind")
 
 
+# --- E4: override detection ---------------------------------------------------------
+
+@query(
+    "g_override_edges",
+    oracle="""
+    SELECT * FROM (VALUES ('pkgb.dog.Dog.speak', 'pkga.base.Animal.speak'))
+    t(src, dst)
+    """,
+)
+def g_override_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: method-override edges derived by name-join constrained to the
+    transitive INHERITS closure (the reference computed this only into its
+    throwaway Sourcetrail store, indexer_visitor.py:125-157; here it is a
+    queryable derived edge)."""
+    from codegraphdb_spark.operators.closure import override_edges
+
+    nodes, edges, _ = _graph(spark)
+    return override_edges(nodes, edges).select("src", "dst").orderBy("src", "dst")
+
+
 # --- C8: Cypher-subset surface -----------------------------------------------------
 
 @query(

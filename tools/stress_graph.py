@@ -1,0 +1,101 @@
+"""Scale stress for the graph pipeline: synthesize an N-package repo
+(mini-repo shape × N with distinct package names + cross-package imports),
+build the full graph, and report wall time + row counts.
+
+This is the 1000× dry run the small fixtures can't give: extraction
+parallelism over thousands of files, merge shuffles over 10^5-10^6 facts,
+resolver joins over a large symbol table, closure over a deep-ish forest.
+
+Usage: python tools/stress_graph.py [n_packages]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from codegraphdb_spark.engine import GraphEngine  # noqa: E402
+from codegraphdb_spark.session import get_spark  # noqa: E402
+from codegraphdb_spark.sources.repo import files_from_pairs  # noqa: E402
+
+
+def synth_repo(n_packages: int) -> list[tuple[str, str]]:
+    files = []
+    for i in range(n_packages):
+        pkg = f"pkg{i:05d}"
+        prev = f"pkg{i - 1:05d}" if i > 0 else None
+        files.append((f"{pkg}/__init__.py", f"from {pkg}.core import Base{i}\n"))
+        files.append(
+            (
+                f"{pkg}/core.py",
+                f"LIMIT_{i} = {i}\n\n"
+                f"class Base{i}:\n"
+                f"    kind = 'base'\n"
+                f"    def __init__(self):\n        self.state = 0\n"
+                f"    def step(self):\n        return LIMIT_{i}\n"
+                f"    def reset(self):\n        self.state = 0\n",
+            )
+        )
+        cross = (
+            f"from {prev}.core import Base{i - 1}\n\n"
+            f"class Child{i}(Base{i - 1}):\n"
+            if prev
+            else f"from {pkg}.core import Base{i}\n\n"
+            f"class Child{i}(Base{i}):\n"
+        )
+        files.append(
+            (
+                f"{pkg}/impl.py",
+                cross
+                + f"    def step(self):\n        return self.helper()\n"
+                f"    def helper(self):\n        return 1\n",
+            )
+        )
+    return files
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    spark = get_spark("stress-graph")
+    spark.sparkContext.setLogLevel("ERROR")
+    pairs = synth_repo(n)
+    print(f"{len(pairs)} files")
+
+    t0 = time.time()
+    eng = GraphEngine(spark)
+    nodes, edges, facts = eng.build(files_from_pairs(spark, pairs), "v1")
+    nodes = nodes.localCheckpoint()
+    edges = edges.localCheckpoint()
+    build_s = time.time() - t0
+    n_nodes = nodes.count()
+    n_edges = edges.count()
+    print(f"build: {build_s:.1f}s  nodes={n_nodes}  edges={n_edges}")
+    print(
+        "kinds:",
+        {r["kind"]: r["n"] for r in nodes.groupBy("kind").agg(F.count("*").alias("n")).collect()},
+    )
+    print(
+        "rels:",
+        {
+            r["rel_type"]: r["n"]
+            for r in edges.groupBy("rel_type").agg(F.count("*").alias("n")).collect()
+        },
+    )
+    # sanity: cross-package inheritance resolved + closure propagated
+    sample = edges.filter(
+        (F.col("rel_type") == "HAS_METHOD") & (F.col("src") == f"pkg{n - 1:05d}.impl.Child{n - 1}")
+    ).count()
+    print(f"closure methods on last Child: {sample}")
+
+    t0 = time.time()
+    eng.write_snapshot(nodes, edges, "/tmp/stress_snapshot")
+    print(f"snapshot write: {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
