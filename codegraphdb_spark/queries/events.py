@@ -205,6 +205,65 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_range_join",
+    oracle="""
+    SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_sec
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(date_diff('second', a.ts, b.ts)) <= 300
+    ORDER BY event_a, event_b
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — pairs of same-user events within 5 minutes —
+    via the BUCKETIZED equi-join pattern: quantize ts to 5-minute buckets,
+    replicate one side into its adjacent buckets, equi-join on
+    (user, bucket), then exact-filter the band. Turns an inequality join
+    (O(n_u²) probe) into a hash join whose fan-out is the bucket width —
+    the only shape that survives 100 TB. Oracle is DuckDB's native
+    inequality join: an independent implementation, hash-matched."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", (F.col("ts").cast("long")).alias("sec")
+    )
+    width = 300
+    a = e.select(
+        F.col("event_id").alias("event_a"),
+        "user_id",
+        F.col("sec").alias("sec_a"),
+        F.explode(
+            F.array(
+                (F.floor(F.col("sec") / width) - 1).cast("long"),
+                F.floor(F.col("sec") / width).cast("long"),
+                (F.floor(F.col("sec") / width) + 1).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    b = e.select(
+        F.col("event_id").alias("event_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("sec").alias("sec_b"),
+        F.floor(F.col("sec") / width).cast("long").alias("bucket"),
+    )
+    return (
+        a.join(b, (a.user_id == b.user_b) & (a.bucket == b.bucket))
+        .filter(
+            (F.col("event_a") < F.col("event_b"))
+            & (F.abs(F.col("sec_b") - F.col("sec_a")) <= width)
+        )
+        .select(
+            "event_a",
+            "event_b",
+            "user_id",
+            (F.col("sec_b") - F.col("sec_a")).cast("bigint").alias("gap_sec"),
+        )
+        .dropDuplicates(["event_a", "event_b"])
+        .orderBy("event_a", "event_b")
+    )
+
+
+@query(
     "events_rollup_report",
     oracle=f"""
     SELECT event_type,
