@@ -483,6 +483,28 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT ALL
+    SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY'
+    ORDER BY k
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersectAll — multiset intersection (completes the set-op family
+    with union/exceptAll; same hash-partition-both-sides plan)."""
+    c = load_table(spark, sf_dir, "customer")
+    left = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("k")
+    )
+    right = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_nationkey").alias("k")
+    )
+    return left.intersectAll(right).orderBy("k")
+
+
+@query(
     "set_union_distinct",
     oracle="""
     SELECT DISTINCT k FROM (
