@@ -1,0 +1,109 @@
+"""Graph analytics over the (nodes, edges) snapshot — the "GraphX for
+analytics" role from BASELINE.json, expressed as join-based iteration
+(GraphFrames isn't available in this environment; the aggregateMessages
+pattern is exactly a join + groupBy-sum per superstep, which is what GraphX
+compiles to anyway).
+
+PageRank runs in SCALED-INTEGER arithmetic (rank × 10^12 as int64, floor
+division) so every iteration is exactly reproducible across engines,
+partitionings and retries — float PageRank accumulates in shuffle order
+and never hash-matches. Semantics (documented, deterministic):
+
+    pr_0(v)   = SCALE // N
+    contrib(e)= pr(src) // outdeg(src)
+    pr'(v)    = BASE + DAMP_NUM * (Σ contrib into v) // DAMP_DEN
+    BASE      = (SCALE // N) * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+
+Dangling-node mass is dropped (the simple variant); ranks are comparable,
+not normalized probabilities. At scale: per superstep one join (edges ⋈
+ranks, broadcast ranks if vertices ≪ edges) + one groupBy-sum; lineage cut
+by localCheckpoint every few supersteps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+DAMP_NUM = 85
+DAMP_DEN = 100
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-vertex in/out degree by edge type — the basic centrality scan."""
+    out_d = edges.groupBy(F.col("src").alias("vertex"), "rel_type").agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("vertex"), "rel_type").agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, ["vertex", "rel_type"], "full_outer")
+        .select(
+            "vertex",
+            "rel_type",
+            F.coalesce("out_degree", F.lit(0)).cast("bigint").alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).cast("bigint").alias("in_degree"),
+        )
+    )
+
+
+def pagerank_int(edges: DataFrame, iterations: int = 10) -> DataFrame:
+    """(vertex, rank_scaled BIGINT) after ``iterations`` supersteps of the
+    integer-arithmetic PageRank defined in the module docstring."""
+    pairs = edges.select("src", "dst").dropDuplicates()
+    vertices = (
+        pairs.select(F.col("src").alias("vertex"))
+        .unionByName(pairs.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = vertices.count()
+    init = SCALE // n
+    base = (SCALE // n) * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+
+    outdeg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    links = pairs.join(outdeg, "src").localCheckpoint(eager=True)
+
+    ranks = vertices.withColumn("rank", F.lit(init).cast("bigint"))
+    for i in range(iterations):
+        contribs = (
+            links.join(ranks, links.src == ranks.vertex)
+            .select("dst", F.expr("rank div outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = (
+            vertices.join(contribs, vertices.vertex == contribs.dst, "left")
+            .select(
+                "vertex",
+                (
+                    F.lit(base)
+                    + F.expr(f"{DAMP_NUM} * coalesce(inflow, 0L) div {DAMP_DEN}")
+                ).cast("bigint").alias("rank"),
+            )
+        )
+        if i % 3 == 2:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("vertex", F.col("rank").alias("rank_scaled"))
+
+
+def pagerank_int_reference(edge_list: list[tuple[str, str]], iterations: int = 10) -> dict[str, int]:
+    """Pure-Python replica of :func:`pagerank_int` (same integer semantics)
+    for golden-testing the distributed implementation."""
+    pairs = sorted(set(edge_list))
+    vertices = sorted({s for s, _ in pairs} | {d for _, d in pairs})
+    n = len(vertices)
+    init = SCALE // n
+    base = (SCALE // n) * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+    outdeg: dict[str, int] = {}
+    for s, _ in pairs:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    ranks = dict.fromkeys(vertices, init)
+    for _ in range(iterations):
+        inflow = dict.fromkeys(vertices, 0)
+        for s, d in pairs:
+            inflow[d] += ranks[s] // outdeg[s]
+        ranks = {v: base + DAMP_NUM * inflow[v] // DAMP_DEN for v in vertices}
+    return ranks

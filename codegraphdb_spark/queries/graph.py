@@ -303,6 +303,67 @@ def g_kind_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.groupBy("kind").agg(F.count(F.lit(1)).alias("n")).orderBy("kind")
 
 
+# --- graph analytics (the GraphX-for-analytics role) -------------------------------
+
+@query(
+    "g_pagerank_top",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('pkga.consts.MAX_DEPTH', CAST(21294715686 AS BIGINT)),
+      ('pkga.util.helper', CAST(20611413040 AS BIGINT)),
+      ('pkga.base.GREETING', CAST(19401766772 AS BIGINT)),
+      ('pkga.base.Animal.species', CAST(19133677454 AS BIGINT)),
+      ('pkgb.dog.Dog.fetch', CAST(17368640492 AS BIGINT)),
+      ('pkgb.dog.Dog.speak', CAST(16770126529 AS BIGINT)),
+      ('pkga.base.Animal', CAST(14727351835 AS BIGINT)),
+      ('unsolved symbol', CAST(13024437110 AS BIGINT))
+    ) t(vertex, rank_scaled)
+    ORDER BY rank_scaled DESC, vertex
+    """,
+)
+def g_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer-arithmetic PageRank over the full edge set
+    (operators/analytics.py): join + groupBy-sum per superstep — the
+    aggregateMessages pattern GraphX compiles to — in scaled-int math so
+    ranks are exactly reproducible (golden-checked against a pure-Python
+    replica in tests). Most-referenced symbols float to the top."""
+    from codegraphdb_spark.operators.analytics import pagerank_int
+
+    _, edges, _ = _graph(spark)
+    return (
+        pagerank_int(edges, iterations=10)
+        .orderBy(F.desc("rank_scaled"), "vertex")
+        .limit(8)
+    )
+
+
+@query(
+    "g_degree_centrality",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('pkgb.puppy.Puppy', CAST(6 AS BIGINT), CAST(0 AS BIGINT)),
+      ('pkgb.dog.Dog', CAST(5 AS BIGINT), CAST(0 AS BIGINT)),
+      ('pkga.base.Animal', CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+      ('pkga.base.Animal.__init__', CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+      ('pkga.base.Animal.describe', CAST(0 AS BIGINT), CAST(3 AS BIGINT))
+    ) t(vertex, out_degree, in_degree)
+    """,
+)
+def g_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree centrality over HAS_METHOD (method-surface size / reuse):
+    full-outer merge of per-vertex in/out degree aggregations."""
+    from codegraphdb_spark.operators.analytics import degree_stats
+
+    _, edges, _ = _graph(spark)
+    return (
+        degree_stats(edges)
+        .filter(F.col("rel_type") == "HAS_METHOD")
+        .select("vertex", "out_degree", "in_degree")
+        .orderBy(F.desc("out_degree"), "vertex")
+        .limit(5)
+    )
+
+
 # --- E4: override detection ---------------------------------------------------------
 
 @query(

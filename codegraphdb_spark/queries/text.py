@@ -541,3 +541,58 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(batches, schema="doc_id BIGINT, simhash BIGINT")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             len({SQL_TOKS}) AS n_tokens,
+             len(list_distinct({SQL_TOKS})) AS n_uniq
+      FROM documents
+    ), quality AS (
+      SELECT * FROM scored WHERE n_tokens BETWEEN 20 AND 1000 AND n_uniq > 5
+    ), dedup AS (
+      SELECT * FROM quality
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM quality GROUP BY md5(text))
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_uniq) AS DOUBLE) / SUM(n_tokens) AS uniq_ratio
+    FROM dedup
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline: quality gate → exact dedup (keep
+    min doc_id per content hash) → per-language corpus stats. One pass of
+    the standard clean-and-count flow; every stage is a shuffle-minimal
+    primitive already proven above (the dedup keeps a digest-keyed
+    semi-join, never moving document bodies twice)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", "text", _tokens().alias("toks")
+    ).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+    )
+    quality = toks.filter(F.col("n_tokens").between(20, 1000) & (F.col("n_uniq") > 5))
+    keep = quality.groupBy(F.md5("text").alias("__h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    dedup = quality.join(keep.select("doc_id"), "doc_id", "left_semi")
+    return (
+        dedup.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (F.sum("n_uniq").cast("double") / F.sum("n_tokens")).alias("uniq_ratio"),
+        )
+        .orderBy("lang")
+    )
