@@ -24,11 +24,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     optionally with its DuckDB-equivalent ANSI SQL."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        if name in QUERIES:
-            raise ValueError(f"duplicate query name {name!r}")
+        # last-wins on re-registration: a module reload (e.g. the driver
+        # re-importing __spark_entry__) re-runs decorators; crashing on
+        # duplicates would take the whole contract down
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
+        else:
+            ORACLE.pop(name, None)
         return fn
 
     return deco
