@@ -753,3 +753,34 @@ def grouped_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS INT) AS edit_dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 4
+    ORDER BY edit_dist, name_a, name_b
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching via edit distance (entity-resolution shape).
+    The dimension is tiny so the pair product is fine here; at scale you
+    block first (prefix/phonetic/LSH buckets) and run levenshtein only
+    inside blocks — same blocked-pair shape as emb_near_dup_pairs."""
+    n = load_table(spark, sf_dir, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    dist = F.levenshtein(F.col("a.n_name"), F.col("b.n_name"))
+    return (
+        a.join(b, F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        .select(
+            F.col("a.n_name").alias("name_a"),
+            F.col("b.n_name").alias("name_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 4)
+        .orderBy("edit_dist", "name_a", "name_b")
+    )
