@@ -29,8 +29,15 @@ def main() -> None:
 
     # Warm the JVM/codegen paths once so per-query numbers measure the
     # queries, not session bring-up (cold session per BASELINE.md protocol —
-    # the session itself IS cold; only the flagship warms codegen).
+    # the session itself IS cold; only codegen/worker bring-up is warmed).
     registry.QUERIES["revenue_by_nation"](spark, sf_dir).collect()
+    from pyspark.sql import functions as F
+
+    spark.range(2).select(
+        F.regexp_replace(F.to_json(F.struct("id")), "1", "2"),
+        F.get_json_object(F.lit('{"a":1}'), "$.a"),
+    ).collect()  # regex/json expression-class codegen (g_code_hydration path)
+    spark.range(2).mapInPandas(lambda it: it, "id LONG").collect()  # Python workers
 
     # The code-graph snapshot is built once per session (a lifecycle job,
     # not a query); time it separately so g_* timings measure query latency.

@@ -173,3 +173,34 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def purchase_click_stream_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched with the same
+    user's clicks in the preceding ``max_gap``. Both sides carry watermarks
+    so the join state is bounded — Spark evicts click state older than
+    (watermark + gap) and purchase state older than the watermark. This is
+    the streaming twin of the batch as-of/range joins (operators/asof.py,
+    events_range_join)."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", watermark)
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_gap}")),
+        "inner",
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"), "p_ts", "c_ts")

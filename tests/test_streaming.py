@@ -123,3 +123,72 @@ def test_custom_stateful_running_totals(spark, sf_dir, stream_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_stream_stream_interval_join(spark, sf_dir, stream_dir):
+    p = se.read_events_stream(spark, stream_dir).filter(F.col("event_type") == "purchase")
+    c = se.read_events_stream(spark, stream_dir).filter(F.col("event_type") == "click")
+    se.run_to_memory(
+        se.purchase_click_stream_join(p, c, watermark="365 days"),
+        "t_ssjoin",
+        "append",
+    )
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("select * from t_ssjoin").collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    pb = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    cb = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("u2"), F.col("ts").alias("c_ts")
+    )
+    expected = {
+        (r["purchase_id"], r["click_id"])
+        for r in pb.join(
+            cb,
+            (pb.user_id == cb.u2)
+            & (cb.c_ts <= pb.p_ts)
+            & (cb.c_ts >= pb.p_ts - F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert got == expected and len(expected) > 0
+
+
+def test_streaming_checkpoint_recovery(spark, stream_dir, tmp_path):
+    """Kill a checkpointed query mid-stream, restart from the checkpoint,
+    and verify exactly-once output (no duplicate windows)."""
+    ckpt = str(tmp_path / "ckpt")
+    out_name = "t_recover"
+
+    def start(files_per_trigger):
+        stream = se.read_events_stream(spark, stream_dir, max_files_per_trigger=files_per_trigger)
+        return (
+            se.tumbling_counts(stream, watermark="365 days")
+            .writeStream.format("memory")
+            .queryName(out_name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # first run: process only the first chunk, then stop mid-input
+    q = start(files_per_trigger=1)
+    import time as _t
+
+    while q.isActive and not q.recentProgress:
+        _t.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+
+    # restart from checkpoint: finishes the remaining input
+    q2 = start(files_per_trigger=None)
+    q2.awaitTermination()
+
+    got = spark.sql(f"select * from {out_name}").collect()
+    keys = [(r["window_start"], r["event_type"]) for r in got]
+    assert len(keys) == len(set(keys))  # no duplicate windows
+    total = sum(r["n_events"] for r in got)
+    assert total == load_table(spark, "/root/testdata/sf0.001", "events").count()
