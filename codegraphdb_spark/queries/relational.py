@@ -784,3 +784,30 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 4)
         .orderBy("edit_dist", "name_a", "name_b")
     )
+
+
+@query(
+    "regex_group_extract",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '#(\\d+)', 1) AS id_str,
+           CAST(regexp_extract(c_name, '#(\\d+)', 1) AS BIGINT) AS id_num
+    FROM customer
+    WHERE regexp_extract(c_name, '#(\\d+)', 1) <> ''
+    ORDER BY c_custkey
+    """,
+)
+def regex_group_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex capture-group extraction (reference D3's <CODE> decode and D4's
+    path parsing are the same regexp_extract shape). Stays in codegen."""
+    c = load_table(spark, sf_dir, "customer")
+    grp = F.regexp_extract("c_name", r"#(\d+)", 1)
+    return (
+        c.select(
+            "c_custkey",
+            grp.alias("id_str"),
+            grp.cast("bigint").alias("id_num"),
+        )
+        .filter(F.col("id_str") != "")
+        .orderBy("c_custkey")
+    )
