@@ -66,10 +66,12 @@ def asof_join(
 
     # right rows (side 0) sort before left rows at equal ts, so an exact-ts
     # match is visible; the payload travels as ONE struct so all columns
-    # come from the SAME right row.
+    # come from the SAME right row. __rp as the final sort key makes the
+    # winner among equal-(ts) right rows deterministic (struct comparison
+    # is field-wise) instead of partition-order-dependent.
     w = (
         Window.partitionBy("__key")
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", F.col("__rp"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = union.select(

@@ -80,3 +80,27 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right, key="k", ts="ts", payload_cols=["rid"]).collect()
     }
     assert out == {1: 10, 2: 11, 3: None, 4: 12}
+
+
+def test_asof_join_duplicate_right_ts_deterministic(spark):
+    """Two right rows at the identical (key, ts): the winner must be stable
+    across partitionings (max payload struct wins under the ordered
+    window)."""
+    left = spark.createDataFrame(
+        [(1, 100, _ts("2024-01-01 10:00:00"))], "id BIGINT, k BIGINT, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 100, _ts("2024-01-01 09:30:00")),
+            (11, 100, _ts("2024-01-01 09:30:00")),  # same key+ts
+        ],
+        "rid BIGINT, k BIGINT, ts TIMESTAMP",
+    )
+    outs = set()
+    for parts in (1, 8):
+        out = asof_join(
+            left.repartition(parts), right.repartition(parts),
+            key="k", ts="ts", payload_cols=["rid"],
+        ).collect()
+        outs.add(out[0]["rid_asof"])
+    assert outs == {11}  # deterministic: greatest payload struct
