@@ -1,0 +1,101 @@
+"""CLI — the engine's equivalent of the reference's entrypoints.
+
+    python -m codegraphdb_spark build  <repo_dir> <snapshot_dir> [--version v1]
+    python -m codegraphdb_spark update <repo_dir> <snapshot_dir> --old v1 --new v2 \
+            --changed path/a.py [--changed path/b.py ...]
+    python -m codegraphdb_spark query  <snapshot_dir> "<cypher-or-sql>" [--limit N]
+
+Mirrors: whole-repo index (run_mutiprocess.py:107-121), incremental update
+(update_version.py:77-100), interactive query with <CODE>-style results
+(graphDB.py:259-277). Queries starting with MATCH go through the
+Cypher-subset compiler; anything else is Spark SQL over the registered
+``nodes``/``edges`` views.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="codegraphdb_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="index a repo into a graph snapshot")
+    b.add_argument("repo_dir")
+    b.add_argument("snapshot_dir")
+    b.add_argument("--version", default="v1")
+
+    u = sub.add_parser("update", help="incremental re-index of changed files")
+    u.add_argument("repo_dir")
+    u.add_argument("snapshot_dir")
+    u.add_argument("--old", required=True)
+    u.add_argument("--new", required=True)
+    u.add_argument("--changed", action="append", required=True)
+
+    q = sub.add_parser("query", help="run Cypher-subset or SQL over a snapshot")
+    q.add_argument("snapshot_dir")
+    q.add_argument("query_text")
+    q.add_argument("--limit", type=int, default=50)
+
+    args = ap.parse_args(argv)
+
+    from codegraphdb_spark.engine import GraphEngine
+    from codegraphdb_spark.session import get_spark
+
+    spark = get_spark("codegraphdb-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = GraphEngine(spark)
+
+    if args.cmd == "build":
+        from codegraphdb_spark.sources.repo import scan_repo
+
+        files = scan_repo(spark, args.repo_dir)
+        nodes, edges, facts = eng.build(files, args.version)
+        eng.write_snapshot(nodes, edges, args.snapshot_dir)
+        facts.write.mode("overwrite").parquet(
+            f"{args.snapshot_dir}/facts_{args.version}"
+        )
+        n, e = nodes.count(), edges.count()
+        print(f"built {args.version}: {n} nodes, {e} edges -> {args.snapshot_dir}")
+        return 0
+
+    if args.cmd == "update":
+        from codegraphdb_spark.sources.repo import scan_repo
+
+        from pyspark.sql import functions as F
+
+        old_nodes, old_edges = eng.read_snapshot(args.snapshot_dir)
+        old_facts = spark.read.parquet(f"{args.snapshot_dir}/facts_{args.old}")
+        changed_files = scan_repo(spark, args.repo_dir).filter(
+            F.col("path").isin(args.changed)
+        )
+        nodes, edges, facts = eng.update_version(
+            old_nodes, old_edges, old_facts, changed_files, args.changed, args.new
+        )
+        # materialize before overwriting the snapshot dirs we read from
+        nodes = nodes.localCheckpoint(eager=True)
+        edges = edges.localCheckpoint(eager=True)
+        eng.write_snapshot(nodes, edges, args.snapshot_dir)
+        facts.write.mode("overwrite").parquet(f"{args.snapshot_dir}/facts_{args.new}")
+        print(f"updated {args.old} -> {args.new}: {nodes.count()} nodes")
+        return 0
+
+    # query
+    nodes, edges = eng.read_snapshot(args.snapshot_dir)
+    text = args.query_text.strip()
+    if text.upper().startswith("MATCH"):
+        from codegraphdb_spark.plans.cypher import run_cypher
+
+        df = run_cypher(text, nodes, edges)
+    else:
+        eng.register_views(nodes, edges)
+        df = spark.sql(text)
+    for row in df.limit(args.limit).collect():
+        print(dict(row.asDict()))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
