@@ -301,3 +301,69 @@ def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+@query(
+    "emb_int8_quantize",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), rng AS (
+      SELECT vec_id, e,
+             list_min(e) AS lo, list_max(e) AS hi
+      FROM v
+    ), q AS (
+      SELECT vec_id, lo, hi,
+             list_transform(generate_series(1, {DIM}),
+               i -> CAST(ROUND((e[i] - lo) / (hi - lo) * 255.0) AS BIGINT)) AS codes,
+             e
+      FROM rng
+    )
+    SELECT vec_id,
+           CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CAST(list_sum(list_transform(generate_series(1, {DIM}),
+             i -> CAST(ROUND(ABS(e[i] - (lo + codes[i] * (hi - lo) / 255.0))
+                             * 1000000000) AS BIGINT))) AS BIGINT) AS abs_err_scaled
+    FROM q
+    ORDER BY vec_id
+    """,
+)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector uint8 scalar quantization (the standard 4x embedding
+    compression for large corpora): min/max range -> 0..255 codes ->
+    reconstruction-error audit. All arithmetic is double ops + integer
+    rounding, bit-identical on both engines; at scale the codes column
+    replaces the float array and distance kernels dequantize on the fly."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    rng = v.select(
+        "vec_id", "e", F.array_min("e").alias("lo"), F.array_max("e").alias("hi")
+    )
+    codes = F.transform(
+        F.col("e"),
+        lambda x: F.round((x - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255.0).cast("bigint"),
+    )
+    q = rng.select("vec_id", "lo", "hi", "e", codes.alias("codes"))
+    recon_err = F.aggregate(
+        F.zip_with(
+            F.col("e"),
+            F.col("codes"),
+            lambda x, c: F.round(
+                F.abs(x - (F.col("lo") + c * (F.col("hi") - F.col("lo")) / 255.0))
+                * 1_000_000_000
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return q.select(
+        "vec_id",
+        F.col("lo").cast("double").alias("lo"),
+        F.col("hi").cast("double").alias("hi"),
+        F.aggregate(F.col("codes"), F.lit(0).cast("bigint"), lambda a, c: a + c)
+        .cast("bigint")
+        .alias("code_sum"),
+        recon_err.cast("bigint").alias("abs_err_scaled"),
+    ).orderBy("vec_id")
