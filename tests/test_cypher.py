@@ -77,3 +77,86 @@ def test_errors_are_loud(graph):
         run_cypher("MATCH (n) RETURN q.full_name", nodes, edges)
     with pytest.raises(CypherError):
         run_cypher("MATCH (n:CLASS:MODULE) RETURN n", nodes, edges)
+
+
+def test_multi_hop_chain(graph):
+    """(m)-[:CONTAINS]->(c)-[:HAS_METHOD]->(f): two-hop join chain.
+
+    pkgb.dog CONTAINS both Dog (defined) and Animal (re-exported via the
+    E2 import pass, ast_manage.py:101-125), so both classes' methods
+    appear; Dog additionally carries Animal's non-__init__ methods from
+    the E1 closure."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (m:MODULE {full_name: 'pkgb.dog'})-[:CONTAINS]->(c:CLASS)"
+        "-[:HAS_METHOD]->(f) RETURN c.name AS cls, f.full_name AS method "
+        "ORDER BY method, cls",
+        nodes,
+        edges,
+    ).collect()
+    assert [(r["cls"], r["method"]) for r in out] == [
+        ("Animal", "pkga.base.Animal.__init__"),
+        ("Animal", "pkga.base.Animal.describe"),
+        ("Dog", "pkga.base.Animal.describe"),  # closure-derived
+        ("Animal", "pkga.base.Animal.speak"),
+        ("Dog", "pkga.base.Animal.speak"),
+        ("Dog", "pkgb.dog.Dog.fetch"),
+        ("Dog", "pkgb.dog.Dog.speak"),
+    ]
+
+
+def test_varlen_inherits_path(graph):
+    """[:INHERITS*1..3] from Puppy reaches Dog (1 hop) and Animal (2)."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (a:CLASS {name: 'Puppy'})-[:INHERITS*1..3]->(b) "
+        "RETURN b.full_name AS base ORDER BY base",
+        nodes,
+        edges,
+    ).collect()
+    assert [r["base"] for r in out] == ["pkga.base.Animal", "pkgb.dog.Dog"]
+
+
+def test_varlen_exact_hops(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (a:CLASS {name: 'Puppy'})-[:INHERITS*2]->(b) RETURN b.name",
+        nodes,
+        edges,
+    ).collect()
+    assert [r["b_name"] for r in out] == ["Animal"]
+
+
+def test_where_clause(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS)-[:HAS_METHOD]->(f) "
+        "WHERE c.full_name STARTS WITH 'pkgb' AND f.name <> 'speak' "
+        "AND f.name IN ['fetch', 'whine', 'describe'] "
+        "RETURN DISTINCT f.name AS m ORDER BY m",
+        nodes,
+        edges,
+    ).collect()
+    assert [r["m"] for r in out] == ["describe", "fetch", "whine"]
+
+
+def test_count_aggregate(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:`v1`:CLASS) RETURN count(c) AS n", nodes, edges
+    ).collect()
+    assert out[0]["n"] == 3  # Animal, Dog, Puppy
+
+
+def test_varlen_cap_is_loud(graph):
+    nodes, edges = graph
+    with pytest.raises(CypherError):
+        run_cypher(
+            "MATCH (a)-[:INHERITS*1..99]->(b) RETURN a.name", nodes, edges
+        )
+    with pytest.raises(CypherError):
+        run_cypher(
+            "MATCH (c) WHERE c.name = 'Dog' OR c.name = 'Puppy' RETURN c",
+            nodes,
+            edges,
+        )
