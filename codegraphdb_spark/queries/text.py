@@ -283,6 +283,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keys instead of ~25-byte strings) → self-join → count common →
     Jaccard from set sizes. Jaccard is int/int → exact; the oracle hashes
     identically so a (cosmically unlikely) collision would match too."""
+    return _jaccard_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered (doc_a, doc_b, n_common, jaccard) pairs with jaccard ≥ 0.2
+    — shared by ngram_jaccard_pairs and doc_dup_clusters."""
     import hashlib
 
     import pandas as pd
@@ -332,10 +338,75 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("nsh_a") + F.col("nsh_b") - F.col("n_common")
     )
+    return common.select("doc_a", "doc_b", "n_common", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.2
+    )
+
+
+_SQL_JACCARD_PAIRS_CTES = f"""
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform({SQL_SHINGLES},
+                           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS shs
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, len(shs) AS nsh FROM sh
+    ), inv AS (
+      SELECT doc_id, UNNEST(shs) AS shingle FROM sh
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM common c
+      JOIN sizes sa ON c.doc_a = sa.doc_id
+      JOIN sizes sb ON c.doc_b = sb.doc_id
+      WHERE CAST(c.n_common AS DOUBLE) / (sa.nsh + sb.nsh - c.n_common) >= 0.2
+    )
+"""
+
+
+@query(
+    "doc_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_JACCARD_PAIRS_CTES},
+    undirected AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc_id, lbl) AS (
+      SELECT a, a FROM undirected
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN undirected e ON e.a = r.doc_id
+    ),
+    comp AS (
+      SELECT doc_id, MIN(lbl) AS component FROM reach GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.component, s.n_members
+    FROM comp c
+    JOIN (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM comp GROUP BY component) s USING (component)
+    ORDER BY c.doc_id
+    """,
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS, not just pairs: connected components over the
+    Jaccard ≥ 0.2 pair graph (iterative min-label propagation,
+    operators/dedup.py::duplicate_components — the union-find step a real
+    dedup pipeline needs to pick one survivor per component). The oracle
+    is a DuckDB WITH RECURSIVE transitive closure over the same pairs, so
+    the fixpoint itself is value-checked, not just row-counted."""
+    from codegraphdb_spark.operators.dedup import duplicate_components
+
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comps = duplicate_components(pairs)
+    sizes = comps.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
     return (
-        common.select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.2)
-        .orderBy("doc_a", "doc_b")
+        comps.join(sizes, "component")
+        .select("doc_id", "component", "n_members")
+        .orderBy("doc_id")
     )
 
 
