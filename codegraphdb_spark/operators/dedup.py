@@ -34,10 +34,14 @@ def duplicate_components(pairs: DataFrame) -> DataFrame:
     Iterative min-label propagation — the standard Spark union-find
     approximation; converges in O(diameter) rounds, each a join+agg. Dup
     clusters are tiny (near-identical docs), so the diameter is small."""
+    # materialize once: the pair set is small relative to the corpus (it's
+    # the near-dup pairs), but its LINEAGE is the whole candidate pipeline —
+    # without truncation every fixpoint iteration would recompute it
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("a").alias("doc_id"))

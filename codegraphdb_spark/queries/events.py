@@ -313,3 +313,67 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prop_k") >= 50)
         .orderBy("event_id")
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), fc AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN fv ON e.user_id = fv.user_id AND e.ts > fv.t
+      WHERE e.event_type = 'click' GROUP BY 1
+    ), fp AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN fc ON e.user_id = fc.user_id AND e.ts > fc.t
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM fv
+    UNION ALL
+    SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM fc
+    UNION ALL
+    SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM fp
+    ORDER BY stage
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click-after-view →
+    purchase-after-click) by first-occurrence timestamps: each stage is a
+    per-user MIN aggregation joined against the next event type with a
+    strictly-later predicate. Three shuffles on user_id, each stage's
+    state one row per surviving user — the batch twin of a stateful
+    streaming funnel (applyInPandasWithState)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    fc = (
+        e.filter(F.col("event_type") == "click")
+        .join(fv.withColumnRenamed("t", "prev_t"), "user_id")
+        .filter(F.col("ts") > F.col("prev_t"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fc.withColumnRenamed("t", "prev_t"), "user_id")
+        .filter(F.col("ts") > F.col("prev_t"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(fv, "1_view")
+        .unionByName(stage(fc, "2_click"))
+        .unionByName(stage(fp, "3_purchase"))
+        .orderBy("stage")
+    )

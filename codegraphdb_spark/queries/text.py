@@ -667,3 +667,98 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "doc_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({SQL_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    ), scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             CAST(t.tf * ((1000000 * n.n_docs) // d.df) AS BIGINT) AS score
+      FROM tf t JOIN df d USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score
+    FROM ranked WHERE rn <= 3
+    ORDER BY doc_id, score DESC, term
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by TF-IDF. idf is the scaled-integer
+    linear form (1e6 * N) div df — pure int64 arithmetic, bit-identical
+    on any engine/partitioning (log-idf is a one-line swap but ln() is
+    libm-dependent and a 1-ulp divergence would flip ranks at the
+    rounding boundary). Plan shape: explode → two hash aggs (map-side
+    partials) → broadcast the 1-row corpus count → per-doc window top-k."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", (F.col("tf") * F.expr("(1000000 * n_docs) div df")).cast("bigint"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+        .orderBy("doc_id", F.desc("score"), "term")
+    )
+
+
+@query(
+    "doc_train_test_split",
+    oracle="""
+    WITH assign AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+                       AS BIGINT) % 100 < 90
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM assign GROUP BY split ORDER BY split
+    """,
+)
+def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/test holdout (90/10): bucket =
+    md5(doc_id) mod 100. Content-addressed splits are the
+    production-correct way to partition 100 TB of training data — stable
+    under reprocessing, no sampling state, no seed coordination across
+    executors; new documents never move existing ones between splits."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint") % 100
+    )
+    return (
+        d.withColumn("split", F.when(bucket < 90, "train").otherwise("test"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )

@@ -27,6 +27,42 @@ from pyspark.sql import functions as F
 
 DEFAULT_WATERMARK = "30 minutes"
 
+# RocksDB-backed state store (Spark bundles rocksdbjni): off-heap state,
+# incremental (changelog) checkpoints — the production choice once state
+# exceeds executor heap (millions of keys). The default HDFS-backed store
+# keeps every key in JVM memory; fine for tests, not for 100 TB streams.
+ROCKSDB_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    # write per-batch changelogs instead of full snapshots at every commit
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    # bound RocksDB native memory per executor instead of per-instance
+    "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+}
+
+
+def use_rocksdb_state(spark) -> dict[str, str | None]:
+    """Switch the session's streaming state store to RocksDB. Returns the
+    previous values so callers can restore them (state-store provider is
+    read at query START, so set this before ``writeStream.start()``)."""
+    prev: dict[str, str | None] = {}
+    for k, v in ROCKSDB_STATE_CONF.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    return prev
+
+
+def restore_state_conf(spark, prev: dict[str, str | None]) -> None:
+    for k, v in prev.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
 
 def tumbling_counts(
     stream: DataFrame,

@@ -192,3 +192,33 @@ def test_streaming_checkpoint_recovery(spark, stream_dir, tmp_path):
     assert len(keys) == len(set(keys))  # no duplicate windows
     total = sum(r["n_events"] for r in got)
     assert total == load_table(spark, "/root/testdata/sf0.001", "events").count()
+
+
+def test_rocksdb_state_store_equivalence(spark, sf_dir, stream_dir):
+    """Same windowed aggregation under the RocksDB state store provider —
+    results must be identical to the default HDFS-backed store (and to the
+    batch twin). Proves the production state backend is wired correctly."""
+    prev = se.use_rocksdb_state(spark)
+    try:
+        stream = se.read_events_stream(spark, stream_dir)
+        se.run_to_memory(
+            se.tumbling_counts(stream, watermark="365 days"),
+            "t_rocksdb",
+            "complete",
+        )
+    finally:
+        se.restore_state_conf(spark, prev)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from t_rocksdb").collect()
+    }
+    batch = load_table(spark, sf_dir, "events")
+    expected = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in batch.groupBy(
+            F.window("ts", "10 minutes").start.alias("ws"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
