@@ -1,0 +1,54 @@
+"""Bucketed storage for co-located joins (SURVEY §7.2 step 7 scale
+hygiene).
+
+Shuffle is the scale killer for repeated fact-fact joins: every
+``lineitem ⋈ orders`` at 100 TB re-hashes both sides across the cluster.
+Hive-style bucketing pre-hashes rows into a fixed number of files per
+table at WRITE time; two tables bucketed by the same key into the same
+bucket count then join with ZERO Exchange — each task reads matching
+bucket files from both sides. The write pays one shuffle once; every
+subsequent join of any two co-bucketed tables is shuffle-free.
+
+This replaces nothing in the reference (its Neo4j store has no layout
+control at all); it is how the snapshot/fact tables should be laid out on
+a real cluster. Numbers that matter at 100 TB: bucket count should give
+~128-512 MB per bucket file (e.g. 100 TB / 256 MB ≈ 400k buckets is too
+many files — bucket the *partitioned* tables so each partition's buckets
+land in that range).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) managed table.
+
+    Sorting within buckets additionally enables sort-merge joins without
+    the Sort step and row-group min/max pruning on the sort key. The
+    pre-write ``repartition(n_buckets, cols)`` uses the same hash as the
+    bucket spec, so every bucket lands in exactly ONE file — Spark only
+    elides the join-side Sort when per-bucket order is file-global."""
+    writer = df.repartition(n_buckets, *bucket_cols).write.bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.mode(mode).format("parquet").saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two co-bucketed tables. With matching bucket spec on the join
+    keys, the physical plan has no Exchange on either side (assert via
+    ``.explain``; tests/test_bucketing.py does)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
