@@ -435,3 +435,26 @@ def g_code_hydration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.render_with_code(df, files).select(
         "full_name", "signature", "code_ptr", "code"
     )
+
+
+@query(
+    "g_cypher_varlen",
+    oracle="""
+    SELECT * FROM (VALUES ('pkga.base.Animal'), ('pkgb.dog.Dog')) t(base)
+    ORDER BY base
+    """,
+)
+def g_cypher_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 extension: variable-length path in the Cypher front end —
+    [:INHERITS*1..5] compiles to a bounded reachability expansion
+    (iterated self-join, deduped per hop). Puppy reaches Dog (1 hop) and
+    Animal (2 hops)."""
+    from codegraphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges, _ = _graph(spark)
+    return run_cypher(
+        "MATCH (a:CLASS {name: 'Puppy'})-[:INHERITS*1..5]->(b) "
+        "RETURN b.full_name AS base ORDER BY base",
+        nodes,
+        edges,
+    )

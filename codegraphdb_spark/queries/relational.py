@@ -811,3 +811,45 @@ def regex_group_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_str") != "")
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "rolling_7d_customer_revenue",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_orderdate AS DATE) AS order_day,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_7d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) OVER w AS DOUBLE)
+             AS revenue_7d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey
+    """,
+)
+def rolling_7d_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day revenue per customer: a RANGE-frame window over event
+    time (frame = value interval, not row count — peers with equal days
+    aggregate identically regardless of physical order). One shuffle on
+    o_custkey; the frame is computed in a single pass over each sorted
+    partition. Decimal-exact window sum keeps doubles bit-identical."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("order_day"),
+            F.count(F.lit(1)).over(w).alias("n_orders_7d"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+            .over(w)
+            .cast("double")
+            .alias("revenue_7d"),
+        )
+        .orderBy("o_orderkey")
+    )
