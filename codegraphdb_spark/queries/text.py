@@ -94,9 +94,12 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, unique tokens, regex word tokens,
     and a BPE-ish greedy ≤4-char chunking — all codegen'd, no UDF."""
     d = load_table(spark, sf_dir, "documents")
-    tok = _tokens()
+    # materialize the token array once: split() is NOT CSE'd across the
+    # expressions below (each would re-split text)
+    t = d.select("doc_id", "text", "n_chars", _tokens().alias("toks"))
+    tok = F.col("toks")
     return (
-        d.select(
+        t.select(
             "doc_id",
             F.size(tok).cast("int").alias("n_tokens"),
             F.size(F.array_distinct(tok)).cast("int").alias("n_unique_tokens"),
@@ -129,13 +132,16 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a keep/drop gate — the standard cheap pre-filters of a training-data
     pipeline. All ratios are int/int divisions → bit-identical doubles."""
     d = load_table(spark, sf_dir, "documents")
-    tok = _tokens()
+    # materialize toks once — four independent expressions below would each
+    # re-split text (no CSE through higher-order lambdas)
+    t = d.select("doc_id", _tokens().alias("toks"))
+    tok = F.col("toks")
     n = F.size(tok)
     tok_len_sum = F.aggregate(tok, F.lit(0), lambda acc, x: acc + F.length(x))
     n_stop = F.size(F.filter(tok, lambda x: x.isin(*STOPWORDS)))
     n_uniq = F.size(F.array_distinct(tok))
     return (
-        d.select(
+        t.select(
             "doc_id",
             (tok_len_sum.cast("double") / n).alias("avg_token_len"),
             (n_stop.cast("double") / n).alias("stopword_ratio"),
@@ -174,12 +180,13 @@ def doc_lang_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker-word lists are the tunable; the plan shape (tokenize → score →
     argmax) is what scales."""
     d = load_table(spark, sf_dir, "documents")
-    tok = _tokens()
+    t = d.select("doc_id", "lang", _tokens().alias("toks"))
+    tok = F.col("toks")
     en = F.size(F.filter(tok, lambda x: x.isin("the", "a", "of")))
     tech = F.size(F.filter(tok, lambda x: x.isin("data", "query", "table")))
     n = F.size(tok)
     return (
-        d.select(
+        t.select(
             "doc_id",
             F.col("lang").alias("lang_tagged"),
             F.when(en * 20 >= n, "en-like")
