@@ -43,10 +43,14 @@ def duplicate_components(pairs: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # seed with min(self, direct neighbors) — one aggregation that does the
+    # work of the first propagation round (every vertex appears as `a`
+    # because edges are symmetrized)
     labels = (
-        edges.select(F.col("a").alias("doc_id"))
-        .distinct()
-        .withColumn("component", F.col("doc_id"))
+        edges.groupBy(F.col("a").alias("doc_id"))
+        .agg(F.min("b").alias("nbr_min"))
+        .select("doc_id", F.least("doc_id", "nbr_min").alias("component"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(MAX_CC_ITERATIONS):
         neighbor_min = (
@@ -54,6 +58,8 @@ def duplicate_components(pairs: DataFrame) -> DataFrame:
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        # checkpoint BEFORE the convergence probe: the probe then reads two
+        # materialized frames instead of re-running the join+agg
         updated = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -62,14 +68,15 @@ def duplicate_components(pairs: DataFrame) -> DataFrame:
                     F.col("component"), F.coalesce("nbr_component", "component")
                 ).alias("component"),
             )
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.component") != F.col("l.component"))
+        no_change = (
+            updated.withColumnRenamed("component", "new_component")
+            .join(labels, "doc_id")
+            .filter(F.col("new_component") != F.col("component"))
+            .isEmpty()
         )
-        no_change = changed.isEmpty()
-        labels = updated.localCheckpoint(eager=True)
+        labels = updated
         if no_change:
             break
     return labels
