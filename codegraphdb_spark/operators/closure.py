@@ -26,26 +26,40 @@ from pyspark.sql import functions as F
 MAX_ITERATIONS = 40
 
 
+# fixpoint probes are driver actions; the first BLIND_ROUNDS doubling
+# rounds run unprobed in one lazy plan (covers depth <= 2^BLIND_ROUNDS,
+# which is every real inheritance hierarchy) — deeper graphs fall through
+# to the probed loop
+BLIND_ROUNDS = 2
+
+
+def _double(acc: DataFrame) -> DataFrame:
+    return (
+        acc.alias("a")
+        .join(acc.alias("b"), F.col("a.ancestor") == F.col("b.cls"))
+        .select(F.col("a.cls").alias("cls"), F.col("b.ancestor").alias("ancestor"))
+    )
+
+
 def transitive_bases(edges: DataFrame) -> DataFrame:
     """(cls, ancestor) pairs over the INHERITS DAG to fixpoint, by path
-    doubling."""
+    doubling. Typical cost: ONE materialization + ONE emptiness probe
+    (blind rounds fold into a single plan); only pathological depth pays
+    per-round actions."""
     inherits = (
         edges.filter(F.col("rel_type") == "INHERITS")
         .select(F.col("src").alias("cls"), F.col("dst").alias("ancestor"))
         .dropDuplicates()
     )
-    acc = inherits.localCheckpoint(eager=True)
+    acc = inherits
+    for _ in range(BLIND_ROUNDS):
+        acc = acc.unionByName(_double(acc)).dropDuplicates()
+    acc = acc.localCheckpoint(eager=True)
     for _ in range(MAX_ITERATIONS):
-        hop = (
-            acc.alias("a")
-            .join(acc.alias("b"), F.col("a.ancestor") == F.col("b.cls"))
-            .select(F.col("a.cls").alias("cls"), F.col("b.ancestor").alias("ancestor"))
-            .dropDuplicates()
-            .exceptAll(acc)
-        )
+        hop = _double(acc).dropDuplicates().exceptAll(acc)
         if hop.isEmpty():
             break
-        acc = acc.unionByName(hop).localCheckpoint(eager=True)
+        acc = acc.unionByName(hop).dropDuplicates().localCheckpoint(eager=True)
     return acc
 
 
