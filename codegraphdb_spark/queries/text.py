@@ -769,3 +769,63 @@ def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "doc_weighted_source_mix",
+    oracle="""
+    WITH weighted AS (
+      SELECT source, n_chars,
+             CASE WHEN source IN ('src0', 'src1', 'src2') THEN 250
+                  WHEN lang = 'en' THEN 900
+                  ELSE 500 END AS keep_per_mille,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 7)
+                  AS BIGINT) % 1000 AS bucket
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN bucket < keep_per_mille THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN bucket < keep_per_mille THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM weighted GROUP BY source ORDER BY source
+    """,
+)
+def doc_weighted_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source interleaving: each source gets a per-mille keep rate
+    (down-weight low-quality sources, up-weight en), applied by
+    content-addressed hashing — the deterministic scale-out form of
+    sampling a 100 TB corpus to a target mixture. No RNG state, no
+    coordination; the mixture is exact in expectation and reproducible
+    row-for-row. The ':mix' salt decorrelates this hash from the
+    train/test split hash (same doc must not be systematically held out)."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), 250)
+        .when(F.col("lang") == "en", 900)
+        .otherwise(500)
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))), 1, 7
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    kept = bucket < rate
+    return (
+        d.select("source", "n_chars", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
