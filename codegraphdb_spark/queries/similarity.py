@@ -367,3 +367,97 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("code_sum"),
         recon_err.cast("bigint").alias("abs_err_scaled"),
     ).orderBy("vec_id")
+
+@query(
+    "emb_kmeans_step",
+    oracle=f"""
+    WITH expl AS (
+      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, (SELECT UNNEST(generate_series(1, {DIM})) AS i)
+    ), cent AS (
+      SELECT label AS clabel, pos,
+             CAST(CAST(SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) AS DOUBLE)
+                  / COUNT(*) / 1000000000 AS DOUBLE) AS c
+      FROM expl GROUP BY label, pos
+    ), dists AS (
+      SELECT e.vec_id, c.clabel,
+             SUM(CAST(ROUND((e.x - c.c) * (e.x - c.c) * 1000000000) AS BIGINT)) AS d
+      FROM expl e JOIN cent c ON e.pos = c.pos
+      GROUP BY e.vec_id, c.clabel
+    ), assign AS (
+      SELECT vec_id, clabel AS cluster
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY d, clabel) AS rn
+            FROM dists) WHERE rn = 1
+    )
+    SELECT CAST(a.cluster AS INT) AS cluster, CAST(e.pos AS INT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(CAST(SUM(CAST(ROUND(e.x * 1000000000) AS BIGINT)) AS DOUBLE)
+                / COUNT(*) / 1000000000 AS DOUBLE) AS new_centroid
+    FROM expl e JOIN assign a ON e.vec_id = a.vec_id
+    GROUP BY a.cluster, e.pos
+    ORDER BY cluster, pos
+    """,
+)
+def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full k-means (Lloyd) iteration: assign every vector to its
+    nearest current centroid (emb_ivf_assign's shape), then recompute
+    centroids from the ASSIGNMENT — the iterate-until-stable pair, both
+    halves value-checked. Scaled-int means keep every arithmetic step
+    bit-identical across engines and partitionings (a raw double mean
+    is shuffle-order-dependent). At 100 TB each iteration is two linear
+    passes: one broadcast-join/agg to assign, one agg to update; only
+    k×dim rows ever cross the cluster."""
+    v = load_table(spark, sf_dir, "embeddings")
+    expl = v.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x"),
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "x")
+    cent = (
+        expl.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("x") * 1_000_000_000).cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+                / 1_000_000_000
+            ).alias("c")
+        )
+    )
+    dists = (
+        expl.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "clabel")
+        .agg(
+            F.sum(
+                F.round((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * 1_000_000_000)
+                .cast("bigint")
+            ).alias("d")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "clabel")
+    assign = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("clabel").alias("cluster"))
+    )
+    return (
+        expl.join(assign, "vec_id")
+        .groupBy("cluster", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (
+                F.sum(F.round(F.col("x") * 1_000_000_000).cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+                / 1_000_000_000
+            )
+            .cast("double")
+            .alias("new_centroid"),
+        )
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("pos").cast("int").alias("pos"),
+            "n_members",
+            "new_centroid",
+        )
+        .orderBy("cluster", "pos")
+    )
