@@ -293,9 +293,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
+_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered (doc_a, doc_b, n_common, jaccard) pairs with jaccard ≥ 0.2
-    — shared by ngram_jaccard_pairs and doc_dup_clusters."""
+    — shared by ngram_jaccard_pairs and doc_dup_clusters. Materialized
+    once per (session, sf_dir): the pair set is the expensive intermediate
+    a real dedup pipeline computes exactly once and fans out from."""
+    key = (id(spark._jsparkSession), sf_dir)
+    if key not in _PAIRS_CACHE:
+        _PAIRS_CACHE[key] = _jaccard_pairs_uncached(spark, sf_dir).localCheckpoint(
+            eager=False
+        )
+    return _PAIRS_CACHE[key]
+
+
+def _jaccard_pairs_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     import pandas as pd
