@@ -157,13 +157,19 @@ def test_stream_stream_interval_join(spark, sf_dir, stream_dir):
 
 
 def test_streaming_checkpoint_recovery(spark, stream_dir, tmp_path):
-    """Kill a checkpointed query mid-stream, restart from the checkpoint,
-    and verify exactly-once output (no duplicate windows)."""
+    """Stop a checkpointed query after a partial input, deliver more data,
+    restart from the checkpoint, and verify exactly-once output (no
+    duplicate windows, aggregate covers every event). Deterministic: run 1
+    only ever SEES chunk 0 (racing stop() against a fast first run can
+    let it finish all input, leaving run 2 with zero batches and an empty
+    complete-mode memory table)."""
     ckpt = str(tmp_path / "ckpt")
+    src = tmp_path / "src"
+    src.mkdir()
     out_name = "t_recover"
 
-    def start(files_per_trigger):
-        stream = se.read_events_stream(spark, stream_dir, max_files_per_trigger=files_per_trigger)
+    def start():
+        stream = se.read_events_stream(spark, str(src))
         return (
             se.tumbling_counts(stream, watermark="365 days")
             .writeStream.format("memory")
@@ -174,17 +180,15 @@ def test_streaming_checkpoint_recovery(spark, stream_dir, tmp_path):
             .start()
         )
 
-    # first run: process only the first chunk, then stop mid-input
-    q = start(files_per_trigger=1)
-    import time as _t
-
-    while q.isActive and not q.recentProgress:
-        _t.sleep(0.5)
-    q.stop()
+    # run 1: only chunk 0 exists; drain it fully and stop
+    shutil.copy(f"{stream_dir}/chunk0.json", src / "chunk0.json")
+    q = start()
     q.awaitTermination()
 
-    # restart from checkpoint: finishes the remaining input
-    q2 = start(files_per_trigger=None)
+    # deliver the "late" chunk, restart from checkpoint: exactly the new
+    # data is processed, aggregation state recovered from the state store
+    shutil.copy(f"{stream_dir}/chunk1.json", src / "chunk1.json")
+    q2 = start()
     q2.awaitTermination()
 
     got = spark.sql(f"select * from {out_name}").collect()
