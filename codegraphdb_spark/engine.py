@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from codegraphdb_spark.extract.ast_extract import extract_facts
 from codegraphdb_spark.operators.closure import inherited_method_closure
@@ -66,10 +67,30 @@ class GraphEngine:
         reexports = reexport_contains(imports, nodes, contains).withColumn(
             "versions", F.array(F.lit(version))
         )
+        # union the three passes with an explicit source priority (local >
+        # reexport > resolved, then association_type): a plain dropDuplicates
+        # would keep an arbitrary association_type when the same edge arises
+        # from two passes, breaking the deterministic-snapshot guarantee
+        tagged = (
+            local_edges.withColumn("__origin", F.lit(0))
+            .unionByName(
+                reexports.select(*local_edges.columns).withColumn(
+                    "__origin", F.lit(1)
+                )
+            )
+            .unionByName(
+                resolved.select(*local_edges.columns).withColumn(
+                    "__origin", F.lit(2)
+                )
+            )
+        )
+        w = Window.partitionBy("src", "dst", "rel_type").orderBy(
+            F.col("__origin"), F.col("association_type").asc_nulls_last()
+        )
         edges = (
-            local_edges.unionByName(resolved.select(*local_edges.columns))
-            .unionByName(reexports.select(*local_edges.columns))
-            .dropDuplicates(["src", "dst", "rel_type"])
+            tagged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__origin", "__rn")
             .localCheckpoint(eager=True)
         )
         edges = edges.unionByName(

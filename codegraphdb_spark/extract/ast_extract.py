@@ -118,12 +118,15 @@ class _Extractor(ast.NodeVisitor):
         self.facts.append(f)
 
     def import_fact(self, target_module: str, target_name: str | None,
-                    alias: str | None, is_star: bool) -> None:
+                    alias: str | None, is_star: bool, lineno: int) -> None:
         f = self._base()
         f.update(
             fact="import", full_name=self.module, module=self.module,
             file_path=self.path, imp_target_module=target_module,
             imp_target_name=target_name, imp_alias=alias, imp_is_star=is_star,
+            # statement ordinal, so the resolver can apply Python's
+            # last-import-wins when one module rebinds the same alias
+            code_start=lineno,
         )
         self.facts.append(f)
 
@@ -279,7 +282,9 @@ class _Extractor(ast.NodeVisitor):
 
     def visit_Import(self, node: ast.Import) -> None:
         for a in node.names:
-            self.import_fact(a.name, None, a.asname or a.name.split(".")[0], False)
+            self.import_fact(
+                a.name, None, a.asname or a.name.split(".")[0], False, node.lineno
+            )
 
     def visit_ImportFrom(self, node: ast.ImportFrom) -> None:
         # relative-import resolution against the file's package
@@ -299,9 +304,9 @@ class _Extractor(ast.NodeVisitor):
             return
         for a in node.names:
             if a.name == "*":
-                self.import_fact(target, "*", None, True)
+                self.import_fact(target, "*", None, True, node.lineno)
             else:
-                self.import_fact(target, a.name, a.asname or a.name, False)
+                self.import_fact(target, a.name, a.asname or a.name, False, node.lineno)
 
 
 def _extract_one(path: str, content: str) -> list[dict[str, Any]]:

@@ -102,7 +102,15 @@ def inherited_method_closure(edges: DataFrame) -> DataFrame:
     inherits_versions = (
         edges.filter(F.col("rel_type") == "INHERITS")
         .select(F.col("src").alias("owner"), "versions")
-        .dropDuplicates(["owner"])
+        .groupBy("owner")
+        # deterministic UNION of all bases' version arrays — dropDuplicates
+        # here would take a partition-order-dependent pick for multi-base
+        # classes whose INHERITS edges carry different versions
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("versions")))
+            ).alias("versions")
+        )
     )
     direct = (
         edges.filter(F.col("rel_type") == "HAS_METHOD")

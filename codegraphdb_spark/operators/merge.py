@@ -102,9 +102,16 @@ def stamp_version(
     nodes: DataFrame, new_version: str, change_list: list[str]
 ) -> DataFrame:
     """B7: copy-forward — add the new version to every node whose file_path
-    is NOT in the change list (update_version.py:21-44), as one vectorized
-    anti-membership + array_union (no per-row loop)."""
-    unchanged = ~F.col("file_path").isin(change_list) | F.col("file_path").isNull()
+    EXISTS and is NOT in the change list (update_version.py:21-44:
+    add_new_label_in_old_node stamps only real-file nodes), as one
+    vectorized anti-membership + array_union (no per-row loop).
+
+    Placeholder nodes (null file_path: 'none' endpoints, the UNSOLVED
+    sentinel) are deliberately NOT stamped: recompiling the changed files
+    regenerates every still-referenced placeholder in the new snapshot, so
+    stamping them here would keep ghost placeholders alive in the new
+    version after their referencing code was deleted."""
+    unchanged = F.col("file_path").isNotNull() & ~F.col("file_path").isin(change_list)
     return nodes.withColumn(
         "versions",
         F.when(

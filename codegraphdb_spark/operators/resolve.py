@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from codegraphdb_spark.datamodel import UNSOLVED
 
@@ -37,6 +38,10 @@ def _bindings(imports: DataFrame) -> DataFrame:
     ``import a.b``      binds 'a'  → module 'a'
     ``import a.b as z`` binds 'z'  → module 'a.b'
     ``from X import y [as z]`` binds z|y → 'X.y'
+
+    When one module rebinds the same alias via several imports, the LAST
+    statement wins (Python rebinding semantics) — decided by the import's
+    statement ordinal (code_start), never partition order.
     """
     non_star = imports.filter(~F.col("imp_is_star"))
     target = F.when(
@@ -49,11 +54,20 @@ def _bindings(imports: DataFrame) -> DataFrame:
             F.col("imp_alias"),
         ).otherwise(F.col("imp_target_module"))
     )
-    return non_star.select(
-        F.col("module").alias("bind_module"),
-        F.col("imp_alias").alias("alias"),
-        target.alias("bound_target"),
-    ).dropDuplicates(["bind_module", "alias"])
+    w = Window.partitionBy("bind_module", "alias").orderBy(
+        F.col("__ord").desc_nulls_last(), F.col("bound_target")
+    )
+    return (
+        non_star.select(
+            F.col("module").alias("bind_module"),
+            F.col("imp_alias").alias("alias"),
+            target.alias("bound_target"),
+            F.col("code_start").alias("__ord"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__ord", "__rn")
+    )
 
 
 def _star_imports(imports: DataFrame) -> DataFrame:

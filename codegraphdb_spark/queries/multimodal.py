@@ -1,0 +1,106 @@
+"""Multimodal-column catalog entry (SURVEY §2.H, driver-checkable).
+
+The container ships no image/audio codecs and the driver's fixture set has
+no binary-file directory, so the oracle-checked query manufactures the
+opaque ``binary`` payload column from ``documents.text`` (UTF-8 bytes) and
+runs it through the REAL multimodal plumbing from
+``operators/multimodal.py``: Arrow-batched ``mapInPandas`` decode
+(``_fake_decode`` header classification + ``_fake_feature`` sha256-derived
+embedding) followed by modality-agnostic exact binary dedup on the content
+digest. Everything the pipeline does — batch shape, schema, hashing,
+feature arithmetic — is bit-reproducible in ANSI SQL, so this is a full
+value-hash oracle row, not a rows-only pass.
+
+Reference parity: binary ingestion + per-payload metadata mirrors the
+reference's per-file source fan-out (run_mutiprocess.py:19-25) applied to
+non-text modalities; dedup matches doc_exact_dedup's B-series merge shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codegraphdb_spark.operators.multimodal import _fake_decode, _fake_feature
+from codegraphdb_spark.registry import query
+from codegraphdb_spark.sources.tables import load_table
+
+_DECODED_SCHEMA = (
+    "doc_id BIGINT, n_bytes BIGINT, format STRING, content_hash STRING, f0 DOUBLE"
+)
+
+
+def decode_payloads(payloads: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) → typed metadata + first feature component,
+    via the same Arrow-batched decode kernel as operators/multimodal.py.
+    The feature vector is emitted as its first component (a scalar) because
+    driver canonicalizers hash cells — array cells are unhashable."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "n_bytes", "format", "content_hash", "f0")}
+            for doc_id, content in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(content)
+                fmt, _w, _h = _fake_decode(payload)
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(payload))
+                out["format"].append(fmt)
+                out["content_hash"].append(hashlib.md5(payload).hexdigest())
+                out["f0"].append(_fake_feature(payload, dim=1)[0])
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(batches, schema=_DECODED_SCHEMA)
+
+
+@query(
+    "multimodal_dedup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             OCTET_LENGTH(CAST(text AS BLOB)) AS n_bytes,
+             CASE WHEN text LIKE 'FAKE%'
+                       AND OCTET_LENGTH(CAST(text AS BLOB)) >= 8
+                  THEN 'fake' ELSE 'unknown' END AS format,
+             md5(text) AS content_hash,
+             CAST(CAST('0x' || substr(sha256(text), 1, 8) AS BIGINT) AS DOUBLE)
+               / 4294967296 AS f0
+      FROM documents
+    )
+    SELECT content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(n_bytes) AS n_bytes,
+           MIN(format) AS format,
+           MIN(f0) AS f0
+    FROM m
+    GROUP BY content_hash
+    ORDER BY keep_doc_id
+    """,
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode + exact multimodal dedup: payload column →
+    mapInPandas decode (format sniff, content digest, deterministic
+    feature) → hash-groupBy dedup keeping the lowest doc_id.
+
+    Scale: the decode is embarrassingly parallel over Arrow batches
+    (maxRecordsPerBatch bounds memory for large payloads); the dedup
+    shuffles 32-byte digests + scalars, never payloads — the same
+    100 TB-safe shape as doc_exact_dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    decoded = decode_payloads(payloads)
+    return (
+        decoded.groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_bytes").alias("n_bytes"),
+            F.min("format").alias("format"),
+            F.min("f0").alias("f0"),
+        )
+        .orderBy("keep_doc_id")
+    )

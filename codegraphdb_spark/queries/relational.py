@@ -738,7 +738,7 @@ def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped_collect_sorted",
     oracle="""
     SELECT n_regionkey,
-           LIST(n_name ORDER BY n_name) AS nations
+           STRING_AGG(n_name, '|' ORDER BY n_name) AS nations
     FROM nation
     GROUP BY n_regionkey
     ORDER BY n_regionkey
@@ -746,11 +746,19 @@ def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def grouped_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list with deterministic ordering via sort_array (reference C4
-    result sets: children-of-module lists, ast_manage.py:37-50)."""
+    result sets: children-of-module lists, ast_manage.py:37-50). The sorted
+    list is emitted as a '|'-joined string: array cells are unhashable in
+    pandas-based canonicalizers (the round-1 driver red was exactly that),
+    and a delimited string carries identical information for value-hashing.
+    """
     n = load_table(spark, sf_dir, "nation")
     return (
         n.groupBy("n_regionkey")
-        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias(
+                "nations"
+            )
+        )
         .orderBy("n_regionkey")
     )
 

@@ -37,6 +37,68 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# Driver-priority ordering. The round-1 correctness harness checked exactly
+# the first 50 entries of ``queries()`` in insertion order, leaving the graph
+# and embedding catalogs (registered last) invisible to the hard signal.
+# Queries listed here are moved to the front after loading: first the 24
+# entries absent from CORRECTNESS_r01.json, then new/changed queries that
+# need a fresh driver check. Everything else (already driver-green in round
+# 1, byte-identical since) follows in its original registration order.
+_DRIVER_PRIORITY: list[str] = [
+    # graph catalog (16) — absent from CORRECTNESS_r01
+    "g_point_lookup",
+    "g_filter_kind_name",
+    "g_module_children",
+    "g_methods_of_class",
+    "g_inherits_edges",
+    "g_reexport_contains",
+    "g_call_edges",
+    "g_uses_edges",
+    "g_version_stamping",
+    "g_kind_census",
+    "g_pagerank_top",
+    "g_degree_centrality",
+    "g_override_edges",
+    "g_cypher_match",
+    "g_code_hydration",
+    "g_cypher_varlen",
+    # embedding catalog (7) — absent from CORRECTNESS_r01
+    "emb_cosine_topk",
+    "emb_near_dup_pairs",
+    "emb_norm_stats",
+    "emb_ivf_assign",
+    "emb_centroid_by_label",
+    "emb_int8_quantize",
+    "emb_kmeans_step",
+    # absent from CORRECTNESS_r01
+    "doc_weighted_source_mix",
+    # new in round 2 — never driver-checked
+    "g_call_edges_deep",
+    "g_cypher_extended",
+    "emb_ann_topk",
+    "multimodal_dedup",
+    # changed in round 2 — need a fresh driver check
+    "grouped_collect_sorted",
+    "ngram_jaccard_pairs",
+    "doc_dup_clusters",
+    # headliners
+    "revenue_by_nation",
+    "pricing_summary",
+]
+
+
+def _reorder() -> None:
+    ordered: dict[str, QueryFn] = {}
+    for name in _DRIVER_PRIORITY:
+        if name in QUERIES:
+            ordered[name] = QUERIES[name]
+    for name, fn in QUERIES.items():
+        if name not in ordered:
+            ordered[name] = fn
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
 def load_all() -> None:
     """Import every catalog module so decorators run. Idempotent."""
     import codegraphdb_spark.queries.relational  # noqa: F401
@@ -44,3 +106,6 @@ def load_all() -> None:
     import codegraphdb_spark.queries.text  # noqa: F401
     import codegraphdb_spark.queries.similarity  # noqa: F401
     import codegraphdb_spark.queries.graph  # noqa: F401
+    import codegraphdb_spark.queries.multimodal  # noqa: F401
+
+    _reorder()

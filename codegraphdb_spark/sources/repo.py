@@ -31,10 +31,15 @@ def scan_repo(spark: SparkSession, root: str) -> DataFrame:
         .option("pathGlobFilter", "*.py")
         .text(root, wholetext=True)
     )
-    # input_file_name() yields file:///abs/path (scheme + absolute path)
+    # input_file_name() yields a URL-ENCODED file:///abs/path URI — decode
+    # before stripping the prefix, or paths with spaces/percent-escapes
+    # keep the encoded form and never match git-diff change lists or the
+    # repo-relative paths hydrate_code joins on
     prefix = "file://" + (root if root.endswith("/") else root + "/")
     return df.select(
-        F.regexp_replace(F.input_file_name(), "^" + re.escape(prefix), "").alias("path"),
+        F.regexp_replace(
+            F.url_decode(F.input_file_name()), "^" + re.escape(prefix), ""
+        ).alias("path"),
         F.col("value").alias("content"),
     )
 
