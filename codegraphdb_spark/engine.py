@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from codegraphdb_spark.extract.ast_extract import extract_facts
-from codegraphdb_spark.operators.closure import inherited_method_closure
+from codegraphdb_spark.operators.closure import (
+    inherited_method_closure,
+    inherited_method_map,
+    transitive_bases,
+)
 from codegraphdb_spark.operators.merge import (
     clear_version,
     merge_edge_facts,
@@ -37,8 +41,15 @@ from codegraphdb_spark.operators.resolve import reexport_contains, resolve_refs
 
 
 class GraphEngine:
-    def __init__(self, spark: SparkSession) -> None:
+    def __init__(self, spark: SparkSession, small_repo: bool = False) -> None:
+        """``small_repo=True`` hints that the symbol table / import
+        bindings fit in one executor's memory (≲10⁶ symbols): resolution
+        joins get broadcast hints and intermediate checkpoints are skipped,
+        collapsing the toy/typical-repo build into a handful of stages.
+        The default (False) keeps every join shuffle-partitioned — the
+        monorepo-scale plan."""
         self.spark = spark
+        self.small_repo = small_repo
 
     # -- pipeline stages -----------------------------------------------------
 
@@ -59,8 +70,28 @@ class GraphEngine:
         local_edges = merge_edge_facts(facts.filter(F.col("fact") == "edge"), version)
         imports = facts.filter(F.col("fact") == "import")
         refs = facts.filter(F.col("fact") == "ref")
+        assigns = facts.filter(F.col("fact") == "assign")
 
-        resolved = resolve_refs(refs, imports, nodes).withColumn(
+        # INHERITS first: its resolution (classes × bases — tiny) feeds the
+        # transitive-bases closure, which both the deep CALL/USES pass (A4:
+        # instance bindings reaching inherited methods) and the E1 closure
+        # reuse — ONE closure computation per compile
+        resolved_inh = resolve_refs(
+            refs.filter(F.col("kind") == "INHERITS"),
+            imports,
+            nodes,
+            small=self.small_repo,
+        ).localCheckpoint(eager=False)
+        bases = transitive_bases(resolved_inh)
+        method_map = inherited_method_map(bases, local_edges)
+        resolved = resolve_refs(
+            refs.filter(F.col("kind") != "INHERITS"),
+            imports,
+            nodes,
+            assigns=assigns,
+            method_map=method_map,
+            small=self.small_repo,
+        ).unionByName(resolved_inh).withColumn(
             "versions", F.array(F.lit(version))
         )
         contains = local_edges.filter(F.col("rel_type") == "CONTAINS")
@@ -91,11 +122,20 @@ class GraphEngine:
             tagged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__origin", "__rn")
+        )
+        if not self.small_repo:
+            # at scale, truncate the resolution lineage before the closure
+            # re-reads it; the small path folds everything into one action
+            edges = edges.localCheckpoint(eager=True)
+        edges = (
+            edges.unionByName(
+                inherited_method_closure(edges, bases=bases).select(*edges.columns)
+            )
+            .dropDuplicates(["src", "dst", "rel_type"])
             .localCheckpoint(eager=True)
         )
-        edges = edges.unionByName(
-            inherited_method_closure(edges).select(*edges.columns)
-        ).dropDuplicates(["src", "dst", "rel_type"])
+        # endpoints synthesize against the CHECKPOINTED edges, so callers'
+        # later actions on nodes never replay the full resolution plan
         nodes = synthesize_endpoints(nodes, edges, version)
         return nodes, edges
 

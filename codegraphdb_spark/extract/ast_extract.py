@@ -111,10 +111,25 @@ class _Extractor(ast.NodeVisitor):
                  association_type=assoc, module=self.module, file_path=self.path)
         self.facts.append(f)
 
-    def ref_fact(self, src: str, rel: str, target: str) -> None:
+    def ref_fact(self, src: str, rel: str, target: str,
+                 bind_key: str | None = None) -> None:
         f = self._base()
         f.update(fact="ref", full_name=src, kind=rel, dst=target,
                  module=self.module, file_path=self.path)
+        # candidate instance-binding key for the deep (A4) resolution pass,
+        # carried in the otherwise-unused 'class' column of ref facts
+        f["class"] = bind_key
+        self.facts.append(f)
+
+    def assign_fact(self, bind_key: str, type_expr: str, lineno: int) -> None:
+        """A4 type-propagation fact: ``bind_key`` (scope::var for locals,
+        Class.attr for instance fields) was assigned an instance of
+        ``type_expr`` (textual ctor / annotation target, resolved against
+        the symbol table in the deep pass — the join-based stand-in for
+        jedi's inference, reference indexer_visitor.py:125-157)."""
+        f = self._base()
+        f.update(fact="assign", full_name=bind_key, dst=type_expr,
+                 module=self.module, file_path=self.path, code_start=lineno)
         self.facts.append(f)
 
     def import_fact(self, target_module: str, target_name: str | None,
@@ -201,15 +216,28 @@ class _Extractor(ast.NodeVisitor):
     visit_AsyncFunctionDef = _visit_def
 
     def visit_Assign(self, node: ast.Assign) -> None:
-        self._handle_assign_targets(node.targets, node)
+        self._handle_assign_targets(node.targets, node, self._type_expr(node.value))
         self.visit(node.value)
 
     def visit_AnnAssign(self, node: ast.AnnAssign) -> None:
-        self._handle_assign_targets([node.target], node)
+        # an annotation is a stronger type signal than the value expression
+        type_expr = _dotted(node.annotation) or self._type_expr(node.value)
+        self._handle_assign_targets([node.target], node, type_expr)
         if node.value is not None:
             self.visit(node.value)
 
-    def _handle_assign_targets(self, targets: list[ast.expr], node: ast.AST) -> None:
+    @staticmethod
+    def _type_expr(value: ast.AST | None) -> str | None:
+        """Textual type source of an assigned value: ``Foo(...)`` ⇒ 'Foo'.
+        Anything non-constructor-shaped yields no type fact (the documented
+        dynamic-inference gap vs jedi)."""
+        if isinstance(value, ast.Call):
+            return _dotted(value.func)
+        return None
+
+    def _handle_assign_targets(
+        self, targets: list[ast.expr], node: ast.AST, type_expr: str | None = None
+    ) -> None:
         flat: list[ast.expr] = []
         for t in targets:
             if isinstance(t, (ast.Tuple, ast.List)):
@@ -217,6 +245,18 @@ class _Extractor(ast.NodeVisitor):
             else:
                 flat.append(t)
         for t in flat:
+            if type_expr is not None and isinstance(t, ast.Name):
+                self.assign_fact(f"{self.scope}::{t.id}", type_expr, node.lineno)
+            elif (
+                type_expr is not None
+                and isinstance(t, ast.Attribute)
+                and isinstance(t.value, ast.Name)
+                and t.value.id == "self"
+                and self.class_stack
+            ):
+                self.assign_fact(
+                    f"{self.class_stack[-1]}.{t.attr}", type_expr, node.lineno
+                )
             if isinstance(t, ast.Name):
                 if self.in_module_scope:
                     full = f"{self.module}.{t.id}"
@@ -245,9 +285,9 @@ class _Extractor(ast.NodeVisitor):
     def visit_Call(self, node: ast.Call) -> None:
         # module-level calls suppressed (reference myClient.py:294)
         if self.func_stack or self.class_stack:
-            target = self._ref_target(node.func)
+            target, key = self._ref_with_key(node.func)
             if target:
-                self.ref_fact(self.scope, "CALL", target)
+                self.ref_fact(self.scope, "CALL", target, bind_key=key)
         for arg in node.args:
             self.visit(arg)
         for kw in node.keywords:
@@ -259,9 +299,9 @@ class _Extractor(ast.NodeVisitor):
 
     def visit_Attribute(self, node: ast.Attribute) -> None:
         if isinstance(node.ctx, ast.Load) and self.func_stack:
-            target = self._ref_target(node)
+            target, key = self._ref_with_key(node)
             if target and "." in target:
-                self.ref_fact(self.scope, "USES", target)
+                self.ref_fact(self.scope, "USES", target, bind_key=key)
         self.generic_visit(node)
 
     def visit_Name(self, node: ast.Name) -> None:
@@ -269,16 +309,27 @@ class _Extractor(ast.NodeVisitor):
             self.ref_fact(self.scope, "USES", node.id)
 
     def _ref_target(self, expr: ast.AST) -> str | None:
-        """Textual target; 'self.x' is rewritten against the enclosing
-        class (reference D10 local naming / deep-indexer self resolution)."""
+        return self._ref_with_key(expr)[0]
+
+    def _ref_with_key(self, expr: ast.AST) -> tuple[str | None, str | None]:
+        """(textual target, instance-binding key). 'self.x' is rewritten
+        against the enclosing class (reference D10 local naming /
+        deep-indexer self resolution). The binding key names the slot whose
+        assigned TYPE could resolve this target in the deep pass:
+        ``scope::head`` for a local/global variable head, ``Class.attr``
+        for a ``self.attr.…`` chain."""
         dotted = _dotted(expr)
-        if dotted is None:
-            return None
+        if dotted is None or dotted == "self":
+            return None, None
         if dotted.startswith("self.") and self.class_stack:
-            return f"{self.class_stack[-1]}.{dotted[5:]}"
-        if dotted == "self":
-            return None
-        return dotted
+            cls = self.class_stack[-1]
+            parts = dotted.split(".")
+            key = f"{cls}.{parts[1]}" if len(parts) >= 3 else None
+            return f"{cls}.{dotted[5:]}", key
+        key = None
+        if "." in dotted:
+            key = f"{self.scope}::{dotted.split('.')[0]}"
+        return dotted, key
 
     def visit_Import(self, node: ast.Import) -> None:
         for a in node.names:

@@ -84,6 +84,65 @@ def broken(:
     return
 """
 
+# --- deep-resolution fixture (A4): calls through instance variables -----
+# Exercises every propagation shape the join-based deep pass supports:
+# local-var ctor binding, instance-field ctor binding, annotation binding,
+# and an inherited method reached through a binding (method-map hit).
+# Kept SEPARATE from V1/V2 so the long-standing golden oracles above are
+# untouched by fixture growth.
+
+DEEP_ANIMALS = """\
+class Animal:
+    def __init__(self, name):
+        self.name = name
+
+    def speak(self):
+        return "..."
+
+    def describe(self):
+        return self.name
+
+
+class Trainer:
+    def train(self, a):
+        return a.speak()
+"""
+
+DEEP_APP = """\
+from zoo.animals import Animal, Trainer
+
+class Puppy(Animal):
+    def lick(self):
+        return "lick"
+
+
+def run():
+    pet = Animal("rex")
+    return pet.speak()
+
+
+def adopt():
+    pup = Puppy("pup")
+    pup.describe()
+    return pup.lick()
+
+
+class Keeper:
+    def __init__(self):
+        self.coach = Trainer()
+        self.buddy: Animal = None
+
+    def tend(self):
+        self.coach.train(self.buddy)
+        return self.buddy.speak()
+"""
+
+DEEP_V1 = [
+    ("zoo/__init__.py", ""),
+    ("zoo/animals.py", DEEP_ANIMALS),
+    ("zoo/app.py", DEEP_APP),
+]
+
 V1 = [
     ("pkga/__init__.py", PKGA_INIT),
     ("pkga/base.py", PKGA_BASE),

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # path doubling: 2^40 exceeds any real inheritance depth
 MAX_ITERATIONS = 40
@@ -41,17 +42,67 @@ def _double(acc: DataFrame) -> DataFrame:
     )
 
 
+# below this many INHERITS pairs the closure is computed on the driver
+# (collect → dict BFS → parallelize): the class hierarchy of even a huge
+# monorepo is a few 100k edges — far smaller than the corpus — and the
+# driver round-trip replaces per-round join/probe/checkpoint actions
+DRIVER_CLOSURE_LIMIT = 200_000
+
+
+def _driver_closure(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Exact transitive closure over (cls, ancestor) pairs, driver-side.
+    Iterative BFS per class over the (tiny) parent adjacency; cycles are
+    tolerated via the visited set."""
+    parents: dict[str, set[str]] = {}
+    for cls, anc in pairs:
+        parents.setdefault(cls, set()).add(anc)
+    out: list[tuple[str, str]] = []
+    for cls in parents:
+        seen: set[str] = set()
+        stack = list(parents[cls])
+        while stack:
+            anc = stack.pop()
+            if anc in seen:
+                continue
+            seen.add(anc)
+            stack.extend(parents.get(anc, ()))
+        out.extend((cls, anc) for anc in seen)
+    return out
+
+
 def transitive_bases(edges: DataFrame) -> DataFrame:
-    """(cls, ancestor) pairs over the INHERITS DAG to fixpoint, by path
-    doubling. Typical cost: ONE materialization + ONE emptiness probe
-    (blind rounds fold into a single plan); only pathological depth pays
-    per-round actions."""
+    """(cls, ancestor) pairs over the INHERITS DAG to fixpoint.
+
+    Hybrid strategy: the INHERITS table is the one graph-shaped input that
+    is ALWAYS small relative to the corpus (classes × direct bases), so
+    sub-threshold graphs take a driver-side exact closure — one collect,
+    zero fixpoint actions. Larger graphs fall back to distributed PATH
+    DOUBLING — A_{k+1} = A_k ∪ (A_k ∘ A_k) — converging in O(log depth)
+    rounds with lineage checkpoints (SURVEY §7.3 hard part a)."""
     inherits = (
         edges.filter(F.col("rel_type") == "INHERITS")
         .select(F.col("src").alias("cls"), F.col("dst").alias("ancestor"))
         .dropDuplicates()
     )
-    acc = inherits
+    spark = inherits.sparkSession
+    # ONE action decides the strategy AND fetches the small case's data:
+    # limit(L+1) returning ≤ L rows proves the set is complete
+    sample = inherits.limit(DRIVER_CLOSURE_LIMIT + 1).collect()
+    if len(sample) <= DRIVER_CLOSURE_LIMIT:
+        closed = _driver_closure([(r.cls, r.ancestor) for r in sample])
+        schema = "cls string, ancestor string"
+        if not closed:
+            return spark.createDataFrame([], schema)
+        # pandas input → JVM LocalTableScan; a plain-list createDataFrame
+        # would plan as a pickled-Python-RDD scan replayed on every
+        # downstream action over the closure
+        import pandas as pd
+
+        closed_pdf = pd.DataFrame(closed, columns=["cls", "ancestor"])
+        return spark.createDataFrame(closed_pdf, schema).coalesce(
+            max(1, min(len(closed) // 10_000, 32))
+        )
+    acc = inherits.localCheckpoint(eager=True)
     for _ in range(BLIND_ROUNDS):
         acc = acc.unionByName(_double(acc)).dropDuplicates()
     acc = acc.localCheckpoint(eager=True)
@@ -63,7 +114,36 @@ def transitive_bases(edges: DataFrame) -> DataFrame:
     return acc
 
 
-def override_edges(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+def inherited_method_map(bases: DataFrame, edges: DataFrame) -> DataFrame:
+    """(derived_name, method_name) lookup for the A4 deep pass: class C
+    with transitive ancestor A owning non-__init__ method A.m yields
+    ``C.m → A.m`` — so a call through an instance of C to a method C only
+    inherits resolves to the defining base. When several ancestors define
+    the same short name (diamond), the lexicographically-first method wins
+    — deterministic, and overridden anyway whenever C defines m itself
+    (the symbol table outranks this map in the overlay)."""
+    direct = (
+        edges.filter(F.col("rel_type") == "HAS_METHOD")
+        .select(F.col("src").alias("m_owner"), F.col("dst").alias("method"))
+        .withColumn("short", F.element_at(F.split("method", r"\."), -1))
+        .filter(F.col("short") != "__init__")
+    )
+    w = Window.partitionBy("derived_name").orderBy("method_name")
+    return (
+        bases.join(direct, bases.ancestor == direct.m_owner)
+        .select(
+            F.concat_ws(".", "cls", "short").alias("derived_name"),
+            F.col("method").alias("method_name"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def override_edges(
+    nodes: DataFrame, edges: DataFrame, bases: DataFrame | None = None
+) -> DataFrame:
     """E4: override detection (reference records OVERRIDE only into the
     throwaway Sourcetrail store, indexer_visitor.py:125-157; here it is a
     first-class derived edge). A method M in class C OVERRIDES method M' in
@@ -76,7 +156,8 @@ def override_edges(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         F.col("name").alias("short"),
         F.col("class").alias("m_cls"),
     )
-    bases = transitive_bases(edges)
+    if bases is None:
+        bases = transitive_bases(edges)
     sub = methods.alias("sub")
     sup = methods.alias("sup")
     return (
@@ -95,10 +176,13 @@ def override_edges(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
-def inherited_method_closure(edges: DataFrame) -> DataFrame:
+def inherited_method_closure(
+    edges: DataFrame, bases: DataFrame | None = None
+) -> DataFrame:
     """Returns the NEW HAS_METHOD edges implied by inheritance (not the
     direct ones), each carrying the versions array of the class's INHERITS
-    edge."""
+    edge. Pass precomputed ``bases`` to reuse one transitive closure
+    across the compile pipeline (deep resolve / E1 / E4)."""
     inherits_versions = (
         edges.filter(F.col("rel_type") == "INHERITS")
         .select(F.col("src").alias("owner"), "versions")
@@ -120,7 +204,8 @@ def inherited_method_closure(edges: DataFrame) -> DataFrame:
     non_init = direct.filter(
         F.element_at(F.split("method", r"\."), -1) != "__init__"
     )
-    bases = transitive_bases(edges)
+    if bases is None:
+        bases = transitive_bases(edges)
     inherited = (
         bases.join(non_init, bases.ancestor == non_init.m_owner)
         .select(F.col("cls").alias("owner"), "method")

@@ -6,6 +6,13 @@ round-trips.
 
 Resolution precedence for a textual reference ``head(.rest)`` seen in
 module ``m``:
+  0. instance binding (deep pass, A4) — ``head`` (or a ``self.attr``
+     chain) was assigned ``ClassName(...)`` / annotated ``: ClassName``,
+     so the target rewrites to ``ClassName.rest`` — validated against the
+     symbol table OR the inherited-method map (a method defined on a
+     transitive base). This is the join-based stand-in for what jedi
+     infers in the reference (indexer_visitor.py:125-157,
+     index_utils.py:16-38);
   1. absolute — the target already names a known symbol (covers the
      extractor's self.attr → Class.attr rewrite);
   2. import alias — ``head`` bound by an import in ``m``
@@ -30,6 +37,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from codegraphdb_spark.datamodel import UNSOLVED
+
+
+def _maybe_b(df: DataFrame, small: bool) -> DataFrame:
+    """Broadcast hint for the dimension side of resolution joins when the
+    caller knows the repo is small (GraphEngine's small_repo hint). Without
+    the hint the joins stay shuffle-partitioned — the correct default for
+    a monorepo-scale symbol table — and AQE may still convert them at
+    runtime."""
+    return F.broadcast(df) if small else df
 
 
 def _bindings(imports: DataFrame) -> DataFrame:
@@ -77,21 +93,15 @@ def _star_imports(imports: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def resolve_refs(refs: DataFrame, imports: DataFrame, symbols: DataFrame) -> DataFrame:
-    """refs(full_name=src, kind=CALL|USES|INHERITS, dst=textual target,
-    module) → resolved edge facts (src, dst=full_name-or-UNSOLVED, rel_type).
+def _resolve_targets(
+    r: DataFrame, imports: DataFrame, sym: DataFrame, small: bool = False
+) -> DataFrame:
+    """Steps 1-4 of the precedence chain for rows carrying (``target``,
+    ``ref_module``): adds ``resolved`` / ``resolved_kind`` (null when no
+    step validated against the symbol table). Passthrough columns survive.
 
-    ``symbols`` is the merged nodes snapshot (full_name, kind).
-    """
-    sym = symbols.select(
-        F.col("full_name").alias("sym_name"), F.col("kind").alias("sym_kind")
-    )
-    r = refs.select(
-        F.col("full_name").alias("src"),
-        F.col("kind").alias("rel_type"),
-        F.col("dst").alias("target"),
-        F.col("module").alias("ref_module"),
-    ).dropDuplicates()
+    ``sym`` columns: (sym_name, sym_kind)."""
+    keep = r.columns
     r = r.withColumn("head", F.split("target", r"\.")[0]).withColumn(
         "rest",
         F.when(
@@ -102,8 +112,11 @@ def resolve_refs(refs: DataFrame, imports: DataFrame, symbols: DataFrame) -> Dat
 
     # 1. absolute
     r = r.join(
-        sym.withColumnRenamed("sym_name", "target").withColumnRenamed(
-            "sym_kind", "abs_kind"
+        _maybe_b(
+            sym.withColumnRenamed("sym_name", "target").withColumnRenamed(
+                "sym_kind", "abs_kind"
+            ),
+            small,
         ),
         "target",
         "left",
@@ -111,7 +124,7 @@ def resolve_refs(refs: DataFrame, imports: DataFrame, symbols: DataFrame) -> Dat
 
     # 2. import alias (NB: explicit F.col — `head`/`alias` collide with
     # DataFrame method names, so r.head / b.alias would be bound methods)
-    b = _bindings(imports)
+    b = _maybe_b(_bindings(imports), small)
     r = r.join(
         b,
         (F.col("ref_module") == F.col("bind_module"))
@@ -134,15 +147,18 @@ def resolve_refs(refs: DataFrame, imports: DataFrame, symbols: DataFrame) -> Dat
     )
     # validate candidate against symbol table
     r = r.join(
-        sym.withColumnRenamed("sym_name", "candidate").withColumnRenamed(
-            "sym_kind", "cand_kind"
+        _maybe_b(
+            sym.withColumnRenamed("sym_name", "candidate").withColumnRenamed(
+                "sym_kind", "cand_kind"
+            ),
+            small,
         ),
         "candidate",
         "left",
     )
 
     # 4. star imports for still-unresolved refs
-    s = _star_imports(imports)
+    s = _maybe_b(_star_imports(imports), small)
     r = r.join(s, F.col("ref_module") == F.col("star_module"), "left").withColumn(
         "star_candidate",
         F.when(
@@ -151,8 +167,11 @@ def resolve_refs(refs: DataFrame, imports: DataFrame, symbols: DataFrame) -> Dat
         ),
     )
     r = r.join(
-        sym.withColumnRenamed("sym_name", "star_candidate").withColumnRenamed(
-            "sym_kind", "star_kind"
+        _maybe_b(
+            sym.withColumnRenamed("sym_name", "star_candidate").withColumnRenamed(
+                "sym_kind", "star_kind"
+            ),
+            small,
         ),
         "star_candidate",
         "left",
@@ -163,13 +182,172 @@ def resolve_refs(refs: DataFrame, imports: DataFrame, symbols: DataFrame) -> Dat
         F.when(F.col("star_kind").isNotNull(), F.col("star_candidate")),
     )
     resolved_kind = F.coalesce("cand_kind", "star_kind")
-
-    out = r.select(
-        "src",
-        "rel_type",
-        resolved_name.alias("resolved"),
-        resolved_kind.alias("resolved_kind"),
+    return r.select(
+        *keep, resolved_name.alias("resolved"), resolved_kind.alias("resolved_kind")
     )
+
+
+def class_bindings(
+    assigns: DataFrame,
+    imports: DataFrame,
+    symbols: DataFrame,
+    small: bool = False,
+) -> DataFrame:
+    """A4 phase 1: assign facts (bind_key, textual type expr) → the CLASS
+    full_name each binding holds an instance of. The textual type goes
+    through the same precedence chain as any reference; non-CLASS
+    resolutions are discarded (``x = helper()`` propagates nothing — the
+    return-type-inference gap vs jedi, documented in STATUS). Last
+    assignment per key wins, by statement ordinal."""
+    sym = symbols.select(
+        F.col("full_name").alias("sym_name"), F.col("kind").alias("sym_kind")
+    )
+    a = assigns.select(
+        F.col("full_name").alias("bind_key"),
+        F.col("dst").alias("target"),
+        F.col("module").alias("ref_module"),
+        F.col("code_start").alias("__ord"),
+    )
+    resolved = _resolve_targets(a, imports, sym, small).filter(
+        F.col("resolved_kind") == "CLASS"
+    )
+    w = Window.partitionBy("bind_key").orderBy(
+        F.col("__ord").desc_nulls_last(), F.col("resolved")
+    )
+    return (
+        resolved.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("bind_key", F.col("resolved").alias("bound_cls"))
+    )
+
+
+def _deep_overlay(
+    r: DataFrame,
+    bnd: DataFrame,
+    sym: DataFrame,
+    method_map: DataFrame | None,
+    small: bool = False,
+) -> DataFrame:
+    """A4 phase 2: rows whose ``bind_key`` (or its module-global fallback)
+    matches a class binding get their target rewritten to
+    ``bound_cls.rest`` and re-validated — against the symbol table, then
+    against ``method_map`` (derived_name → inherited method) so calls to
+    methods a class only INHERITS still land on the defining base. A deep
+    hit overrides the step 1-4 result (locals shadow imports/globals)."""
+    keep = r.columns
+    # local binding, then module-global fallback (scope::head → module::head)
+    fallback = F.when(
+        F.col("bind_key").contains("::"),
+        F.concat(
+            F.col("ref_module"), F.lit("::"), F.substring_index("bind_key", "::", -1)
+        ),
+    )
+    r = r.withColumn("__fb_key", fallback)
+    r = r.join(
+        _maybe_b(
+            bnd.select(
+                F.col("bind_key").alias("__k1"), F.col("bound_cls").alias("__cls1")
+            ),
+            small,
+        ),
+        F.col("bind_key") == F.col("__k1"),
+        "left",
+    ).join(
+        _maybe_b(
+            bnd.select(
+                F.col("bind_key").alias("__k2"), F.col("bound_cls").alias("__cls2")
+            ),
+            small,
+        ),
+        F.col("__fb_key") == F.col("__k2"),
+        "left",
+    )
+    bound = F.coalesce("__cls1", "__cls2")
+    # the prefix the binding replaces: 'head' for scope::head keys, the
+    # full Class.attr name for field keys
+    prefix = F.when(
+        F.col("bind_key").contains("::"), F.substring_index("bind_key", "::", -1)
+    ).otherwise(F.col("bind_key"))
+    r = r.withColumn("__prefix", prefix).withColumn(
+        "__deep_target",
+        F.when(
+            bound.isNotNull() & (F.length("target") > F.length("__prefix")),
+            F.concat(bound, F.expr("substring(target, length(__prefix) + 1)")),
+        ),
+    )
+    r = r.join(
+        _maybe_b(
+            sym.select(
+                F.col("sym_name").alias("__deep_target"),
+                F.col("sym_kind").alias("__deep_kind"),
+            ),
+            small,
+        ),
+        "__deep_target",
+        "left",
+    )
+    if method_map is not None:
+        r = r.join(
+            _maybe_b(
+                method_map.select(
+                    F.col("derived_name").alias("__deep_target"),
+                    F.col("method_name").alias("__map_actual"),
+                ),
+                small,
+            ),
+            "__deep_target",
+            "left",
+        )
+    else:
+        r = r.withColumn("__map_actual", F.lit(None).cast("string"))
+    deep_resolved = F.when(
+        F.col("__deep_kind").isNotNull(), F.col("__deep_target")
+    ).otherwise(F.col("__map_actual"))
+    deep_kind = F.when(F.col("__deep_kind").isNotNull(), F.col("__deep_kind")).when(
+        F.col("__map_actual").isNotNull(), F.lit("METHOD")
+    )
+    out_resolved = F.coalesce(deep_resolved, F.col("resolved")).alias("resolved")
+    out_kind = F.when(deep_resolved.isNotNull(), deep_kind).otherwise(
+        F.col("resolved_kind")
+    ).alias("resolved_kind")
+    keep_minus = [c for c in keep if c not in ("resolved", "resolved_kind")]
+    return r.select(*keep_minus, out_resolved, out_kind)
+
+
+def resolve_refs(
+    refs: DataFrame,
+    imports: DataFrame,
+    symbols: DataFrame,
+    assigns: DataFrame | None = None,
+    method_map: DataFrame | None = None,
+    small: bool = False,
+) -> DataFrame:
+    """refs(full_name=src, kind=CALL|USES|INHERITS, dst=textual target,
+    module, class=instance-binding key) → resolved edge facts
+    (src, dst=full_name-or-UNSOLVED, rel_type).
+
+    ``symbols`` is the merged nodes snapshot (full_name, kind). When
+    ``assigns`` is given, the A4 deep pass runs first; ``method_map``
+    (derived_name, method_name) additionally resolves calls to inherited
+    methods through instance bindings.
+    """
+    sym = symbols.select(
+        F.col("full_name").alias("sym_name"), F.col("kind").alias("sym_kind")
+    )
+    r = refs.select(
+        F.col("full_name").alias("src"),
+        F.col("kind").alias("rel_type"),
+        F.col("dst").alias("target"),
+        F.col("module").alias("ref_module"),
+        F.col("class").alias("bind_key"),
+    ).dropDuplicates()
+
+    r = _resolve_targets(r, imports, sym, small)
+    if assigns is not None:
+        bnd = class_bindings(assigns, imports, symbols, small)
+        r = _deep_overlay(r, bnd, sym, method_map, small)
+
+    out = r.select("src", "rel_type", "resolved", "resolved_kind")
     # a ref may have joined several star imports — any single resolution wins
     out = out.dropDuplicates(["src", "rel_type", "resolved"])
 

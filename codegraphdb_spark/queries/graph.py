@@ -39,7 +39,7 @@ def _graph(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
         spark.conf.set("spark.sql.shuffle.partitions", "4")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
-            eng = GraphEngine(spark)
+            eng = GraphEngine(spark, small_repo=True)
             n1, e1, f1 = eng.build(files_from_pairs(spark, mini_repo.V1), "v1")
             n2, e2, _ = eng.update_version(
                 n1.localCheckpoint(),
@@ -457,4 +457,62 @@ def g_cypher_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN b.full_name AS base ORDER BY base",
         nodes,
         edges,
+    )
+
+
+# --- A4: deep (type-propagated) call resolution ---------------------------------
+
+_DEEP_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
+
+
+def _deep_graph(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """Single-version build of the instance-binding fixture
+    (mini_repo.DEEP_V1)."""
+    key = id(spark._jsparkSession)
+    if key not in _DEEP_CACHE:
+        from codegraphdb_spark import mini_repo
+        from codegraphdb_spark.engine import GraphEngine
+        from codegraphdb_spark.sources.repo import files_from_pairs
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            eng = GraphEngine(spark, small_repo=True)
+            n, e, _ = eng.build(files_from_pairs(spark, mini_repo.DEEP_V1), "v1")
+            _DEEP_CACHE[key] = (n.localCheckpoint(), e.localCheckpoint())
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    return _DEEP_CACHE[key]
+
+
+@query(
+    "g_call_edges_deep",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('zoo.animals.Trainer.train', 'unsolved symbol'),
+      ('zoo.app.Keeper.tend', 'zoo.animals.Animal.speak'),
+      ('zoo.app.Keeper.tend', 'zoo.animals.Trainer.train'),
+      ('zoo.app.adopt', 'zoo.animals.Animal.describe'),
+      ('zoo.app.adopt', 'zoo.app.Puppy.lick'),
+      ('zoo.app.run', 'zoo.animals.Animal.speak')
+    ) t(src, dst) ORDER BY src, dst
+    """,
+)
+def g_call_edges_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 deep resolution: CALL edges through INSTANCE BINDINGS — the
+    join-based reproduction of jedi's inference on the reference's deep
+    path (indexer_visitor.py:125-157, index_utils.py:16-38). Covers:
+    ``pet = Animal(); pet.speak()`` (local ctor), ``self.coach =
+    Trainer(); self.coach.train()`` (field ctor), ``self.buddy: Animal``
+    (annotation), and ``pup.describe()`` resolving to a method Puppy only
+    INHERITS (method-map hit). ``a.speak()`` on an untyped parameter stays
+    unsolved — the documented inference gap vs jedi."""
+    _, edges = _deep_graph(spark)
+    return (
+        edges.filter(F.col("rel_type") == "CALL")
+        .select("src", "dst")
+        .orderBy("src", "dst")
     )

@@ -47,12 +47,18 @@ def scan_repo(spark: SparkSession, root: str) -> DataFrame:
 def files_from_pairs(spark: SparkSession, pairs: list[tuple[str, str]]) -> DataFrame:
     """[(repo-relative path, source code)] → files DataFrame (A5).
 
-    Partition count matches the data: createDataFrame would otherwise
-    spread a handful of rows across defaultParallelism slices, and every
-    downstream mapInPandas stage would schedule dozens of near-empty
-    Python-worker tasks."""
+    Routed through a pandas DataFrame ON PURPOSE: createDataFrame over a
+    plain Python list plans as ``Scan ExistingRDD`` — a pickled-Python-RDD
+    scan that re-pays several seconds of Python-worker round-trip on EVERY
+    downstream action — while the Arrow/pandas path plans as a JVM-side
+    ``LocalTableScan`` that replays for free. Partition count matches the
+    data so downstream mapInPandas stages don't schedule dozens of
+    near-empty Python-worker tasks."""
+    import pandas as pd
+
     n = max(1, min(len(pairs) // 8, 64))
-    return spark.createDataFrame(pairs, schema=FILES_SCHEMA).coalesce(n)
+    pdf = pd.DataFrame(pairs or None, columns=["path", "content"])
+    return spark.createDataFrame(pdf, schema=FILES_SCHEMA).coalesce(n)
 
 
 def changed_files(repo: str, commit1: str, commit2: str) -> list[str]:

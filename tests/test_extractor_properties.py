@@ -74,7 +74,7 @@ def test_extraction_invariants(source):
 def test_garbage_never_raises(text):
     facts = _extract_one("junk/bad.py", text)
     kinds = {f["fact"] for f in facts}
-    assert kinds <= {"node", "edge", "import", "ref", "error"}
+    assert kinds <= {"node", "edge", "import", "ref", "assign", "error"}
 
 
 def test_module_level_calls_suppressed():
