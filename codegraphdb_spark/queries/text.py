@@ -18,7 +18,7 @@ below.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from codegraphdb_spark.registry import query
@@ -309,7 +309,21 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PAIRS_CACHE[key]
 
 
-def _jaccard_pairs_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Shingles occurring in more than this many documents are dropped before the
+# inverted-index self-join. A shingle with df=d contributes O(d^2) candidate
+# pairs, so one boilerplate shingle across 10^6 docs would generate 10^12
+# pairs; capped at 256 each shingle yields <= 32,640 pairs regardless of
+# corpus size. Capped shingles carry ~no Jaccard signal (they are by
+# definition near-universal boilerplate), and similarity is computed over the
+# capped shingle universe (excluded from numerator AND denominator). The cap
+# is far above every fixture df (max observed: 7 at sf0.01, 25 at sf0.1), so
+# test-scale results are bit-identical to the uncapped oracle.
+NGRAM_DF_CAP = 256
+
+
+def _jaccard_pairs_uncached(
+    spark: SparkSession, sf_dir: str, df_cap: int = NGRAM_DF_CAP
+) -> DataFrame:
     import hashlib
 
     import pandas as pd
@@ -340,10 +354,23 @@ def _jaccard_pairs_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select("doc_id", "text").mapInPandas(
         shingle_hashes, schema="doc_id BIGINT, shs ARRAY<BIGINT>"
     )
-    # set size rides along the inverted index — no separate sizes joins,
-    # and the shingle hashing runs exactly once
-    inv = sh.select(
-        "doc_id", F.size("shs").alias("nsh"), F.explode("shs").alias("shingle")
+    inv0 = sh.select("doc_id", F.explode("shs").alias("shingle"))
+    # Frequent-shingle cap: shingles with df > df_cap are boilerplate and
+    # would blow up the self-join quadratically. The hot set is tiny by
+    # construction (<= total_occurrences / df_cap entries, and in practice
+    # a handful of boilerplate phrases), so AQE turns the anti-join into a
+    # broadcast at any realistic scale.
+    hot = (
+        inv0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    capped = inv0.join(hot, "shingle", "left_anti")
+    # set size over the CAPPED universe rides along the inverted index —
+    # no separate sizes joins, and the shingle hashing runs exactly once
+    inv = capped.withColumn(
+        "nsh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
     a, b = inv.alias("a"), inv.alias("b")
     common = (

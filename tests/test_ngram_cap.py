@@ -1,0 +1,48 @@
+"""Frequent-shingle df cap in the n-gram Jaccard inverted-index join.
+
+A shingle appearing in d documents contributes O(d^2) candidate pairs to the
+self-join; one boilerplate shingle across 10^6 docs at 100 TB would generate
+10^12 pairs. NGRAM_DF_CAP drops such shingles before the join. These tests
+pin (a) the explosion is actually eliminated, (b) low-df signal survives,
+(c) the cap is inert at fixture scale (max fixture df is 25 << 256).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from codegraphdb_spark.queries.text import NGRAM_DF_CAP, _jaccard_pairs_uncached
+
+
+@pytest.fixture(scope="module")
+def hot_shingle_dir(spark, tmp_path_factory):
+    """40 identical boilerplate docs (one shingle, df=40) plus two docs
+    sharing one rare shingle (df=2, Jaccard 1/3)."""
+    d = tmp_path_factory.mktemp("hotshingle")
+    rows = [(i, "HOT1 HOT2 HOT3") for i in range(1, 41)]
+    rows += [(41, "x y z q"), (42, "x y z r")]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    return str(d)
+
+
+def test_hot_shingle_pairs_bounded(spark, hot_shingle_dir):
+    capped = _jaccard_pairs_uncached(spark, hot_shingle_dir, df_cap=10).collect()
+    # the 40-doc boilerplate clique (780 pairs) is gone; the rare-shingle
+    # pair (df=2 <= cap, jaccard 1/3 >= 0.2) survives
+    assert [(r.doc_a, r.doc_b) for r in capped] == [(41, 42)]
+    assert capped[0].jaccard == pytest.approx(1 / 3)
+
+
+def test_uncapped_explodes(spark, hot_shingle_dir):
+    # sanity: without the cap the boilerplate clique IS quadratic
+    # (40*39/2 identical-text pairs at jaccard 1.0, plus the rare pair)
+    uncapped = _jaccard_pairs_uncached(spark, hot_shingle_dir, df_cap=10**9)
+    assert uncapped.count() == 40 * 39 // 2 + 1
+
+
+def test_default_cap_inert_at_fixture_scale(spark):
+    # max shingle df observed in fixtures is 25 (sf0.1); the default cap
+    # must sit far above it so oracle results are unchanged at test scale
+    assert NGRAM_DF_CAP >= 10 * 25
