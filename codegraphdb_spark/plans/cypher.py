@@ -41,10 +41,11 @@ from pyspark.sql import functions as F
 from codegraphdb_spark.datamodel import KINDS
 
 _NODE = re.compile(
-    r"\(\s*(?P<var>\w+)?\s*(?P<labels>(?::(?:`[^`]+`|\w+))*)\s*(?:\{(?P<props>[^}]*)\})?\s*\)"
+    r"\(\s*(?P<var>\w+)?\s*(?P<labels>(?::(?:`[^`]+`|[\w/.]+))*)\s*(?:\{(?P<props>[^}]*)\})?\s*\)"
 )
 _EDGE = re.compile(
-    r"-\s*\[\s*:(?P<rel>\w+)\s*(?:\*\s*(?P<lo>\d+)?\s*(?:\.\.\s*(?P<hi>\d+)?)?)?\s*\]\s*->"
+    r"(?P<left><)?-\s*\[\s*:(?P<rel>\w+)\s*"
+    r"(?:\*\s*(?P<lo>\d+)?\s*(?:\.\.\s*(?P<hi>\d+)?)?)?\s*\]\s*-(?P<right>>)?"
 )
 _PROP = re.compile(r"(\w+)\s*:\s*(?:'([^']*)'|\"([^\"]*)\"|(\d+))")
 _CLAUSES = re.compile(
@@ -82,10 +83,13 @@ class CypherError(ValueError):
 
 
 def _parse_labels(raw: str) -> tuple[str | None, list[str]]:
-    """':`v1`:CLASS' → (kind, [versions])."""
+    """':`v1`:CLASS' → (kind, [versions]). Unbackticked labels may contain
+    '/' and '.' — the reference's task ids look like 'project_cc_python/102'
+    (graphDB.py:284) and are written without backticks in its own smoke
+    queries."""
     kind = None
     versions: list[str] = []
-    for m in re.finditer(r":(`[^`]+`|\w+)", raw or ""):
+    for m in re.finditer(r":(`[^`]+`|[\w/.]+)", raw or ""):
         label = m.group(1).strip("`")
         if label in _REAL_KINDS:
             if kind is not None:
@@ -156,20 +160,48 @@ def _varlen_pairs(edges: DataFrame, rel: str, lo: int, hi: int) -> DataFrame:
     return out.dropDuplicates()
 
 
+def _split_chains(pattern: str) -> list[str]:
+    """Split a MATCH pattern on top-level commas (outside (), [], {}, and
+    backticks) — 'MATCH (a), (b)-[:R]->(c)' is two independent chains
+    combined by product (shared variables add equality constraints)."""
+    chains: list[str] = []
+    depth = 0
+    in_tick = False
+    cur: list[str] = []
+    for ch in pattern:
+        if ch == "`":
+            in_tick = not in_tick
+        elif not in_tick:
+            if ch in "([{":
+                depth += 1
+            elif ch in ")]}":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                chains.append("".join(cur))
+                cur = []
+                continue
+        cur.append(ch)
+    chains.append("".join(cur))
+    out = [c for c in chains if c.strip()]
+    if not out:
+        raise CypherError("empty MATCH pattern")
+    return out
+
+
 def _parse_pattern(pattern: str):
-    """Alternating node/edge specs, in textual order."""
+    """Alternating node/edge specs of ONE chain, in textual order."""
     tokens = []
     pos = 0
     while pos < len(pattern):
         mn = _NODE.match(pattern, pos) if pattern[pos] == "(" else None
-        me = _EDGE.match(pattern, pos) if pattern[pos] == "-" else None
+        me = _EDGE.match(pattern, pos) if pattern[pos] in "-<" else None
         if mn:
             tokens.append(("node", mn))
             pos = mn.end()
         elif me:
             tokens.append(("edge", me))
             pos = me.end()
-        elif pattern[pos].isspace() or pattern[pos] == ",":
+        elif pattern[pos].isspace():
             pos += 1
         else:
             raise CypherError(f"cannot parse pattern at: {pattern[pos:pos+30]!r}")
@@ -193,50 +225,120 @@ def _literal(raw: str):
         raise CypherError(f"cannot parse literal {raw!r}") from None
 
 
-def _where_condition(where: str, binds: dict[str, str]):
-    """Conjunction of simple predicates (AND only — the subset stays
-    loud-and-predictable; OR/NOT would silently change join pruning)."""
-    cond = None
-    for raw in re.split(r"(?i)\bAND\b", where):
-        if not raw.strip():
+def _split_bool(s: str, word: str) -> list[str]:
+    """Split on a top-level boolean keyword (outside parens/brackets and
+    string literals), case-insensitive, word-boundary-checked."""
+    parts: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    quote: str | None = None
+    i, n, wl = 0, len(s), len(word)
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            cur.append(ch)
+            i += 1
             continue
-        m = _PRED.match(raw)
-        if not m:
-            raise CypherError(f"cannot parse WHERE predicate: {raw.strip()!r}")
-        var = m.group("var")
-        if var not in binds:
-            raise CypherError(f"unbound variable {var!r} in WHERE")
-        col = F.col(f"{binds[var]}__{m.group('prop')}")
-        op = re.sub(r"\s+", " ", m.group("op").upper())
-        val = _literal(m.group("val"))
-        if op == "=":
-            pred = col == val
-        elif op in ("<>", "!="):
-            pred = col != val
-        elif op == "<":
-            pred = col < val
-        elif op == "<=":
-            pred = col <= val
-        elif op == ">":
-            pred = col > val
-        elif op == ">=":
-            pred = col >= val
-        elif op == "STARTS WITH":
-            pred = col.startswith(str(val))
-        elif op == "ENDS WITH":
-            pred = col.endswith(str(val))
-        elif op == "CONTAINS":
-            pred = col.contains(str(val))
-        elif op == "IN":
-            if not isinstance(val, list):
-                raise CypherError("IN needs a [list] literal")
-            pred = col.isin(val)
-        else:  # pragma: no cover
-            raise CypherError(f"unsupported operator {op!r}")
-        cond = pred if cond is None else (cond & pred)
-    if cond is None:
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+            i += 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if (
+            depth == 0
+            and s[i : i + wl].upper() == word
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (i + wl >= n or not (s[i + wl].isalnum() or s[i + wl] == "_"))
+        ):
+            parts.append("".join(cur))
+            cur = []
+            i += wl
+            continue
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def _outer_parens(s: str) -> bool:
+    """True iff s is '( ... )' with the first paren matching the last."""
+    if not (s.startswith("(") and s.endswith(")")):
+        return False
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i == len(s) - 1
+    return False
+
+
+def _where_condition(where: str, binds: dict[str, str]):
+    """Boolean expression over simple predicates: AND / OR / NOT with
+    parentheses, standard precedence (OR < AND < NOT)."""
+    ors = [p for p in _split_bool(where, "OR") if p.strip()]
+    if not ors:
         raise CypherError("empty WHERE clause")
-    return cond
+    if len(ors) > 1:
+        cond = _where_condition(ors[0], binds)
+        for p in ors[1:]:
+            cond = cond | _where_condition(p, binds)
+        return cond
+    ands = [p for p in _split_bool(where, "AND") if p.strip()]
+    if len(ands) > 1:
+        cond = _where_condition(ands[0], binds)
+        for p in ands[1:]:
+            cond = cond & _where_condition(p, binds)
+        return cond
+    text = where.strip()
+    if re.match(r"(?i)^NOT\b", text):
+        return ~_where_condition(text[3:], binds)
+    if _outer_parens(text):
+        return _where_condition(text[1:-1], binds)
+    return _predicate(text, binds)
+
+
+def _predicate(raw: str, binds: dict[str, str]):
+    m = _PRED.match(raw)
+    if not m:
+        raise CypherError(f"cannot parse WHERE predicate: {raw.strip()!r}")
+    var = m.group("var")
+    if var not in binds:
+        raise CypherError(f"unbound variable {var!r} in WHERE")
+    col = F.col(f"{binds[var]}__{m.group('prop')}")
+    op = re.sub(r"\s+", " ", m.group("op").upper())
+    val = _literal(m.group("val"))
+    if op == "=":
+        return col == val
+    if op in ("<>", "!="):
+        return col != val
+    if op == "<":
+        return col < val
+    if op == "<=":
+        return col <= val
+    if op == ">":
+        return col > val
+    if op == ">=":
+        return col >= val
+    if op == "STARTS WITH":
+        return col.startswith(str(val))
+    if op == "ENDS WITH":
+        return col.endswith(str(val))
+    if op == "CONTAINS":
+        return col.contains(str(val))
+    if op == "IN":
+        if not isinstance(val, list):
+            raise CypherError("IN needs a [list] literal")
+        return col.isin(val)
+    raise CypherError(f"unsupported operator {op!r}")  # pragma: no cover
 
 
 def run_cypher(cypher: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
@@ -249,54 +351,82 @@ def run_cypher(cypher: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
             "[ORDER BY ...] [LIMIT n] is supported"
         )
 
-    tokens = _parse_pattern(m.group("pattern"))
-
-    binds: dict[str, str] = {}  # var -> dataframe alias
+    binds: dict[str, str] = {}  # var -> dataframe alias (first binding wins)
+    shared_eq: list[tuple[str, str]] = []  # re-bound vars → equality constraints
     df = None
+    node_i = 0
     anon = 0
-    prev_alias = None
-    for i, (ttype, tok) in enumerate(tokens):
-        if ttype == "node":
-            alias = f"n{i // 2}"
-            kind, ver = _parse_labels(tok.group("labels"))
-            props = _parse_props(tok.group("props"))
-            nd = _prefixed(_node_filter(nodes, kind, ver, props), alias)
-            var = tok.group("var")
-            if var:
-                if var in binds:
-                    raise CypherError(f"variable {var!r} bound twice")
-                binds[var] = alias
-            if df is None:
-                df = nd
+    for chain_text in _split_chains(m.group("pattern")):
+        tokens = _parse_pattern(chain_text)
+        chain_df = None
+        prev_alias = None
+        pending_edge: tuple[str, str] | None = None  # (ealias, end_col)
+        for ttype, tok in tokens:
+            if ttype == "node":
+                alias = f"n{node_i}"
+                node_i += 1
+                kind, ver = _parse_labels(tok.group("labels"))
+                props = _parse_props(tok.group("props"))
+                nd = _prefixed(_node_filter(nodes, kind, ver, props), alias)
+                var = tok.group("var")
+                if var:
+                    if var in binds:
+                        # same variable appearing again (within a chain or
+                        # across comma-separated chains) means THE SAME
+                        # node — enforced as an equality constraint below
+                        shared_eq.append((binds[var], alias))
+                    else:
+                        binds[var] = alias
+                if chain_df is None:
+                    chain_df = nd
+                else:
+                    ealias, end_col = pending_edge
+                    chain_df = chain_df.join(
+                        nd,
+                        F.col(f"{ealias}__{end_col}") == F.col(f"{alias}__full_name"),
+                    )
+                prev_alias = alias
             else:
-                # previous token was an edge ending at this node
-                df = df.join(
-                    nd,
-                    F.col(f"e{anon - 1}__dst") == F.col(f"{alias}__full_name"),
+                rel = tok.group("rel")
+                left, right = tok.group("left"), tok.group("right")
+                if left and right:
+                    raise CypherError(f"edge cannot point both ways: {tok.group(0)!r}")
+                lo_s, hi_s = tok.group("lo"), tok.group("hi")
+                if lo_s is None and hi_s is None and "*" not in tok.group(0):
+                    lo = hi = 1
+                else:
+                    lo = int(lo_s) if lo_s else 1
+                    hi = int(hi_s) if hi_s else (int(lo_s) if lo_s and hi_s is None and ".." not in tok.group(0) else MAX_VARLEN_HOPS)
+                if hi > MAX_VARLEN_HOPS:
+                    raise CypherError(f"hop bound {hi} exceeds cap {MAX_VARLEN_HOPS}")
+                if lo > hi or lo < 1:
+                    raise CypherError(f"bad hop range *{lo}..{hi}")
+                ealias = f"e{anon}"
+                anon += 1
+                if lo == 1 and hi == 1:
+                    e = edges.filter(F.col("rel_type") == rel)
+                else:
+                    e = _varlen_pairs(edges, rel, lo, hi)
+                if not left and not right:
+                    # undirected: symmetrize the (src, dst) pair set, then
+                    # treat as forward — each undirected hop matches the
+                    # edge in either orientation
+                    p = e.select("src", "dst")
+                    e = p.unionByName(
+                        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                    ).dropDuplicates()
+                start_col, end_col = ("dst", "src") if left else ("src", "dst")
+                chain_df = chain_df.join(
+                    _prefixed(e, ealias),
+                    F.col(f"{prev_alias}__full_name") == F.col(f"{ealias}__{start_col}"),
                 )
-            prev_alias = alias
-        else:
-            rel = tok.group("rel")
-            lo_s, hi_s = tok.group("lo"), tok.group("hi")
-            if lo_s is None and hi_s is None and "*" not in tok.group(0):
-                lo = hi = 1
-            else:
-                lo = int(lo_s) if lo_s else 1
-                hi = int(hi_s) if hi_s else (int(lo_s) if lo_s and hi_s is None and ".." not in tok.group(0) else MAX_VARLEN_HOPS)
-            if hi > MAX_VARLEN_HOPS:
-                raise CypherError(f"hop bound {hi} exceeds cap {MAX_VARLEN_HOPS}")
-            if lo > hi or lo < 1:
-                raise CypherError(f"bad hop range *{lo}..{hi}")
-            ealias = f"e{anon}"
-            anon += 1
-            if lo == 1 and hi == 1:
-                e = edges.filter(F.col("rel_type") == rel)
-            else:
-                e = _varlen_pairs(edges, rel, lo, hi)
-            df = df.join(
-                _prefixed(e, ealias),
-                F.col(f"{prev_alias}__full_name") == F.col(f"{ealias}__src"),
-            )
+                pending_edge = (ealias, end_col)
+        # comma-separated chains combine by product; Catalyst rewrites the
+        # product into an equi-join when shared-variable equality (below)
+        # or WHERE predicates connect them
+        df = chain_df if df is None else df.crossJoin(chain_df)
+    for a, b in shared_eq:
+        df = df.filter(F.col(f"{a}__full_name") == F.col(f"{b}__full_name"))
 
     if m.group("where"):
         df = df.filter(_where_condition(m.group("where"), binds))

@@ -460,6 +460,46 @@ def g_cypher_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "g_cypher_extended",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('pkgb.dog.Dog', 'pkga.base.Animal.describe'),
+      ('pkgb.dog.Dog', 'pkga.base.Animal.speak'),
+      ('pkgb.dog.Dog', 'pkgb.dog.Dog.fetch'),
+      ('pkgb.dog.Dog', 'pkgb.dog.Dog.roll'),
+      ('pkgb.dog.Dog', 'pkgb.dog.Dog.speak'),
+      ('pkgb.puppy.Puppy', 'pkga.base.Animal.describe'),
+      ('pkgb.puppy.Puppy', 'pkga.base.Animal.speak'),
+      ('pkgb.puppy.Puppy', 'pkgb.dog.Dog.fetch'),
+      ('pkgb.puppy.Puppy', 'pkgb.dog.Dog.roll'),
+      ('pkgb.puppy.Puppy', 'pkgb.dog.Dog.speak'),
+      ('pkgb.puppy.Puppy', 'pkgb.puppy.Puppy.whine')
+    ) t(cls, method) ORDER BY cls, method
+    """,
+)
+def g_cypher_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 breadth (round 3): the Cypher features the reference's own smoke
+    queries need (graphDB.py:279-303) beyond the round-1 subset — a
+    reverse-direction edge ``(m)<-[:HAS_METHOD]-(c)``, comma-separated
+    pattern chains sharing a variable (``c`` joins the two chains by
+    node-identity equality), and ``OR`` in WHERE (full AND/OR/NOT with
+    parentheses, standard precedence). Each chain compiles to equi-joins;
+    shared variables become identity filters Catalyst folds into the join
+    graph — the comma product never materializes as a cartesian."""
+    from codegraphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges, _ = _graph(spark)
+    return run_cypher(
+        "MATCH (m)<-[:HAS_METHOD]-(c), (c)-[:INHERITS]->(b) "
+        "WHERE b.name = 'Animal' OR b.name = 'Dog' "
+        "RETURN c.full_name AS cls, m.full_name AS method "
+        "ORDER BY cls, method",
+        nodes,
+        edges,
+    )
+
+
 # --- A4: deep (type-propagated) call resolution ---------------------------------
 
 _DEEP_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}

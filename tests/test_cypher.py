@@ -154,9 +154,101 @@ def test_varlen_cap_is_loud(graph):
         run_cypher(
             "MATCH (a)-[:INHERITS*1..99]->(b) RETURN a.name", nodes, edges
         )
+    # OR is supported since round 3; an unparseable predicate still raises
     with pytest.raises(CypherError):
         run_cypher(
-            "MATCH (c) WHERE c.name = 'Dog' OR c.name = 'Puppy' RETURN c",
+            "MATCH (c) WHERE c.name =~ 'D.*' RETURN c",
             nodes,
             edges,
         )
+
+
+# --- round-3 breadth: reverse/undirected edges, comma chains, boolean WHERE ---
+
+
+def test_reverse_edge(graph):
+    """(m)<-[:HAS_METHOD]-(c): the arrow direction flips the join columns,
+    not the result semantics (graphDB.py:279-281 uses both orientations)."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (m)<-[:HAS_METHOD]-(c:CLASS {name: 'Dog'}) "
+        "RETURN m.full_name AS method ORDER BY method",
+        nodes,
+        edges,
+    ).collect()
+    assert [r["method"] for r in out] == [
+        "pkga.base.Animal.describe",
+        "pkga.base.Animal.speak",
+        "pkgb.dog.Dog.fetch",
+        "pkgb.dog.Dog.speak",
+    ]
+
+
+def test_undirected_edge(graph):
+    """-[:INHERITS]- matches the edge in either orientation: Dog inherits
+    Animal (outgoing) and is inherited by Puppy (incoming)."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (a:CLASS {name: 'Dog'})-[:INHERITS]-(b) "
+        "RETURN b.full_name AS other ORDER BY other",
+        nodes,
+        edges,
+    ).collect()
+    assert [r["other"] for r in out] == ["pkga.base.Animal", "pkgb.puppy.Puppy"]
+
+
+def test_comma_chains_shared_variable(graph):
+    """Comma-separated chains; the repeated variable c means the SAME node
+    (identity equality), so only Animal's direct subclass survives."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (m)<-[:HAS_METHOD]-(c), (c)-[:INHERITS]->(b:CLASS {name: 'Animal'}) "
+        "RETURN DISTINCT c.full_name AS cls",
+        nodes,
+        edges,
+    ).collect()
+    assert [r["cls"] for r in out] == ["pkgb.dog.Dog"]
+
+
+def test_comma_chains_disjoint_product(graph):
+    """Disjoint chains with no shared variable form a product (1x1 here)."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (a:CLASS {name: 'Dog'}), (m:MODULE {full_name: 'pkga.base'}) "
+        "RETURN a.full_name AS cls, m.full_name AS mod",
+        nodes,
+        edges,
+    ).collect()
+    assert [(r["cls"], r["mod"]) for r in out] == [("pkgb.dog.Dog", "pkga.base")]
+
+
+def test_where_boolean_logic(graph):
+    """OR / NOT / parentheses with standard precedence (OR < AND < NOT)."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS) WHERE c.name = 'Dog' "
+        "OR (c.name STARTS WITH 'Pup' AND NOT c.name = 'Animal') "
+        "RETURN c.full_name AS cls ORDER BY cls",
+        nodes,
+        edges,
+    ).collect()
+    assert [r["cls"] for r in out] == ["pkgb.dog.Dog", "pkgb.puppy.Puppy"]
+
+
+def test_task_id_label_parses(graph):
+    """The reference writes task-partition labels with slashes, unbackticked:
+    MATCH (c:project_cc_python/102:CLASS) — graphDB.py:284. Must parse as a
+    version label (0 rows here: this graph is version v1)."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:project_cc_python/102:CLASS) RETURN c", nodes, edges
+    ).collect()
+    assert out == []
+    out = run_cypher("MATCH (c:v1:CLASS) RETURN count(*) AS n", nodes, edges).collect()
+    assert out[0]["n"] == 3
+
+
+def test_bidirectional_edge_is_loud(graph):
+    nodes, edges = graph
+    with pytest.raises(CypherError):
+        run_cypher("MATCH (a)<-[:INHERITS]->(b) RETURN a.name", nodes, edges)
