@@ -36,18 +36,25 @@ def _plane(table: int, bit: int, dim: int) -> list[float]:
     ]
 
 
-def _dot_lit(vec: Column, plane: list[float]) -> Column:
-    return F.aggregate(
-        F.zip_with(vec, F.array(*[F.lit(x) for x in plane]), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+# Sign tests accumulate in scaled-integer space (round(x*p*1e12) → int64
+# sum): order-independent, exact, and bit-identical across engines, so a
+# DuckDB oracle recomputing the same md5 planes assigns the SAME buckets.
+_SIG_SCALE = 1_000_000_000_000
+
+
+def _dot_scaled(vec: Column, plane: list[float]) -> Column:
+    prods = F.zip_with(
+        vec,
+        F.array(*[F.lit(x) for x in plane]),
+        lambda a, b: F.round(a * b * _SIG_SCALE).cast("bigint"),
     )
+    return F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
 
 
 def signature(vec: Column, dim: int, table: int, n_bits: int = 8) -> Column:
     """n_bits sign bits against fixed hyperplanes → int signature."""
     bits = [
-        F.when(_dot_lit(vec, _plane(table, b, dim)) >= 0, 1 << b).otherwise(0)
+        F.when(_dot_scaled(vec, _plane(table, b, dim)) >= 0, 1 << b).otherwise(0)
         for b in range(n_bits)
     ]
     total = bits[0]
@@ -111,12 +118,18 @@ def ann_topk(
     k: int = 10,
     n_tables: int = 4,
     n_bits: int = 8,
+    scorer=None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates = corpus rows sharing a
     (table, signature) bucket with the probe in ANY table; score only those.
 
     probes: (probe_id, pvec double array); corpus: (vec_id, vec double array).
+    ``scorer`` replaces the default float-fold cosine with a caller-supplied
+    (probe_col, cand_col) → Column — the oracle-checked query passes the
+    exact scaled-integer cosine so scores are engine-reproducible.
     """
+    if scorer is None:
+        scorer = cosine
     corpus_b = lsh_bucket(corpus, "vec_id", "vec", dim, n_tables, n_bits)
     probe_b = lsh_bucket(
         probes.withColumnRenamed("probe_id", "vec_id").withColumnRenamed("pvec", "embedding"),
@@ -140,7 +153,7 @@ def ann_topk(
     scored = cand.select(
         "probe_id",
         F.col("vec_id").alias("cand_id"),
-        cosine(F.col("pvec"), F.col("vec")).alias("score"),
+        scorer(F.col("pvec"), F.col("vec")).alias("score"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("score"), "cand_id")
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

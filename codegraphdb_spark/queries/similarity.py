@@ -94,6 +94,77 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_ann_topk",
+    oracle=f"""
+    WITH planes AS (
+      SELECT t, b, i,
+             ('0x' || substr(md5('plane:' || t || ':' || b || ':' || i), 1, 8))::UBIGINT
+               / 2147483648.0 - 1.0 AS p
+      FROM range(0, 4) r1(t), range(0, 8) r2(b), range(0, {DIM}) r3(i)
+    ), v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), dots AS (
+      SELECT v.vec_id, pl.t, pl.b,
+             SUM(CAST(ROUND(v.e[pl.i + 1] * pl.p * {_SCALE}) AS BIGINT)) AS d
+      FROM v, planes pl
+      GROUP BY 1, 2, 3
+    ), sigs AS (
+      SELECT vec_id, t,
+             CAST(SUM(CASE WHEN d >= 0 THEN 1 << b ELSE 0 END) AS INT) AS sig
+      FROM dots GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+      FROM sigs p JOIN sigs c ON p.t = c.t AND p.sig = c.sig
+      WHERE p.vec_id < {N_PROBES} AND c.vec_id <> p.vec_id
+    ), scored AS (
+      SELECT cand.probe_id, cand.cand_id,
+             {_sql_ddot('pv.e', 'cv.e')} /
+             (SQRT({_sql_ddot('pv.e', 'pv.e')}) * SQRT({_sql_ddot('cv.e', 'cv.e')})) AS score
+      FROM cand
+      JOIN v pv ON pv.vec_id = cand.probe_id
+      JOIN v cv ON cv.vec_id = cand.cand_id
+    )
+    SELECT probe_id, cand_id, score, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY score DESC, cand_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    ORDER BY probe_id, rnk
+    """,
+)
+def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k — the 100 TB scale path for
+    emb_cosine_topk, as a REAL hash-checked query (not just a recall test):
+    the operator's hyperplanes are md5-derived (operators/similarity._plane)
+    and its sign tests run in scaled-integer space, so the DuckDB oracle
+    recomputes the SAME buckets from the same md5 bytes and the comparison
+    is exact, not recall-bounded. Candidates = corpus rows sharing any
+    (table, signature) bucket with the probe (4 tables × 8 bits); only
+    those are scored. At 100 TB the corpus is bucketed once (parquet
+    partitioned by table, sig) and each probe batch joins bucket-locally —
+    probe cost is O(candidates), never O(corpus)."""
+    from codegraphdb_spark.operators.similarity import ann_topk
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    probes = v.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("vec").alias("pvec")
+    )
+
+    def exact_cosine(a: Column, b: Column) -> Column:
+        return _ddot(a, b) / (F.sqrt(_ddot(a, a)) * F.sqrt(_ddot(b, b)))
+
+    out = ann_topk(
+        probes, v, dim=DIM, k=TOP_K, n_tables=4, n_bits=8, scorer=exact_cosine
+    )
+    return out.select(
+        "probe_id", "cand_id", "score", F.col("rnk").cast("int").alias("rnk")
+    ).orderBy("probe_id", "rnk")
+
+
+@query(
     "emb_near_dup_pairs",
     oracle=f"""
     WITH v AS (
