@@ -24,14 +24,22 @@ _CACHE: dict[int, tuple[DataFrame, DataFrame, DataFrame]] = {}
 
 
 def _graph(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(nodes, edges, files_v2) for the two-version mini-repo build."""
+    """(nodes, edges, files_v2) for the two-version mini-repo build.
+
+    ONE pipeline run serves both catalogs: the g_* fixture (pkga/pkgb, two
+    versions) and the deep-resolution fixture (zoo.*, DEEP_V1) are built
+    TOGETHER — their module namespaces are disjoint, so the combined graph
+    partitions cleanly by full_name prefix afterwards and neither catalog's
+    golden rows change. This halves the fixture-build cost the graph
+    catalog pays per session (the deep catalog previously ran a second
+    full engine build)."""
     key = id(spark._jsparkSession)
     if key not in _CACHE:
         from codegraphdb_spark import mini_repo
         from codegraphdb_spark.engine import GraphEngine
         from codegraphdb_spark.sources.repo import files_from_pairs
 
-        # The fixture is 8 files; the pipeline is many tiny stages. Drop
+        # The fixture is 11 files; the pipeline is many tiny stages. Drop
         # shuffle parallelism to avoid paying 32-partition scheduling
         # overhead ~30x (restored after — the data queries are unaffected).
         prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -40,7 +48,9 @@ def _graph(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
             eng = GraphEngine(spark, small_repo=True)
-            n1, e1, f1 = eng.build(files_from_pairs(spark, mini_repo.V1), "v1")
+            n1, e1, f1 = eng.build(
+                files_from_pairs(spark, mini_repo.V1 + mini_repo.DEEP_V1), "v1"
+            )
             n2, e2, _ = eng.update_version(
                 n1.localCheckpoint(),
                 e1.localCheckpoint(),
@@ -50,10 +60,22 @@ def _graph(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
                 "v2",
             )
             files_v2 = files_from_pairs(spark, mini_repo.V2)
+            n2 = n2.localCheckpoint()
+            e2 = e2.localCheckpoint()
+            zoo_node = F.col("full_name").startswith("zoo.") | (
+                F.col("full_name") == "zoo"
+            )
+            zoo_edge = F.col("src").startswith("zoo.") | (F.col("src") == "zoo")
             _CACHE[key] = (
-                n2.localCheckpoint(),
-                e2.localCheckpoint(),
+                n2.filter(~zoo_node),
+                e2.filter(~zoo_edge),
                 files_v2.cache(),
+            )
+            # deep catalog = the zoo side of the same build ('unsolved
+            # symbol' is a shared synthetic sink node — kept in both)
+            _DEEP_CACHE[key] = (
+                n2.filter(zoo_node | (F.col("full_name") == "unsolved symbol")),
+                e2.filter(zoo_edge),
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -506,25 +528,11 @@ _DEEP_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
 
 
 def _deep_graph(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
-    """Single-version build of the instance-binding fixture
-    (mini_repo.DEEP_V1)."""
+    """The zoo.* (mini_repo.DEEP_V1) side of the combined fixture build —
+    see _graph: one pipeline run populates both caches."""
     key = id(spark._jsparkSession)
     if key not in _DEEP_CACHE:
-        from codegraphdb_spark import mini_repo
-        from codegraphdb_spark.engine import GraphEngine
-        from codegraphdb_spark.sources.repo import files_from_pairs
-
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            eng = GraphEngine(spark, small_repo=True)
-            n, e, _ = eng.build(files_from_pairs(spark, mini_repo.DEEP_V1), "v1")
-            _DEEP_CACHE[key] = (n.localCheckpoint(), e.localCheckpoint())
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        _graph(spark)
     return _DEEP_CACHE[key]
 
 
