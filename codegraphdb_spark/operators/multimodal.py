@@ -2,12 +2,13 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` pipelines.
 
-The container has no image/audio libraries, so the DECODE KERNEL is
-deliberately pluggable: ``decode_image_batch`` ships a deterministic fake
-decoder (header-parse only) and raises ``NotImplementedError`` from
-``_real_decode`` — the Spark-side plumbing (schema, batch shape,
-partitioning, UDF signature) is real and tested, and swapping in
-Pillow/ffmpeg is a one-function change on the executors.
+The decode kernel (``parse_header``) is REAL: stdlib ``struct`` parsing of
+PNG/JPEG/GIF/BMP/WAV container headers yields format + geometry with no
+codec libraries. Only FEATURE EXTRACTION (``_fake_feature``) remains a
+deterministic double — a vision/audio encoder is model weights, not
+stdlib — and swapping it for a real encoder is a one-function change on
+the executors; the Spark-side plumbing (schema, Arrow batch shape,
+partitioning, UDF signature) is identical either way.
 
 Scale notes:
 - binary payloads ride ``spark.read.format('binaryFile')`` (path, length,
@@ -54,27 +55,77 @@ def read_binary_dir(spark, root: str, glob: str = "*") -> DataFrame:
     )
 
 
-def _real_decode(payload: bytes) -> tuple[int, int]:
-    """Plug point for a real decoder (Pillow/libvips/ffmpeg on executors)."""
-    raise NotImplementedError(
-        "image/audio decode libraries are not available in this environment; "
-        "install Pillow on executors and replace _real_decode"
-    )
+# JPEG frame-header (SOFn) markers carrying dimensions: C0-C3, C5-C7,
+# C9-CB, CD-CF (C4=DHT, C8=JPG extension, CC=DAC are not frames).
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
 
-def _fake_decode(payload: bytes) -> tuple[str, int, int]:
-    """Deterministic stand-in decoder: recognizes PNG/JPEG magic and, for
-    the test fixtures, parses width/height from a tiny fake header
-    ('FAKE' + 2x uint16 BE); everything else is 'unknown'."""
-    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+def _jpeg_dims(payload: bytes) -> tuple[int, int]:
+    """Walk the JPEG marker stream to the first SOFn segment and read the
+    frame dimensions (big-endian height, width at segment offset 3-7)."""
+    i, n = 2, len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            break
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:  # standalone
+            i += 2
+            continue
+        if marker == 0xD9 or marker == 0xDA:  # EOI / entropy data follows
+            break
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            break
+        if marker in _JPEG_SOF and i + 9 <= n:
+            h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+            return w, h
+        i += 2 + seg_len
+    return -1, -1
+
+
+def parse_header(payload: bytes) -> tuple[str, int, int]:
+    """REAL stdlib decode of container headers → (format, width, height):
+    PNG (IHDR), JPEG (SOFn marker scan), GIF (logical screen), BMP
+    (BITMAPINFOHEADER), WAV (RIFF/WAVE; dims are (sample_rate, channels)).
+    No Pillow/ffmpeg needed for metadata — pixel/sample DECODING (and the
+    vision-model feature extraction, _fake_feature) would still need real
+    codec libraries on the executors; header geometry does not.
+
+    The 'FAKE' branch keeps the original plumbing fixtures working
+    ('FAKE' + 2x uint16 BE w/h)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24 and payload[12:16] == b"IHDR":
         w, h = struct.unpack(">II", payload[16:24])
         return "png", w, h
     if payload[:2] == b"\xff\xd8":
-        return "jpeg", -1, -1
+        w, h = _jpeg_dims(payload)
+        return "jpeg", w, h
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return "gif", w, h
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        return "bmp", w, abs(h)  # negative height = top-down DIB
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # fmt chunk: channels @22 (LE u16), sample rate @24 (LE u32) when
+        # the canonical 44-byte header layout holds
+        if len(payload) >= 28 and payload[12:16] == b"fmt ":
+            (channels,) = struct.unpack("<H", payload[22:24])
+            (rate,) = struct.unpack("<I", payload[24:28])
+            return "wav", rate, channels
+        return "wav", -1, -1
     if payload[:4] == b"FAKE" and len(payload) >= 8:
         w, h = struct.unpack(">HH", payload[4:8])
         return "fake", w, h
     return "unknown", -1, -1
+
+
+# Back-compat name: the decode kernel is no longer a stand-in — header
+# parsing is real (parse_header); only FEATURE EXTRACTION stays a
+# deterministic double.
+_fake_decode = parse_header
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:

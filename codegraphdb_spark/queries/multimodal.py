@@ -5,9 +5,12 @@ no binary-file directory, so the oracle-checked query manufactures the
 opaque ``binary`` payload column from ``documents.text`` (UTF-8 bytes) and
 runs it through the REAL multimodal plumbing from
 ``operators/multimodal.py``: Arrow-batched ``mapInPandas`` decode
-(``_fake_decode`` header classification + ``_fake_feature`` sha256-derived
-embedding) followed by modality-agnostic exact binary dedup on the content
-digest. Everything the pipeline does — batch shape, schema, hashing,
+(``parse_header`` — real stdlib PNG/JPEG/GIF/BMP/WAV container-header
+parsing — + ``_fake_feature`` sha256-derived embedding) followed by
+modality-agnostic exact binary dedup on the content digest. The oracle
+mirrors the sniff's ASCII-visible branches (BM/GIF/RIFF/FAKE prefixes);
+PNG and JPEG magic bytes are invalid UTF-8 leads and can never occur in
+text-derived payloads. Everything the pipeline does — batch shape, schema, hashing,
 feature arithmetic — is bit-reproducible in ANSI SQL, so this is a full
 value-hash oracle row, not a rows-only pass.
 
@@ -25,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from codegraphdb_spark.operators.multimodal import _fake_decode, _fake_feature
+from codegraphdb_spark.operators.multimodal import _fake_feature, parse_header
 from codegraphdb_spark.registry import query
 from codegraphdb_spark.sources.tables import load_table
 
@@ -45,7 +48,7 @@ def decode_payloads(payloads: DataFrame) -> DataFrame:
             out = {k: [] for k in ("doc_id", "n_bytes", "format", "content_hash", "f0")}
             for doc_id, content in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(content)
-                fmt, _w, _h = _fake_decode(payload)
+                fmt, _w, _h = parse_header(payload)
                 out["doc_id"].append(doc_id)
                 out["n_bytes"].append(len(payload))
                 out["format"].append(fmt)
@@ -62,9 +65,16 @@ def decode_payloads(payloads: DataFrame) -> DataFrame:
     WITH m AS (
       SELECT doc_id,
              OCTET_LENGTH(CAST(text AS BLOB)) AS n_bytes,
-             CASE WHEN text LIKE 'FAKE%'
-                       AND OCTET_LENGTH(CAST(text AS BLOB)) >= 8
-                  THEN 'fake' ELSE 'unknown' END AS format,
+             CASE
+               WHEN text LIKE 'BM%'
+                    AND OCTET_LENGTH(CAST(text AS BLOB)) >= 26 THEN 'bmp'
+               WHEN (text LIKE 'GIF87a%' OR text LIKE 'GIF89a%')
+                    AND OCTET_LENGTH(CAST(text AS BLOB)) >= 10 THEN 'gif'
+               WHEN text LIKE 'RIFF%' AND substr(text, 9, 4) = 'WAVE' THEN 'wav'
+               WHEN text LIKE 'FAKE%'
+                    AND OCTET_LENGTH(CAST(text AS BLOB)) >= 8 THEN 'fake'
+               ELSE 'unknown'
+             END AS format,
              md5(text) AS content_hash,
              CAST(CAST('0x' || substr(sha256(text), 1, 8) AS BIGINT) AS DOUBLE)
                / 4294967296 AS f0

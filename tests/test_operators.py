@@ -111,6 +111,38 @@ def test_multimodal_decode_plumbing(spark, tmp_path):
     assert dups.filter(F.col("n_copies") == 2).count() == 1
 
 
-def test_real_decode_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        multimodal._real_decode(b"anything")
+def test_parse_header_real_formats():
+    """The decode kernel is real stdlib header parsing — hand-assembled
+    minimal containers for every supported format."""
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 640, 480, 8, 2, 0, 0, 0)
+        + b"\x00" * 4
+    )
+    assert multimodal.parse_header(png) == ("png", 640, 480)
+
+    jpeg = (
+        b"\xff\xd8"                                   # SOI
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9  # APP0
+        + b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"                 # DHT (skip)
+        + b"\xff\xc0" + struct.pack(">H", 11)          # SOF0
+        + b"\x08" + struct.pack(">HH", 1080, 1920) + b"\x03\x00\x00\x00"
+        + b"\xff\xd9"
+    )
+    assert multimodal.parse_header(jpeg) == ("jpeg", 1920, 1080)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert multimodal.parse_header(gif) == ("gif", 320, 200)
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600) + b"\x00" * 4
+    assert multimodal.parse_header(bmp) == ("bmp", 800, 600)  # top-down DIB
+
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+    )
+    assert multimodal.parse_header(wav) == ("wav", 44100, 2)
+
+    assert multimodal.parse_header(b"\xff\xd8\xff\xd9") == ("jpeg", -1, -1)
+    assert multimodal.parse_header(b"plain text") == ("unknown", -1, -1)
