@@ -71,6 +71,7 @@ class GraphEngine:
         imports = facts.filter(F.col("fact") == "import")
         refs = facts.filter(F.col("fact") == "ref")
         assigns = facts.filter(F.col("fact") == "assign")
+        returns = facts.filter(F.col("fact") == "returns")
 
         # INHERITS first: its resolution (classes × bases — tiny) feeds the
         # transitive-bases closure, which both the deep CALL/USES pass (A4:
@@ -91,6 +92,7 @@ class GraphEngine:
             assigns=assigns,
             method_map=method_map,
             small=self.small_repo,
+            returns=returns,
         ).unionByName(resolved_inh).withColumn(
             "versions", F.array(F.lit(version))
         )

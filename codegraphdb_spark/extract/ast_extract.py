@@ -121,14 +121,28 @@ class _Extractor(ast.NodeVisitor):
         f["class"] = bind_key
         self.facts.append(f)
 
-    def assign_fact(self, bind_key: str, type_expr: str, lineno: int) -> None:
+    def assign_fact(self, bind_key: str, type_expr: str | None, lineno: int) -> None:
         """A4 type-propagation fact: ``bind_key`` (scope::var for locals,
-        Class.attr for instance fields) was assigned an instance of
-        ``type_expr`` (textual ctor / annotation target, resolved against
-        the symbol table in the deep pass — the join-based stand-in for
-        jedi's inference, reference indexer_visitor.py:125-157)."""
+        Class.attr for class/instance fields) was (re)bound — to an
+        instance of ``type_expr`` (textual ctor / annotation target,
+        resolved against the symbol table in the deep pass — the join-based
+        stand-in for jedi's inference, reference indexer_visitor.py:125-157)
+        when one is statically visible, else to an UNKNOWN type
+        (``type_expr`` None). Unknown rebinds matter as much as known ones:
+        they are POISON rows that stop the deep pass from resolving through
+        a binding that Python shadowing has invalidated."""
         f = self._base()
         f.update(fact="assign", full_name=bind_key, dst=type_expr,
+                 module=self.module, file_path=self.path, code_start=lineno)
+        self.facts.append(f)
+
+    def returns_fact(self, func_full_name: str, type_expr: str, lineno: int) -> None:
+        """A4 return-type fact: calling ``func_full_name`` yields an
+        instance of ``type_expr`` (the dotted return annotation) — lets
+        ``x = make_animal(); x.speak()`` resolve like jedi does on the
+        reference's deep path (indexer_visitor.py:125-157)."""
+        f = self._base()
+        f.update(fact="returns", full_name=func_full_name, dst=type_expr,
                  module=self.module, file_path=self.path, code_start=lineno)
         self.facts.append(f)
 
@@ -207,6 +221,25 @@ class _Extractor(ast.NodeVisitor):
                            signature=_signature(self.lines, node))
             if self.in_module_scope:
                 self.edge_fact(self.module, "CONTAINS", full, assoc="FUNCTION")
+        if node.returns is not None:
+            ret = _dotted(node.returns)
+            if ret:
+                self.returns_fact(full, ret, node.lineno)
+        # parameters are local bindings: annotated ones carry a usable
+        # type (def f(a: Animal) → a.speak() resolves); unannotated ones
+        # are poison rows so a parameter shadowing a module-global binding
+        # never resolves through the global (ADVICE r2)
+        args = node.args
+        params = (
+            list(getattr(args, "posonlyargs", ())) + args.args + args.kwonlyargs
+        )
+        if args.vararg is not None:
+            params.append(args.vararg)
+        if args.kwarg is not None:
+            params.append(args.kwarg)
+        for p in params:
+            ann = _dotted(p.annotation) if p.annotation is not None else None
+            self.assign_fact(f"{full}::{p.arg}", ann, node.lineno)
         self.func_stack.append(full)
         for child in node.body:
             self.visit(child)
@@ -245,11 +278,19 @@ class _Extractor(ast.NodeVisitor):
             else:
                 flat.append(t)
         for t in flat:
-            if type_expr is not None and isinstance(t, ast.Name):
-                self.assign_fact(f"{self.scope}::{t.id}", type_expr, node.lineno)
+            # emit a binding fact for EVERY target, even with no statically
+            # visible type (type_expr None → poison row): an untyped rebind
+            # shadows any earlier/global binding of the same name
+            if isinstance(t, ast.Name):
+                if self.class_stack and not self.func_stack:
+                    # class-body attribute ('class C: x: Foo') — the field
+                    # key self-references use (C.x), not the scope key
+                    key = f"{self.class_stack[-1]}.{t.id}"
+                else:
+                    key = f"{self.scope}::{t.id}"
+                self.assign_fact(key, type_expr, node.lineno)
             elif (
-                type_expr is not None
-                and isinstance(t, ast.Attribute)
+                isinstance(t, ast.Attribute)
                 and isinstance(t.value, ast.Name)
                 and t.value.id == "self"
                 and self.class_stack

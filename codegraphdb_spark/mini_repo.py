@@ -87,7 +87,8 @@ def broken(:
 # --- deep-resolution fixture (A4): calls through instance variables -----
 # Exercises every propagation shape the join-based deep pass supports:
 # local-var ctor binding, instance-field ctor binding, annotation binding,
-# and an inherited method reached through a binding (method-map hit).
+# an inherited method reached through a binding (method-map hit), and a
+# factory-function return-type binding (a = make_animal(); a.describe()).
 # Kept SEPARATE from V1/V2 so the long-standing golden oracles above are
 # untouched by fixture growth.
 
@@ -125,6 +126,15 @@ def adopt():
     pup = Puppy("pup")
     pup.describe()
     return pup.lick()
+
+
+def make_animal() -> Animal:
+    return Animal("new")
+
+
+def visit():
+    a = make_animal()
+    return a.describe()
 
 
 class Keeper:

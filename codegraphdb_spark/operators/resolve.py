@@ -187,18 +187,50 @@ def _resolve_targets(
     )
 
 
+def return_types(
+    returns: DataFrame,
+    imports: DataFrame,
+    symbols: DataFrame,
+    small: bool = False,
+) -> DataFrame:
+    """A4 return-type table: returns facts (function full_name, dotted
+    return annotation) → (fn_name, ret_cls) for annotations that resolve
+    to a CLASS. One join pass — the static stand-in for jedi's
+    return-type inference (reference indexer_visitor.py:125-157)."""
+    sym = symbols.select(
+        F.col("full_name").alias("sym_name"), F.col("kind").alias("sym_kind")
+    )
+    r = returns.select(
+        F.col("full_name").alias("fn_name"),
+        F.col("dst").alias("target"),
+        F.col("module").alias("ref_module"),
+    )
+    resolved = _resolve_targets(r, imports, sym, small).filter(
+        F.col("resolved_kind") == "CLASS"
+    )
+    return resolved.select(
+        "fn_name", F.col("resolved").alias("ret_cls")
+    ).dropDuplicates(["fn_name"])
+
+
 def class_bindings(
     assigns: DataFrame,
     imports: DataFrame,
     symbols: DataFrame,
     small: bool = False,
+    returns: DataFrame | None = None,
 ) -> DataFrame:
     """A4 phase 1: assign facts (bind_key, textual type expr) → the CLASS
-    full_name each binding holds an instance of. The textual type goes
-    through the same precedence chain as any reference; non-CLASS
-    resolutions are discarded (``x = helper()`` propagates nothing — the
-    return-type-inference gap vs jedi, documented in STATUS). Last
-    assignment per key wins, by statement ordinal."""
+    full_name each binding holds an instance of, or NULL for a binding
+    whose type is unknown (POISON row — an untyped rebind or unannotated
+    parameter shadows outer bindings of the same name rather than
+    resolving through them, matching Python scoping; ADVICE r2).
+
+    The textual type goes through the same precedence chain as any
+    reference. A type expr resolving to a FUNCTION/METHOD consults
+    ``return_types`` — ``x = make_animal()`` binds x to the annotated
+    return class, like jedi. Last assignment per key wins, by statement
+    ordinal; a known type beats a poison row on the same ordinal."""
     sym = symbols.select(
         F.col("full_name").alias("sym_name"), F.col("kind").alias("sym_kind")
     )
@@ -208,16 +240,33 @@ def class_bindings(
         F.col("module").alias("ref_module"),
         F.col("code_start").alias("__ord"),
     )
-    resolved = _resolve_targets(a, imports, sym, small).filter(
-        F.col("resolved_kind") == "CLASS"
+    resolved = _resolve_targets(a, imports, sym, small)
+    if returns is not None:
+        ret = return_types(returns, imports, symbols, small)
+        resolved = resolved.join(
+            _maybe_b(
+                ret.select(
+                    F.col("fn_name").alias("__rt_fn"),
+                    F.col("ret_cls").alias("__rt_cls"),
+                ),
+                small,
+            ),
+            F.col("resolved") == F.col("__rt_fn"),
+            "left",
+        )
+    else:
+        resolved = resolved.withColumn("__rt_cls", F.lit(None).cast("string"))
+    bound = F.when(F.col("resolved_kind") == "CLASS", F.col("resolved")).when(
+        F.col("resolved_kind").isin("FUNCTION", "METHOD"), F.col("__rt_cls")
     )
+    resolved = resolved.withColumn("__bound", bound)
     w = Window.partitionBy("bind_key").orderBy(
-        F.col("__ord").desc_nulls_last(), F.col("resolved")
+        F.col("__ord").desc_nulls_last(), F.col("__bound").asc_nulls_last()
     )
     return (
         resolved.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select("bind_key", F.col("resolved").alias("bound_cls"))
+        .select("bind_key", F.col("__bound").alias("bound_cls"))
     )
 
 
@@ -233,7 +282,13 @@ def _deep_overlay(
     ``bound_cls.rest`` and re-validated — against the symbol table, then
     against ``method_map`` (derived_name → inherited method) so calls to
     methods a class only INHERITS still land on the defining base. A deep
-    hit overrides the step 1-4 result (locals shadow imports/globals)."""
+    hit overrides the step 1-4 result (locals shadow imports/globals).
+
+    The module-global fallback is consulted ONLY when no local-key row
+    exists at all: a poison row (local rebind of unknown type, unannotated
+    parameter) matches locally with a null ``bound_cls`` and thereby
+    SUPPRESSES the fallback — Python local shadowing must not fabricate an
+    edge through a same-named module global (ADVICE r2)."""
     keep = r.columns
     # local binding, then module-global fallback (scope::head → module::head)
     fallback = F.when(
@@ -262,7 +317,10 @@ def _deep_overlay(
         F.col("__fb_key") == F.col("__k2"),
         "left",
     )
-    bound = F.coalesce("__cls1", "__cls2")
+    # local row (even a poison one) wins over the module-global fallback
+    bound = F.when(F.col("__k1").isNotNull(), F.col("__cls1")).otherwise(
+        F.col("__cls2")
+    )
     # the prefix the binding replaces: 'head' for scope::head keys, the
     # full Class.attr name for field keys
     prefix = F.when(
@@ -321,6 +379,7 @@ def resolve_refs(
     assigns: DataFrame | None = None,
     method_map: DataFrame | None = None,
     small: bool = False,
+    returns: DataFrame | None = None,
 ) -> DataFrame:
     """refs(full_name=src, kind=CALL|USES|INHERITS, dst=textual target,
     module, class=instance-binding key) → resolved edge facts
@@ -344,7 +403,7 @@ def resolve_refs(
 
     r = _resolve_targets(r, imports, sym, small)
     if assigns is not None:
-        bnd = class_bindings(assigns, imports, symbols, small)
+        bnd = class_bindings(assigns, imports, symbols, small, returns=returns)
         r = _deep_overlay(r, bnd, sym, method_map, small)
 
     out = r.select("src", "rel_type", "resolved", "resolved_kind")

@@ -545,7 +545,9 @@ def _deep_graph(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
       ('zoo.app.Keeper.tend', 'zoo.animals.Trainer.train'),
       ('zoo.app.adopt', 'zoo.animals.Animal.describe'),
       ('zoo.app.adopt', 'zoo.app.Puppy.lick'),
-      ('zoo.app.run', 'zoo.animals.Animal.speak')
+      ('zoo.app.run', 'zoo.animals.Animal.speak'),
+      ('zoo.app.visit', 'zoo.animals.Animal.describe'),
+      ('zoo.app.visit', 'zoo.app.make_animal')
     ) t(src, dst) ORDER BY src, dst
     """,
 )
@@ -556,8 +558,11 @@ def g_call_edges_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pet = Animal(); pet.speak()`` (local ctor), ``self.coach =
     Trainer(); self.coach.train()`` (field ctor), ``self.buddy: Animal``
     (annotation), and ``pup.describe()`` resolving to a method Puppy only
-    INHERITS (method-map hit). ``a.speak()`` on an untyped parameter stays
-    unsolved — the documented inference gap vs jedi."""
+    INHERITS (method-map hit). Since round 3 it also covers the factory
+    shape ``a = make_animal(); a.describe()`` via annotation-derived
+    return types (operators/resolve.return_types). ``a.speak()`` on an
+    untyped parameter stays unsolved — jedi infers from call sites; the
+    join-based pass deliberately does not."""
     _, edges = _deep_graph(spark)
     return (
         edges.filter(F.col("rel_type") == "CALL")

@@ -33,7 +33,18 @@ def test_assign_facts_emitted():
         ("zoo.app.adopt::pup", "Puppy"),
         ("zoo.app.Keeper.coach", "Trainer"),
         ("zoo.app.Keeper.buddy", "Animal"),
+        # factory call: binds through make_animal's return annotation
+        ("zoo.app.visit::a", "make_animal"),
+        # unannotated parameters emit POISON bindings (type None): they
+        # shadow, never resolve (ADVICE r2)
+        ("zoo.app.Keeper.__init__::self", None),
+        ("zoo.app.Keeper.tend::self", None),
+        ("zoo.app.Puppy.lick::self", None),
     }
+    returns = {
+        (f["full_name"], f["dst"]) for f in facts if f["fact"] == "returns"
+    }
+    assert returns == {("zoo.app.make_animal", "Animal")}
 
 
 def test_ref_bind_keys():
@@ -70,6 +81,9 @@ def test_deep_call_edges(deep_graph):
         ("zoo.app.Keeper.tend", "zoo.animals.Animal.speak"),
         # untyped parameter — the documented gap vs jedi
         ("zoo.animals.Trainer.train", "unsolved symbol"),
+        # factory: direct call edge + return-type-propagated method call
+        ("zoo.app.visit", "zoo.app.make_animal"),
+        ("zoo.app.visit", "zoo.animals.Animal.describe"),
     }
 
 
@@ -102,3 +116,79 @@ def test_last_assignment_wins(spark):
         ).collect()
     }
     assert calls == {("zoo.client.f", "zoo.animals.Animal.speak")}
+
+
+def test_local_shadowing_suppresses_global_fallback(spark):
+    """ADVICE r2 (medium): a local rebind of unknown type — or a parameter
+    — named like a ctor-bound module global must NOT resolve through the
+    module-global binding. jedi would not fabricate these edges."""
+    src = (
+        "from zoo.animals import Animal\n"
+        "x = Animal('global')\n"
+        "def unknown_rebind():\n"
+        "    x = external()\n"
+        "    return x.speak()\n"
+        "def param_shadow(x):\n"
+        "    return x.speak()\n"
+        "def uses_global():\n"
+        "    return x.speak()\n"
+    )
+    files = mini_repo.DEEP_V1[:2] + [("zoo/client.py", src)]
+    eng = GraphEngine(spark)
+    _, edges, _ = eng.build(files_from_pairs(spark, files), "v1")
+    calls = {
+        (r.src, r.dst)
+        for r in edges.filter(
+            (F.col("rel_type") == "CALL")
+            & F.col("src").startswith("zoo.client.")
+        ).collect()
+    }
+    # the unshadowed function DOES resolve through the module global...
+    assert ("zoo.client.uses_global", "zoo.animals.Animal.speak") in calls
+    # ...the shadowed ones do not
+    assert ("zoo.client.unknown_rebind", "zoo.animals.Animal.speak") not in calls
+    assert ("zoo.client.param_shadow", "zoo.animals.Animal.speak") not in calls
+
+
+def test_annotated_parameter_binds(spark):
+    """def f(a: Animal): a.speak() resolves through the param annotation —
+    the positive side of parameter bindings."""
+    src = (
+        "from zoo.animals import Animal\n"
+        "def greet(a: Animal):\n"
+        "    return a.speak()\n"
+    )
+    files = mini_repo.DEEP_V1[:2] + [("zoo/client.py", src)]
+    eng = GraphEngine(spark)
+    _, edges, _ = eng.build(files_from_pairs(spark, files), "v1")
+    calls = {
+        (r.src, r.dst)
+        for r in edges.filter(
+            (F.col("rel_type") == "CALL") & (F.col("src") == "zoo.client.greet")
+        ).collect()
+    }
+    assert calls == {("zoo.client.greet", "zoo.animals.Animal.speak")}
+
+
+def test_class_body_annotation_is_field_key(spark):
+    """'class C: pet: Animal' emits the C.pet FIELD key, so self.pet.…
+    resolves through the class-level annotation (ADVICE r2, dataclass
+    idiom)."""
+    src = (
+        "from zoo.animals import Animal\n"
+        "class Shelter:\n"
+        "    pet: Animal\n"
+        "    def open(self):\n"
+        "        return self.pet.speak()\n"
+    )
+    files = mini_repo.DEEP_V1[:2] + [("zoo/client.py", src)]
+    eng = GraphEngine(spark)
+    _, edges, _ = eng.build(files_from_pairs(spark, files), "v1")
+    calls = {
+        (r.src, r.dst)
+        for r in edges.filter(
+            (F.col("rel_type") == "CALL")
+            & (F.col("src") == "zoo.client.Shelter.open")
+        ).collect()
+    }
+    assert calls == {("zoo.client.Shelter.open", "zoo.animals.Animal.speak")}

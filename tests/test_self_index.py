@@ -57,3 +57,14 @@ def test_known_symbols_resolved(self_graph):
     }
     assert "engine.GraphEngine.build" in methods
     assert "engine.GraphEngine.update_version" in methods
+
+
+def test_scan_decodes_special_path_chars(spark, tmp_path):
+    """Paths with '+', spaces, and %-escapes round-trip through the
+    URI-encoded input_file_name(): '+' must NOT decode to a space
+    (form-encoding semantics) or git-diff change lists never match."""
+    (tmp_path / "a+b.py").write_text("X = 1\n")
+    (tmp_path / "with space.py").write_text("Y = 2\n")
+    (tmp_path / "pct%20odd.py").write_text("Z = 3\n")
+    paths = {r["path"] for r in scan_repo(spark, str(tmp_path)).collect()}
+    assert paths == {"a+b.py", "with space.py", "pct%20odd.py"}
