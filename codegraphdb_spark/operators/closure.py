@@ -34,11 +34,25 @@ MAX_ITERATIONS = 40
 BLIND_ROUNDS = 2
 
 
-def _double(acc: DataFrame) -> DataFrame:
+def _compose(acc: DataFrame) -> DataFrame:
+    """Min-plus composition step: paths a→b and b→c give a→c at summed
+    distance (the doubling round for shortest-hop-count closure)."""
     return (
         acc.alias("a")
         .join(acc.alias("b"), F.col("a.ancestor") == F.col("b.cls"))
-        .select(F.col("a.cls").alias("cls"), F.col("b.ancestor").alias("ancestor"))
+        .select(
+            F.col("a.cls").alias("cls"),
+            F.col("b.ancestor").alias("ancestor"),
+            (F.col("a.dist") + F.col("b.dist")).alias("dist"),
+        )
+    )
+
+
+def _min_union(a: DataFrame, b: DataFrame) -> DataFrame:
+    return (
+        a.unionByName(b)
+        .groupBy("cls", "ancestor")
+        .agg(F.min("dist").alias("dist"))
     )
 
 
@@ -49,36 +63,46 @@ def _double(acc: DataFrame) -> DataFrame:
 DRIVER_CLOSURE_LIMIT = 200_000
 
 
-def _driver_closure(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
-    """Exact transitive closure over (cls, ancestor) pairs, driver-side.
-    Iterative BFS per class over the (tiny) parent adjacency; cycles are
-    tolerated via the visited set."""
+def _driver_closure(pairs: list[tuple[str, str]]) -> list[tuple[str, str, int]]:
+    """Exact transitive closure over (cls, ancestor) pairs, driver-side,
+    with MINIMAL HOP DISTANCE per pair (BFS visits in nondecreasing
+    depth). Cycles are tolerated via the visited map."""
+    from collections import deque
+
     parents: dict[str, set[str]] = {}
     for cls, anc in pairs:
         parents.setdefault(cls, set()).add(anc)
-    out: list[tuple[str, str]] = []
+    out: list[tuple[str, str, int]] = []
     for cls in parents:
-        seen: set[str] = set()
-        stack = list(parents[cls])
-        while stack:
-            anc = stack.pop()
-            if anc in seen:
+        depth: dict[str, int] = {}
+        q = deque((p, 1) for p in sorted(parents[cls]))
+        while q:
+            anc, d = q.popleft()
+            if anc in depth:
                 continue
-            seen.add(anc)
-            stack.extend(parents.get(anc, ()))
-        out.extend((cls, anc) for anc in seen)
+            depth[anc] = d
+            q.extend((p, d + 1) for p in parents.get(anc, ()))
+        out.extend((cls, anc, d) for anc, d in depth.items())
     return out
 
 
-def transitive_bases(edges: DataFrame) -> DataFrame:
-    """(cls, ancestor) pairs over the INHERITS DAG to fixpoint.
+def transitive_bases(edges: DataFrame, force_distributed: bool = False) -> DataFrame:
+    """(cls, ancestor, dist) triples over the INHERITS DAG to fixpoint,
+    ``dist`` = minimal hop count (1 = direct base) — consumed by
+    inherited_method_map's nearest-ancestor-wins ordering (the MRO
+    approximation, ADVICE r2).
 
     Hybrid strategy: the INHERITS table is the one graph-shaped input that
     is ALWAYS small relative to the corpus (classes × direct bases), so
     sub-threshold graphs take a driver-side exact closure — one collect,
-    zero fixpoint actions. Larger graphs fall back to distributed PATH
-    DOUBLING — A_{k+1} = A_k ∪ (A_k ∘ A_k) — converging in O(log depth)
-    rounds with lineage checkpoints (SURVEY §7.3 hard part a)."""
+    zero fixpoint actions. Larger graphs fall back to distributed MIN-PLUS
+    PATH DOUBLING — A_{k+1} = min(A_k ∪ (A_k ∘ A_k)) — converging in
+    O(log depth) rounds with lineage checkpoints (SURVEY §7.3 hard
+    part a).
+
+    ``force_distributed=True`` skips the driver fast path regardless of
+    size — used by the crossover benchmark (tools/stress_graph.py) and the
+    path-equality test that keep DRIVER_CLOSURE_LIMIT honest."""
     inherits = (
         edges.filter(F.col("rel_type") == "INHERITS")
         .select(F.col("src").alias("cls"), F.col("dst").alias("ancestor"))
@@ -87,10 +111,14 @@ def transitive_bases(edges: DataFrame) -> DataFrame:
     spark = inherits.sparkSession
     # ONE action decides the strategy AND fetches the small case's data:
     # limit(L+1) returning ≤ L rows proves the set is complete
-    sample = inherits.limit(DRIVER_CLOSURE_LIMIT + 1).collect()
-    if len(sample) <= DRIVER_CLOSURE_LIMIT:
+    sample = (
+        []
+        if force_distributed
+        else inherits.limit(DRIVER_CLOSURE_LIMIT + 1).collect()
+    )
+    if not force_distributed and len(sample) <= DRIVER_CLOSURE_LIMIT:
         closed = _driver_closure([(r.cls, r.ancestor) for r in sample])
-        schema = "cls string, ancestor string"
+        schema = "cls string, ancestor string, dist int"
         if not closed:
             return spark.createDataFrame([], schema)
         # pandas input → JVM LocalTableScan; a plain-list createDataFrame
@@ -98,19 +126,22 @@ def transitive_bases(edges: DataFrame) -> DataFrame:
         # downstream action over the closure
         import pandas as pd
 
-        closed_pdf = pd.DataFrame(closed, columns=["cls", "ancestor"])
+        closed_pdf = pd.DataFrame(closed, columns=["cls", "ancestor", "dist"])
         return spark.createDataFrame(closed_pdf, schema).coalesce(
             max(1, min(len(closed) // 10_000, 32))
         )
-    acc = inherits.localCheckpoint(eager=True)
+    acc = inherits.withColumn("dist", F.lit(1).cast("int")).localCheckpoint(
+        eager=True
+    )
     for _ in range(BLIND_ROUNDS):
-        acc = acc.unionByName(_double(acc)).dropDuplicates()
+        acc = _min_union(acc, _compose(acc))
     acc = acc.localCheckpoint(eager=True)
     for _ in range(MAX_ITERATIONS):
-        hop = _double(acc).dropDuplicates().exceptAll(acc)
-        if hop.isEmpty():
+        new = _min_union(acc, _compose(acc)).localCheckpoint(eager=True)
+        # fixpoint when no pair was added AND no distance improved
+        if new.exceptAll(acc).isEmpty():
             break
-        acc = acc.unionByName(hop).dropDuplicates().localCheckpoint(eager=True)
+        acc = new
     return acc
 
 
@@ -119,25 +150,28 @@ def inherited_method_map(bases: DataFrame, edges: DataFrame) -> DataFrame:
     with transitive ancestor A owning non-__init__ method A.m yields
     ``C.m → A.m`` — so a call through an instance of C to a method C only
     inherits resolves to the defining base. When several ancestors define
-    the same short name (diamond), the lexicographically-first method wins
-    — deterministic, and overridden anyway whenever C defines m itself
-    (the symbol table outranks this map in the overlay)."""
+    the same short name (diamond), the NEAREST ancestor wins (min hop
+    distance from the closure — the MRO approximation, ADVICE r2), with a
+    lexicographic tie-break at equal depth — deterministic, and overridden
+    anyway whenever C defines m itself (the symbol table outranks this map
+    in the overlay)."""
     direct = (
         edges.filter(F.col("rel_type") == "HAS_METHOD")
         .select(F.col("src").alias("m_owner"), F.col("dst").alias("method"))
         .withColumn("short", F.element_at(F.split("method", r"\."), -1))
         .filter(F.col("short") != "__init__")
     )
-    w = Window.partitionBy("derived_name").orderBy("method_name")
+    w = Window.partitionBy("derived_name").orderBy("dist", "method_name")
     return (
         bases.join(direct, bases.ancestor == direct.m_owner)
         .select(
             F.concat_ws(".", "cls", "short").alias("derived_name"),
             F.col("method").alias("method_name"),
+            "dist",
         )
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "dist")
     )
 
 
