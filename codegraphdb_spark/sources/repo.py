@@ -34,12 +34,15 @@ def scan_repo(spark: SparkSession, root: str) -> DataFrame:
     # input_file_name() yields a URL-ENCODED file:///abs/path URI — decode
     # before stripping the prefix, or paths with spaces/percent-escapes
     # keep the encoded form and never match git-diff change lists or the
-    # repo-relative paths hydrate_code joins on
+    # repo-relative paths hydrate_code joins on. url_decode is
+    # form-encoding ('+' → space), but the URI form leaves literal '+'
+    # unencoded — protect it first so 'a+b.py' survives (ADVICE r2).
     prefix = "file://" + (root if root.endswith("/") else root + "/")
+    decoded = F.url_decode(
+        F.regexp_replace(F.input_file_name(), r"\+", "%2B")
+    )
     return df.select(
-        F.regexp_replace(
-            F.url_decode(F.input_file_name()), "^" + re.escape(prefix), ""
-        ).alias("path"),
+        F.regexp_replace(decoded, "^" + re.escape(prefix), "").alias("path"),
         F.col("value").alias("content"),
     )
 
