@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -52,7 +54,13 @@ def _dot_scaled(vec: Column, plane: list[float]) -> Column:
 
 
 def signature(vec: Column, dim: int, table: int, n_bits: int = 8) -> Column:
-    """n_bits sign bits against fixed hyperplanes → int signature."""
+    """n_bits sign bits against fixed hyperplanes → int signature.
+
+    Reference semantics for the vectorized kernel in ``lsh_bucket`` (which
+    replaces this column form in the hot path: the inlined plane literals
+    make a ~n_bits×dim-node Catalyst tree that costs more to analyze per
+    run than to execute, and higher-order lambdas evaluate interpreted,
+    outside whole-stage codegen)."""
     bits = [
         F.when(_dot_scaled(vec, _plane(table, b, dim)) >= 0, 1 << b).otherwise(0)
         for b in range(n_bits)
@@ -72,21 +80,39 @@ def lsh_bucket(
     n_bits: int = 8,
 ) -> DataFrame:
     """Corpus → (id, vec, table, sig) bucket assignments (one row per
-    table). Pure column math: no UDF, no shuffle until the consumer joins."""
+    table), via ONE Arrow-batched pandas UDF computing every table's
+    signature per row (a (batch, tables·bits, dim) numpy product), then a
+    posexplode — no per-table union, no interpreted fold. Arithmetic is
+    bit-identical to ``signature``: per-product HALF_UP rounding at
+    _SIG_SCALE into int64, so the DuckDB oracle and the column form assign
+    the SAME buckets."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [[_plane(t, b, dim) for b in range(n_bits)] for t in range(n_tables)]
+    ).reshape(n_tables * n_bits, dim)  # (T·B, D)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))[None, None, :]
+
+    @pandas_udf("array<int>")
+    def _sigs(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy())  # (n, D)
+        prods = m[:, None, :] * planes[None, :, :] * float(_SIG_SCALE)
+        # HALF_UP (away from zero), matching Spark F.round and DuckDB ROUND
+        scaled = (np.floor(np.abs(prods) + 0.5) * np.sign(prods)).astype(np.int64)
+        dots = scaled.sum(axis=2).reshape(len(m), n_tables, n_bits)
+        sigs = ((dots >= 0) * weights).sum(axis=2).astype(np.int32)
+        return pd.Series(list(sigs))
+
     v = F.col(vec_col).cast("array<double>")
-    per_table = [
-        embeddings.select(
-            F.col(id_col).alias("vec_id"),
-            v.alias("vec"),
-            F.lit(t).alias("table"),
-            signature(v, dim, t, n_bits).alias("sig"),
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"), v.alias("vec"))
+        .withColumn("__sigs", _sigs(F.col("vec")))
+        .select(
+            "vec_id",
+            "vec",
+            F.posexplode("__sigs").alias("table", "sig"),
         )
-        for t in range(n_tables)
-    ]
-    out = per_table[0]
-    for df in per_table[1:]:
-        out = out.unionByName(df)
-    return out
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:
