@@ -37,13 +37,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long and truncate to microseconds
-        # (identical to DuckDB's ns→us cast, so oracles agree).
+        # events.parquet's ts physical type has varied across fixture
+        # generations: TIMESTAMP(NANOS) (vectorized reader rejects it —
+        # read nanos as long, truncate to micros, same as DuckDB's ns→us
+        # cast) or plain timestamp[us] without tz (Spark reads
+        # TIMESTAMP_NTZ, which disallows cast-to-long). Normalize both to
+        # TimestampType; the session tz is pinned to UTC so NTZ→LTZ is a
+        # value-preserving bijection and oracles agree.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
