@@ -37,7 +37,13 @@ from codegraphdb_spark.operators.merge import (
     stamp_version,
     synthesize_endpoints,
 )
-from codegraphdb_spark.operators.resolve import reexport_contains, resolve_refs
+from codegraphdb_spark.operators.resolve import (
+    _deep_overlay,
+    base_resolution,
+    class_bindings_post,
+    gate_edges,
+    reexport_contains,
+)
 
 
 class GraphEngine:
@@ -59,41 +65,51 @@ class GraphEngine:
     def compile(self, facts: DataFrame, version: str) -> tuple[DataFrame, DataFrame]:
         """facts → (nodes, edges) for one version.
 
-        nodes and the pre-closure edge set are checkpointed: the resolver
-        probes the symbol table three times and the E1 fixpoint re-reads
-        edges every iteration — without truncation each action would replay
-        the whole extract+merge lineage."""
+        The pipeline pays for exactly TWO heavyweight materializations:
+        the merged symbol table (nodes) and the base resolution (every
+        textual target — refs, assign type exprs, return annotations —
+        through the precedence chain in one pass). Everything downstream
+        (return-type table, class bindings, deep overlay, edge gating,
+        E1/E2 closures) is post-processing on those checkpointed results,
+        so no later action re-optimizes or re-executes the deep resolution
+        plan — which measured at 20-30 s of driver planning PER ACTION on
+        even a toy repo when left lazy."""
         facts = facts.cache()
         nodes = merge_node_facts(
             facts.filter(F.col("fact") == "node"), version
         ).localCheckpoint(eager=True)
         local_edges = merge_edge_facts(facts.filter(F.col("fact") == "edge"), version)
         imports = facts.filter(F.col("fact") == "import")
-        refs = facts.filter(F.col("fact") == "ref")
-        assigns = facts.filter(F.col("fact") == "assign")
-        returns = facts.filter(F.col("fact") == "returns")
 
-        # INHERITS first: its resolution (classes × bases — tiny) feeds the
-        # transitive-bases closure, which both the deep CALL/USES pass (A4:
-        # instance bindings reaching inherited methods) and the E1 closure
-        # reuse — ONE closure computation per compile
-        resolved_inh = resolve_refs(
-            refs.filter(F.col("kind") == "INHERITS"),
+        base = base_resolution(
+            facts.filter(F.col("fact") == "ref"),
+            facts.filter(F.col("fact") == "assign"),
+            facts.filter(F.col("fact") == "returns"),
             imports,
             nodes,
             small=self.small_repo,
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
+
+        sym = nodes.select(
+            F.col("full_name").alias("sym_name"), F.col("kind").alias("sym_kind")
+        )
+        ref_rows = base.filter(F.col("__tag") == "ref")
+        # INHERITS gates first: the resolved hierarchy (classes × bases —
+        # tiny) feeds the transitive-bases closure, which the deep
+        # CALL/USES overlay (A4: instance bindings reaching inherited
+        # methods) and the E1 closure both reuse — ONE closure per compile
+        resolved_inh = gate_edges(ref_rows.filter(F.col("rel_type") == "INHERITS"))
         bases = transitive_bases(resolved_inh)
         method_map = inherited_method_map(bases, local_edges)
-        resolved = resolve_refs(
-            refs.filter(F.col("kind") != "INHERITS"),
-            imports,
-            nodes,
-            assigns=assigns,
-            method_map=method_map,
+        bnd = class_bindings_post(base, small=self.small_repo)
+        deep = _deep_overlay(
+            ref_rows.filter(F.col("rel_type") != "INHERITS"),
+            bnd,
+            sym,
+            method_map,
             small=self.small_repo,
-            returns=returns,
-        ).unionByName(resolved_inh).withColumn(
+        )
+        resolved = gate_edges(deep).unionByName(resolved_inh).withColumn(
             "versions", F.array(F.lit(version))
         )
         contains = local_edges.filter(F.col("rel_type") == "CONTAINS")
@@ -144,7 +160,14 @@ class GraphEngine:
     def build(self, files: DataFrame, version: str) -> tuple[DataFrame, DataFrame, DataFrame]:
         """Whole-repo build → (nodes, edges, facts). facts is returned so
         callers can persist it as the incremental-update cache."""
-        facts = self.extract(files).cache()
+        # localCheckpoint, not cache: compile references the facts ~10x
+        # (node/edge/import/ref/assign/returns filters, each joined several
+        # times) and a cache does NOT truncate the analyzed plan — every
+        # action would re-analyze the full extract subtree per reference.
+        # The checkpoint collapses it to a LogicalRDD. Facts are also the
+        # durable incremental-update intermediate, so materializing them
+        # is work the caller wants done anyway.
+        facts = self.extract(files).localCheckpoint(eager=True)
         nodes, edges = self.compile(facts, version)
         return nodes, edges, facts
 
@@ -163,7 +186,10 @@ class GraphEngine:
         recompile; merge versions with the old snapshot (B7 + B1)."""
         kept = old_facts.filter(~F.col("file_path").isin(change_list))
         fresh = self.extract(changed_files)
-        facts_new = kept.unionByName(fresh).cache()
+        # same lineage-truncation rationale as build(): the union of
+        # carried-forward + re-extracted facts otherwise deepens the plan
+        # every version, and compile embeds it ~10x
+        facts_new = kept.unionByName(fresh).localCheckpoint(eager=True)
         n2, e2 = self.compile(facts_new, new_version)
 
         stamped_nodes = stamp_version(old_nodes, new_version, change_list)

@@ -44,8 +44,16 @@ def _graph(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
         # overhead ~30x (restored after — the data queries are unaffected).
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        prev_wsc = spark.conf.get("spark.sql.codegen.wholeStage")
+        prev_fm = spark.conf.get("spark.sql.codegen.factoryMode")
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # Janino compilation of the deep resolution plans costs multiple
+        # seconds per action and buys nothing on an 11-file fixture —
+        # interpreted mode produces identical rows (results are
+        # checkpointed, so later queries are unaffected by these confs)
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
         try:
             eng = GraphEngine(spark, small_repo=True)
             n1, e1, f1 = eng.build(
@@ -80,6 +88,8 @@ def _graph(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            spark.conf.set("spark.sql.codegen.wholeStage", prev_wsc)
+            spark.conf.set("spark.sql.codegen.factoryMode", prev_fm)
     return _CACHE[key]
 
 
