@@ -19,6 +19,8 @@ partition-pruning analog of the reference's label-stamping walk.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -35,6 +37,7 @@ from codegraphdb_spark.operators.merge import (
     merge_node_facts,
     merge_snapshots,
     stamp_version,
+    sym_table_from_facts,
     synthesize_endpoints,
 )
 from codegraphdb_spark.operators.resolve import (
@@ -75,20 +78,52 @@ class GraphEngine:
         plan — which measured at 20-30 s of driver planning PER ACTION on
         even a toy repo when left lazy."""
         facts = facts.cache()
-        nodes = merge_node_facts(
-            facts.filter(F.col("fact") == "node"), version
-        ).localCheckpoint(eager=True)
+        node_facts = facts.filter(F.col("fact") == "node")
         local_edges = merge_edge_facts(facts.filter(F.col("fact") == "edge"), version)
         imports = facts.filter(F.col("fact") == "import")
 
-        base = base_resolution(
-            facts.filter(F.col("fact") == "ref"),
-            facts.filter(F.col("fact") == "assign"),
-            facts.filter(F.col("fact") == "returns"),
-            imports,
-            nodes,
-            small=self.small_repo,
-        ).localCheckpoint(eager=True)
+        # The resolver's symbol table comes from the raw node facts (same
+        # priority window — see sym_table_from_facts), NOT the merged node
+        # table, so the two expensive materializations of a compile — the
+        # merged nodes and the one-pass base resolution — have no data
+        # dependency and run as CONCURRENT jobs (Spark schedules jobs from
+        # separate driver threads independently; on a cluster they also
+        # overlap executor occupancy). This halves the critical path of the
+        # many-tiny-stages fixture build and costs nothing at scale.
+        sym_src = sym_table_from_facts(node_facts)
+        out: dict[str, DataFrame] = {}
+        errs: list[BaseException] = []
+
+        def _mk_nodes() -> None:
+            try:
+                out["nodes"] = merge_node_facts(node_facts, version).localCheckpoint(
+                    eager=True
+                )
+            except BaseException as e:  # noqa: BLE001 — re-raised on the caller thread
+                errs.append(e)
+
+        def _mk_base() -> None:
+            try:
+                out["base"] = base_resolution(
+                    facts.filter(F.col("fact") == "ref"),
+                    facts.filter(F.col("fact") == "assign"),
+                    facts.filter(F.col("fact") == "returns"),
+                    imports,
+                    sym_src,
+                    small=self.small_repo,
+                ).localCheckpoint(eager=True)
+            except BaseException as e:  # noqa: BLE001
+                errs.append(e)
+
+        t1 = threading.Thread(target=_mk_nodes)
+        t2 = threading.Thread(target=_mk_base)
+        t1.start()
+        t2.start()
+        t1.join()
+        t2.join()
+        if errs:
+            raise errs[0]
+        nodes, base = out["nodes"], out["base"]
 
         sym = nodes.select(
             F.col("full_name").alias("sym_name"), F.col("kind").alias("sym_kind")
@@ -116,10 +151,25 @@ class GraphEngine:
         reexports = reexport_contains(imports, nodes, contains).withColumn(
             "versions", F.array(F.lit(version))
         )
-        # union the three passes with an explicit source priority (local >
-        # reexport > resolved, then association_type): a plain dropDuplicates
-        # would keep an arbitrary association_type when the same edge arises
-        # from two passes, breaking the deterministic-snapshot guarantee
+        # The E1 closure consumes only direct HAS_METHOD edges (extraction-
+        # local, already deduped by merge_edge_facts) and the resolved
+        # INHERITS hierarchy — neither needs the cross-source dedup below,
+        # so the closure's new edges join the SAME single priority window
+        # instead of paying a second union+dedup pass over the full edge set.
+        inh_versioned = resolved_inh.withColumn(
+            "versions", F.array(F.lit(version))
+        )
+        closure_new = inherited_method_closure(
+            local_edges.filter(F.col("rel_type") == "HAS_METHOD").unionByName(
+                inh_versioned.select(*local_edges.columns)
+            ),
+            bases=bases,
+        )
+        # union the four passes with an explicit source priority (local >
+        # reexport > resolved > inherited-closure, then association_type):
+        # a plain dropDuplicates would keep an arbitrary association_type /
+        # versions pick when the same edge arises from two passes, breaking
+        # the deterministic-snapshot guarantee
         tagged = (
             local_edges.withColumn("__origin", F.lit(0))
             .unionByName(
@@ -132,6 +182,11 @@ class GraphEngine:
                     "__origin", F.lit(2)
                 )
             )
+            .unionByName(
+                closure_new.select(*local_edges.columns).withColumn(
+                    "__origin", F.lit(3)
+                )
+            )
         )
         w = Window.partitionBy("src", "dst", "rel_type").orderBy(
             F.col("__origin"), F.col("association_type").asc_nulls_last()
@@ -140,16 +195,6 @@ class GraphEngine:
             tagged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__origin", "__rn")
-        )
-        if not self.small_repo:
-            # at scale, truncate the resolution lineage before the closure
-            # re-reads it; the small path folds everything into one action
-            edges = edges.localCheckpoint(eager=True)
-        edges = (
-            edges.unionByName(
-                inherited_method_closure(edges, bases=bases).select(*edges.columns)
-            )
-            .dropDuplicates(["src", "dst", "rel_type"])
             .localCheckpoint(eager=True)
         )
         # endpoints synthesize against the CHECKPOINTED edges, so callers'
@@ -173,6 +218,24 @@ class GraphEngine:
 
     # -- incremental versioning (F3) -------------------------------------------
 
+    def prepare_update_facts(
+        self,
+        old_facts: DataFrame,
+        changed_files: DataFrame,
+        change_list: list[str],
+    ) -> DataFrame:
+        """The extraction half of an incremental update: re-extract only
+        ``changed_files``, union with the carried-forward facts, checkpoint.
+        Split out of update_version so a caller that knows the change set
+        early can overlap this (the only Python-worker stage of an update)
+        with other jobs — e.g. the previous version's compile."""
+        kept = old_facts.filter(~F.col("file_path").isin(change_list))
+        fresh = self.extract(changed_files)
+        # same lineage-truncation rationale as build(): the union of
+        # carried-forward + re-extracted facts otherwise deepens the plan
+        # every version, and compile embeds it ~10x
+        return kept.unionByName(fresh).localCheckpoint(eager=True)
+
     def update_version(
         self,
         old_nodes: DataFrame,
@@ -181,16 +244,24 @@ class GraphEngine:
         changed_files: DataFrame,
         change_list: list[str],
         new_version: str,
+        prepared_facts: DataFrame | None = None,
+        precompiled: tuple[DataFrame, DataFrame] | None = None,
     ) -> tuple[DataFrame, DataFrame, DataFrame]:
         """Re-extract only ``changed_files``; carry forward other facts;
-        recompile; merge versions with the old snapshot (B7 + B1)."""
-        kept = old_facts.filter(~F.col("file_path").isin(change_list))
-        fresh = self.extract(changed_files)
-        # same lineage-truncation rationale as build(): the union of
-        # carried-forward + re-extracted facts otherwise deepens the plan
-        # every version, and compile embeds it ~10x
-        facts_new = kept.unionByName(fresh).localCheckpoint(eager=True)
-        n2, e2 = self.compile(facts_new, new_version)
+        recompile; merge versions with the old snapshot (B7 + B1).
+
+        ``precompiled`` lets a caller that already ran ``compile`` on the
+        prepared facts (e.g. concurrently with the previous version's
+        compile — the two compiles share no inputs, only the final stamped
+        merge joins the versions) skip the recompile here."""
+        facts_new = (
+            prepared_facts
+            if prepared_facts is not None
+            else self.prepare_update_facts(old_facts, changed_files, change_list)
+        )
+        n2, e2 = (
+            precompiled if precompiled is not None else self.compile(facts_new, new_version)
+        )
 
         stamped_nodes = stamp_version(old_nodes, new_version, change_list)
         # nodes from unchanged files already got the new version via stamping;

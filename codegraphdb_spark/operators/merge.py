@@ -52,6 +52,28 @@ def merge_node_facts(node_facts: DataFrame, version: str) -> DataFrame:
     )
 
 
+def sym_table_from_facts(node_facts: DataFrame) -> DataFrame:
+    """(full_name, kind) resolver symbol table straight from raw node
+    facts — the SAME priority window as merge_node_facts (so the winning
+    kind per full_name is identical) but none of the property columns.
+    Extraction never emits placeholder kinds ('none' rows are synthesized
+    only later, from edge endpoints), so this is exactly the validation
+    surface base_resolution needs — and deriving it here breaks the
+    checkpoint dependency between the merged node table and the resolution
+    pass, letting the two materialize concurrently."""
+    w = Window.partitionBy("full_name").orderBy(
+        F.when(F.col("kind") == "none", 1).otherwise(0),
+        F.col("code_start").asc_nulls_last(),
+        F.col("file_path").asc_nulls_last(),
+        F.col("kind"),
+    )
+    return (
+        node_facts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("full_name", "kind")
+    )
+
+
 def merge_edge_facts(edge_facts: DataFrame, version: str) -> DataFrame:
     """B4 (dedupe part): one edge per (src, dst, rel_type); association_type
     keeps the first non-null deterministically. Accepts raw edge facts

@@ -15,6 +15,8 @@ don't re-run the pipeline each time.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -56,20 +58,61 @@ def _graph(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
         spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
         try:
             eng = GraphEngine(spark, small_repo=True)
-            n1, e1, f1 = eng.build(
-                files_from_pairs(spark, mini_repo.V1 + mini_repo.DEEP_V1), "v1"
-            )
+            f1 = eng.extract(
+                files_from_pairs(spark, mini_repo.V1 + mini_repo.DEEP_V1)
+            ).localCheckpoint(eager=True)
+
+            # The v2 side (re-extract changed files + compile the v2 facts)
+            # depends only on f1, never on the v1 compile — the two
+            # version compiles share no inputs until the final stamped
+            # merge. Run the whole v2 pipeline on a side thread so its
+            # jobs interleave with the v1 compile (Spark schedules jobs
+            # from separate driver threads independently).
+            prep: dict[str, object] = {}
+
+            def _v2_side() -> None:
+                try:
+                    facts_new = eng.prepare_update_facts(
+                        f1,
+                        files_from_pairs(spark, mini_repo.V2_CHANGED_ONLY),
+                        mini_repo.CHANGE_LIST,
+                    )
+                    prep["facts"] = facts_new
+                    prep["compiled"] = eng.compile(facts_new, "v2")
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    prep["err"] = e
+
+            th = threading.Thread(target=_v2_side)
+            th.start()
+            n1, e1 = eng.compile(f1, "v1")
+            th.join()
+            if "err" in prep:
+                raise prep["err"]  # type: ignore[misc]
             n2, e2, _ = eng.update_version(
-                n1.localCheckpoint(),
-                e1.localCheckpoint(),
+                n1,
+                e1,
                 f1,
                 files_from_pairs(spark, mini_repo.V2_CHANGED_ONLY),
                 mini_repo.CHANGE_LIST,
                 "v2",
+                prepared_facts=prep["facts"],  # type: ignore[arg-type]
+                precompiled=prep["compiled"],  # type: ignore[arg-type]
             )
             files_v2 = files_from_pairs(spark, mini_repo.V2)
-            n2 = n2.localCheckpoint()
-            e2 = e2.localCheckpoint()
+            fin: dict[str, DataFrame] = {}
+
+            def _ck(name: str, df: DataFrame) -> None:
+                fin[name] = df.localCheckpoint()
+
+            ts = [
+                threading.Thread(target=_ck, args=("n2", n2)),
+                threading.Thread(target=_ck, args=("e2", e2)),
+            ]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            n2, e2 = fin["n2"], fin["e2"]
             zoo_node = F.col("full_name").startswith("zoo.") | (
                 F.col("full_name") == "zoo"
             )

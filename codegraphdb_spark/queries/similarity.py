@@ -72,16 +72,22 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — a broadcast nested-loop the executor side streams once, then a
     per-probe top-k window. At 100 TB you swap the probe×corpus product for
     the LSH-bucketed join; the scoring and ranking stages are identical."""
+    # norms are precomputed ONCE per vector (not per pair): the corpus-side
+    # norm is a scan-side projection and the probe-side norm rides the
+    # broadcast — the pair stage then does ONE dot product per row instead
+    # of three (bit-identical doubles: same sqrt(ddot) expression, computed
+    # earlier in the plan)
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    probes = v.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    vn = v.withColumn("nrm", F.sqrt(_ddot(F.col("e"), F.col("e"))))
+    probes = vn.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pn"),
     )
-    pairs = F.broadcast(probes).join(v, F.col("vec_id") != F.col("probe_id"))
-    cosine = _ddot(F.col("pe"), F.col("e")) / (
-        F.sqrt(_ddot(F.col("pe"), F.col("pe"))) * F.sqrt(_ddot(F.col("e"), F.col("e")))
-    )
+    pairs = F.broadcast(probes).join(vn, F.col("vec_id") != F.col("probe_id"))
+    cosine = _ddot(F.col("pe"), F.col("e")) / (F.col("pn") * F.col("nrm"))
     scored = pairs.select(
         "probe_id", F.col("vec_id").alias("cand_id"), cosine.alias("cosine")
     )
