@@ -71,7 +71,10 @@ def main(argv: list[str] | None = None) -> int:
         changed_files = scan_repo(spark, args.repo_dir).filter(
             F.col("path").isin(args.changed)
         )
-        nodes, edges, facts = eng.update_version(
+        # the dependency-pruned path: recompiles only the changed files +
+        # their import-graph dependents (result-equal to a full recompile,
+        # tests/test_incremental_pruned.py)
+        nodes, edges, facts = eng.update_version_pruned(
             old_nodes, old_edges, old_facts, changed_files, args.changed, args.new
         )
         # materialize before overwriting the snapshot dirs we read from

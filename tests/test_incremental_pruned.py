@@ -1,0 +1,128 @@
+"""update_version_pruned must produce EXACTLY the same snapshot as the
+full-recompile update_version — on the mini fixture (imports, re-exports,
+stars, deep bindings, two versions) and on a transitive-dependency chain
+where the change propagates through files that never import the changed
+module directly (inheritance + factory return types two hops away).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from codegraphdb_spark import mini_repo
+from codegraphdb_spark.engine import GraphEngine
+from codegraphdb_spark.sources.repo import files_from_pairs
+
+
+def _norm_nodes(df):
+    return df.withColumn("versions", F.array_sort("versions"))
+
+
+def _norm_edges(df):
+    return df.withColumn("versions", F.array_sort("versions"))
+
+
+def _assert_same(a, b, what):
+    extra = a.exceptAll(b).collect()
+    missing = b.exceptAll(a).collect()
+    assert not extra and not missing, (
+        f"{what}: pruned-extra={extra[:5]} pruned-missing={missing[:5]}"
+    )
+
+
+def _build_and_compare(spark, v1_files, v2_changed, change_list):
+    eng = GraphEngine(spark, small_repo=True)
+    n1, e1, f1 = eng.build(files_from_pairs(spark, v1_files), "v1")
+    n1 = n1.localCheckpoint()
+    e1 = e1.localCheckpoint()
+    changed = files_from_pairs(spark, v2_changed)
+
+    nf, ef, _ = eng.update_version(n1, e1, f1, changed, change_list, "v2")
+    np_, ep, _ = eng.update_version_pruned(n1, e1, f1, changed, change_list, "v2")
+
+    _assert_same(
+        _norm_nodes(np_).localCheckpoint(), _norm_nodes(nf).localCheckpoint(), "nodes"
+    )
+    _assert_same(
+        _norm_edges(ep).localCheckpoint(), _norm_edges(ef).localCheckpoint(), "edges"
+    )
+
+
+def test_pruned_equals_full_on_mini_repo(spark):  # noqa: F811
+    _build_and_compare(
+        spark,
+        mini_repo.V1 + mini_repo.DEEP_V1,
+        mini_repo.V2_CHANGED_ONLY,
+        mini_repo.CHANGE_LIST,
+    )
+
+
+CHAIN_V1 = [
+    ("liba/__init__.py", ""),
+    (
+        "liba/base.py",
+        "class Base:\n"
+        "    def ping(self):\n        return 1\n"
+        "    def gone(self):\n        return 2\n",
+    ),
+    ("libb/__init__.py", ""),
+    (
+        "libb/mid.py",
+        "from liba.base import Base\n\n"
+        "class Mid(Base):\n"
+        "    def mid_only(self):\n        return 3\n\n"
+        "def make_mid() -> Mid:\n    return Mid()\n",
+    ),
+    ("libc/__init__.py", ""),
+    (
+        "libc/user.py",
+        "from libb.mid import make_mid\n\n"
+        "def use():\n"
+        "    x = make_mid()\n"
+        "    x.ping()\n"
+        "    x.gone()\n"
+        "    x.mid_only()\n",
+    ),
+    # a bystander package that must NOT be recompiled (no import chain to liba)
+    (
+        "other/solo.py",
+        "VALUE = 7\n\ndef standalone():\n    return VALUE\n",
+    ),
+]
+
+# v2: liba.base loses gone() and gains fresh() — libc/user.py never imports
+# liba directly, but its x.gone() CALL edge must disappear (x is a Mid via
+# the factory return type; Mid inherits Base): the pruned path must mark
+# libc affected through the libb -> liba import chain.
+CHAIN_V2_CHANGED = [
+    (
+        "liba/base.py",
+        "class Base:\n"
+        "    def ping(self):\n        return 1\n"
+        "    def fresh(self):\n        return 4\n",
+    ),
+]
+
+
+def test_pruned_follows_import_chains(spark):  # noqa: F811
+    _build_and_compare(spark, CHAIN_V1, CHAIN_V2_CHANGED, ["liba/base.py"])
+
+
+def test_pruned_affected_set_is_pruned(spark):  # noqa: F811
+    """The bystander file must be OUTSIDE the affected set (the whole point
+    of pruning), while the full liba->libb->libc chain is inside."""
+    from codegraphdb_spark.operators.incremental import affected_files
+
+    eng = GraphEngine(spark, small_repo=True)
+    _, _, f1 = eng.build(files_from_pairs(spark, CHAIN_V1), "v1")
+    facts_new = eng.prepare_update_facts(
+        f1, files_from_pairs(spark, CHAIN_V2_CHANGED), ["liba/base.py"]
+    )
+    aff = {
+        r.file_path
+        for r in affected_files(facts_new, f1, ["liba/base.py"]).collect()
+    }
+    assert "liba/base.py" in aff
+    assert "libb/mid.py" in aff
+    assert "libc/user.py" in aff
+    assert "other/solo.py" not in aff

@@ -24,11 +24,21 @@ from codegraphdb_spark.session import get_spark  # noqa: E402
 from codegraphdb_spark.sources.repo import files_from_pairs  # noqa: E402
 
 
-def synth_repo(n_packages: int) -> list[tuple[str, str]]:
+def synth_repo(n_packages: int, fat: int = 0) -> list[tuple[str, str]]:
+    """``fat`` > 0 adds that many extra methods (each with a global ref and
+    a self-call) per core class — approximating real-world file weight,
+    where extraction + resolution cost per file dwarfs the pipeline's
+    fixed per-job overhead."""
     files = []
     for i in range(n_packages):
         pkg = f"pkg{i:05d}"
         prev = f"pkg{i - 1:05d}" if i > 0 else None
+        extra = "".join(
+            f"    def op{j}(self):\n"
+            f"        self.step()\n"
+            f"        return LIMIT_{i} + {j}\n"
+            for j in range(fat)
+        )
         files.append((f"{pkg}/__init__.py", f"from {pkg}.core import Base{i}\n"))
         files.append(
             (
@@ -38,7 +48,7 @@ def synth_repo(n_packages: int) -> list[tuple[str, str]]:
                 f"    kind = 'base'\n"
                 f"    def __init__(self):\n        self.state = 0\n"
                 f"    def step(self):\n        return LIMIT_{i}\n"
-                f"    def reset(self):\n        self.state = 0\n",
+                f"    def reset(self):\n        self.state = 0\n" + extra,
             )
         )
         cross = (
@@ -61,10 +71,11 @@ def synth_repo(n_packages: int) -> list[tuple[str, str]]:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    fat = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     spark = get_spark("stress-graph")
     spark.sparkContext.setLogLevel("ERROR")
-    pairs = synth_repo(n)
-    print(f"{len(pairs)} files")
+    pairs = synth_repo(n, fat)
+    print(f"{len(pairs)} files (fat={fat})")
 
     t0 = time.time()
     eng = GraphEngine(spark)
@@ -110,8 +121,11 @@ def main() -> None:
         "    def step(self):\n        return LIMIT_0\n"
         "    def reset(self):\n        self.state = 1\n"
     )
+    # full-recompile update FIRST (it shares plan shapes with build, so it
+    # benefits least from warm codegen — ordering it first biases AGAINST
+    # the pruned path, not for it), then the pruned path twice (cold+warm)
     t0 = time.time()
-    n3, e3, _ = eng.update_version(
+    n3f, e3f, _ = eng.update_version(
         nodes,
         edges,
         facts,
@@ -119,13 +133,41 @@ def main() -> None:
         [changed_path],
         "v2",
     )
-    n3 = n3.localCheckpoint()
-    e3 = e3.localCheckpoint()
-    upd_s = time.time() - t0
+    n3f = n3f.localCheckpoint()
+    e3f = e3f.localCheckpoint()
+    updf_s = time.time() - t0
     print(
-        f"incremental(1 file): {upd_s:.1f}s  ({100 * upd_s / build_s:.0f}% of full"
-        f" build)  nodes={n3.count()}  edges={e3.count()}"
+        f"incremental-full(1 file): {updf_s:.1f}s  ({100 * updf_s / build_s:.0f}% of"
+        f" full build)  nodes={n3f.count()}  edges={e3f.count()}"
     )
+
+    for tag in ("cold", "warm"):
+        t0 = time.time()
+        n3, e3, _ = eng.update_version_pruned(
+            nodes,
+            edges,
+            facts,
+            files_from_pairs(spark, [(changed_path, changed_src)]),
+            [changed_path],
+            "v2",
+        )
+        n3 = n3.localCheckpoint()
+        e3 = e3.localCheckpoint()
+        upd_s = time.time() - t0
+        print(
+            f"incremental-pruned(1 file, {tag}): {upd_s:.1f}s  "
+            f"({100 * upd_s / build_s:.0f}% of full build)  "
+            f"nodes={n3.count()}  edges={e3.count()}"
+        )
+    from pyspark.sql import functions as FF
+
+    def _norm(df):
+        return df.withColumn("versions", FF.array_sort("versions"))
+
+    nd = _norm(n3).exceptAll(_norm(n3f)).count() + _norm(n3f).exceptAll(_norm(n3)).count()
+    ed = _norm(e3).exceptAll(_norm(e3f)).count() + _norm(e3f).exceptAll(_norm(e3)).count()
+    print(f"pruned vs full diff: nodes={nd} edges={ed}")
+    assert nd == 0 and ed == 0, "pruned incremental diverged from full recompile"
 
     # --- closure crossover: driver fast path vs distributed doubling ------
     # (judge r2 item 8 — keeps DRIVER_CLOSURE_LIMIT honest). Equality is
