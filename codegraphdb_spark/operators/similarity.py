@@ -104,12 +104,14 @@ def lsh_bucket(
         return pd.Series(list(sigs))
 
     v = F.col(vec_col).cast("array<double>")
+    extras = [c for c in embeddings.columns if c not in (id_col, vec_col)]
     return (
-        embeddings.select(F.col(id_col).alias("vec_id"), v.alias("vec"))
+        embeddings.select(F.col(id_col).alias("vec_id"), v.alias("vec"), *extras)
         .withColumn("__sigs", _sigs(F.col("vec")))
         .select(
             "vec_id",
             "vec",
+            *extras,
             F.posexplode("__sigs").alias("table", "sig"),
         )
     )
@@ -156,6 +158,10 @@ def ann_topk(
     """
     if scorer is None:
         scorer = cosine
+    # extra columns (e.g. precomputed norms) ride through the bucketing and
+    # stay available to the scorer on the candidate rows
+    c_extras = [c for c in corpus.columns if c not in ("vec_id", "vec")]
+    p_extras = [c for c in probes.columns if c not in ("probe_id", "pvec")]
     corpus_b = lsh_bucket(corpus, "vec_id", "vec", dim, n_tables, n_bits)
     probe_b = lsh_bucket(
         probes.withColumnRenamed("probe_id", "vec_id").withColumnRenamed("pvec", "embedding"),
@@ -167,13 +173,14 @@ def ann_topk(
     ).select(
         F.col("vec_id").alias("probe_id"),
         F.col("vec").alias("pvec"),
+        *p_extras,
         "table",
         "sig",
     )
     cand = (
         probe_b.join(corpus_b, ["table", "sig"])
         .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "pvec", "vec_id", "vec")
+        .select("probe_id", "pvec", *p_extras, "vec_id", "vec", *c_extras)
         .dropDuplicates(["probe_id", "vec_id"])
     )
     scored = cand.select(

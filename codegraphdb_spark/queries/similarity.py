@@ -152,15 +152,20 @@ def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe cost is O(candidates), never O(corpus)."""
     from codegraphdb_spark.operators.similarity import ann_topk
 
+    # norms precomputed once per vector, riding through the bucket
+    # pipeline as extra columns (ann_topk passes them through to the
+    # candidate rows) — the scorer then does ONE fold per pair
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
-    )
+    ).withColumn("nrm", F.sqrt(_ddot(F.col("vec"), F.col("vec"))))
     probes = v.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("vec").alias("pvec")
+        F.col("vec_id").alias("probe_id"),
+        F.col("vec").alias("pvec"),
+        F.col("nrm").alias("pn"),
     )
 
     def exact_cosine(a: Column, b: Column) -> Column:
-        return _ddot(a, b) / (F.sqrt(_ddot(a, a)) * F.sqrt(_ddot(b, b)))
+        return _ddot(a, b) / (F.col("pn") * F.col("nrm"))
 
     out = ann_topk(
         probes, v, dim=DIM, k=TOP_K, n_tables=4, n_bits=8, scorer=exact_cosine

@@ -567,7 +567,10 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the SQL-expressible formulation kept in ``_minhash_sig``, which the
     DuckDB oracle mirrors); banding/join stay declarative."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = _minhash_sigs_pandas(d)
+    # lazy checkpoint: the band self-join references this subtree on BOTH
+    # sides, and without truncation each side re-runs the Python signature
+    # stage — the single most expensive stage in the query
+    sigs = _minhash_sigs_pandas(d).localCheckpoint(eager=False)
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -869,4 +872,76 @@ def doc_weighted_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_chars"),
         )
         .orderBy("source")
+    )
+
+
+# --- benchmark decontamination (n-gram overlap vs a probe set) -----------------------
+
+_DECON_K = 4  # 4-grams: the fixture vocabulary is ~30 words, so 4-grams
+# already discriminate; production corpora use 8–13-gram windows — the
+# plan shape (broadcast probe-gram set, stream the corpus past it) is
+# identical, only the constant changes.
+
+
+@query(
+    "doc_decontaminate",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+    ), ngr AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(toks) - {_DECON_K - 1}),
+               i -> array_to_string(toks[i:i + {_DECON_K - 1}], ' '))) AS g
+      FROM d
+    ), probe AS (
+      SELECT DISTINCT g FROM ngr WHERE doc_id < 5
+    ), hit AS (
+      SELECT DISTINCT n.doc_id, n.g
+      FROM ngr n JOIN probe USING (g)
+      WHERE n.doc_id >= 5
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams,
+           MIN(g) AS sample_ngram
+    FROM hit GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-pipeline gate that removes
+    documents overlapping an evaluation set (here: the 5 lowest doc_ids
+    stand in for the benchmark). A document is flagged when it shares any
+    k-gram with a probe document; output = flagged docs with the count
+    of distinct shared k-grams.
+
+    Scale shape: the probe side (benchmarks are ~10^5 documents at most)
+    collapses to a DISTINCT k-gram set that is BROADCAST; the corpus
+    side streams past it map-side — per-doc gram explode, hash-probe,
+    partial count — so the only shuffle is the final per-doc aggregation
+    of hits (tiny). This is the exact-match tier of a Dolma/CCNet-style
+    decontamination stack; the bloom-filter tier swaps the broadcast set
+    for a broadcast filter, same plan."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    k = _DECON_K
+    # guard short docs: Spark's sequence(1, 0) DESCENDS ([1, 0]) where
+    # DuckDB's generate_series(1, 0) is empty
+    gram_arr = F.when(
+        F.size("toks") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+            lambda i: F.array_join(F.slice("toks", i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", F.explode(gram_arr).alias("g")).dropDuplicates(
+        ["doc_id", "g"]
+    )
+    probe = grams.filter(F.col("doc_id") < 5).select("g").dropDuplicates()
+    hits = grams.filter(F.col("doc_id") >= 5).join(F.broadcast(probe), "g")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams"),
+            F.min("g").alias("sample_ngram"),
+        )
+        .orderBy("doc_id")
     )
