@@ -96,10 +96,20 @@ def lsh_bucket(
     @pandas_udf("array<int>")
     def _sigs(vs: pd.Series) -> pd.Series:
         m = np.stack(vs.to_numpy())  # (n, D)
-        prods = m[:, None, :] * planes[None, :, :] * float(_SIG_SCALE)
-        # HALF_UP (away from zero), matching Spark F.round and DuckDB ROUND
-        scaled = (np.floor(np.abs(prods) + 0.5) * np.sign(prods)).astype(np.int64)
-        dots = scaled.sum(axis=2).reshape(len(m), n_tables, n_bits)
+        # one plane at a time: the fused (n, T·B, D) product materializes
+        # ~n·2048 float64s per temporary (hundreds of MB per Arrow batch,
+        # all memory traffic); per-plane (n, D) slices keep temporaries
+        # cache-sized at identical arithmetic — same left-assoc product
+        # order, same HALF_UP (away-from-zero) rounding as F.round/DuckDB
+        dots = np.empty((len(m), n_tables * n_bits), dtype=np.int64)
+        for j in range(n_tables * n_bits):
+            prods = m * planes[j] * float(_SIG_SCALE)
+            dots[:, j] = (
+                (np.floor(np.abs(prods) + 0.5) * np.sign(prods))
+                .astype(np.int64)
+                .sum(axis=1)
+            )
+        dots = dots.reshape(len(m), n_tables, n_bits)
         sigs = ((dots >= 0) * weights).sum(axis=2).astype(np.int32)
         return pd.Series(list(sigs))
 
@@ -147,6 +157,7 @@ def ann_topk(
     n_tables: int = 4,
     n_bits: int = 8,
     scorer=None,
+    probes_in_corpus: bool = False,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates = corpus rows sharing a
     (table, signature) bucket with the probe in ANY table; score only those.
@@ -155,6 +166,13 @@ def ann_topk(
     ``scorer`` replaces the default float-fold cosine with a caller-supplied
     (probe_col, cand_col) → Column — the oracle-checked query passes the
     exact scaled-integer cosine so scores are engine-reproducible.
+
+    ``probes_in_corpus=True`` declares that every probe row IS a corpus row
+    (probe_id ∈ corpus.vec_id with the same vector, extras renamed
+    positionally): the corpus is bucketed ONCE (lazy-checkpointed so both
+    join sides share the materialization) and the probe buckets are a
+    semi-join filter of it — one Arrow signature stage and one scan
+    instead of two of each.
     """
     if scorer is None:
         scorer = cosine
@@ -163,20 +181,37 @@ def ann_topk(
     c_extras = [c for c in corpus.columns if c not in ("vec_id", "vec")]
     p_extras = [c for c in probes.columns if c not in ("probe_id", "pvec")]
     corpus_b = lsh_bucket(corpus, "vec_id", "vec", dim, n_tables, n_bits)
-    probe_b = lsh_bucket(
-        probes.withColumnRenamed("probe_id", "vec_id").withColumnRenamed("pvec", "embedding"),
-        "vec_id",
-        "embedding",
-        dim,
-        n_tables,
-        n_bits,
-    ).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("vec").alias("pvec"),
-        *p_extras,
-        "table",
-        "sig",
-    )
+    if probes_in_corpus:
+        corpus_b = corpus_b.localCheckpoint(eager=False)
+        probe_b = corpus_b.join(
+            probes.select(F.col("probe_id").alias("vec_id")), "vec_id", "left_semi"
+        ).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("vec").alias("pvec"),
+            *[
+                F.col(c).alias(p)
+                for c, p in zip(c_extras, p_extras)
+            ],
+            "table",
+            "sig",
+        )
+    else:
+        probe_b = lsh_bucket(
+            probes.withColumnRenamed("probe_id", "vec_id").withColumnRenamed(
+                "pvec", "embedding"
+            ),
+            "vec_id",
+            "embedding",
+            dim,
+            n_tables,
+            n_bits,
+        ).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("vec").alias("pvec"),
+            *p_extras,
+            "table",
+            "sig",
+        )
     cand = (
         probe_b.join(corpus_b, ["table", "sig"])
         .filter(F.col("vec_id") != F.col("probe_id"))

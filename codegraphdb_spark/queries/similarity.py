@@ -168,7 +168,14 @@ def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _ddot(a, b) / (F.col("pn") * F.col("nrm"))
 
     out = ann_topk(
-        probes, v, dim=DIM, k=TOP_K, n_tables=4, n_bits=8, scorer=exact_cosine
+        probes,
+        v,
+        dim=DIM,
+        k=TOP_K,
+        n_tables=4,
+        n_bits=8,
+        scorer=exact_cosine,
+        probes_in_corpus=True,  # probes are corpus rows vec_id < N_PROBES
     )
     return out.select(
         "probe_id", "cand_id", "score", F.col("rnk").cast("int").alias("rnk")
