@@ -203,51 +203,55 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket — identical plan shape, pairs shrink by ~n_labels×). The
     unblocked scale path is operators/similarity.ann_topk.
 
-    The scoring stage is a vectorized Arrow/numpy mapInPandas — the one
-    place built-ins lose: ~80M scaled-integer products per bench run is
-    4-5× faster through numpy than through interpreted higher-order
-    folds, with bit-identical arithmetic (round(x*y*1e12) → int64 sum)."""
+    The scoring stage is BLOCK-LOCAL: groupBy(label) → applyInPandas
+    scores each block's full pair matrix in numpy. Every vector crosses
+    Arrow ONCE (the pair-join formulation shipped both vectors per pair —
+    ~100× the transfer at 10 labels × 2k vectors); arithmetic is the same
+    scaled-integer product chain ((ea*eb)*1e12, rint, int64 sum) so
+    results stay bit-identical to the DuckDB oracle. At 100 TB the block
+    key is the IVF/LSH bucket and per-block size is bounded by bucketing
+    design, so the (g, g, dim) score tensor stays executor-sized."""
     import numpy as np
     import pandas as pd
 
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
-    a = v.alias("a")
-    b = v.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.col("a.label").alias("label"),
-        F.col("a.e").alias("ea"),
-        F.col("b.e").alias("eb"),
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack(pdf["e"].values)  # (g, D)
+        g = len(m)
+        if g < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "label": [], "cosine": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64", "label": "int32", "cosine": "float64"})
+        sq = np.rint(m * m * _SCALE).astype(np.int64).sum(axis=1) / _SCALE
+        nrm = np.sqrt(sq)
+        dots = (
+            np.rint(m[:, None, :] * m[None, :, :] * _SCALE)
+            .astype(np.int64)
+            .sum(axis=2)
+            / _SCALE
+        )
+        cos = dots / (nrm[:, None] * nrm[None, :])
+        ia, ib = np.triu_indices(g, k=1)
+        keep = cos[ia, ib] >= 0.38
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "label": pdf["label"].iloc[0],
+                "cosine": cos[ia[keep], ib[keep]],
+            }
+        )
+
+    return (
+        v.groupBy("label")
+        .applyInPandas(score_block, "vec_a BIGINT, vec_b BIGINT, label INT, cosine DOUBLE")
+        .orderBy("vec_a", "vec_b")
     )
-
-    def score(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            ea = np.stack(pdf["ea"].values)
-            eb = np.stack(pdf["eb"].values)
-            dots = np.rint(ea * eb * _SCALE).astype(np.int64).sum(axis=1) / _SCALE
-            na = np.sqrt(np.rint(ea * ea * _SCALE).astype(np.int64).sum(axis=1) / _SCALE)
-            nb = np.sqrt(np.rint(eb * eb * _SCALE).astype(np.int64).sum(axis=1) / _SCALE)
-            out = pd.DataFrame(
-                {
-                    "vec_a": pdf["vec_a"],
-                    "vec_b": pdf["vec_b"],
-                    "label": pdf["label"],
-                    "cosine": dots / (na * nb),
-                }
-            )
-            yield out[out["cosine"] >= 0.38]
-
-    return pairs.mapInPandas(
-        score, "vec_a BIGINT, vec_b BIGINT, label INT, cosine DOUBLE"
-    ).orderBy("vec_a", "vec_b")
 
 
 @query(
