@@ -49,14 +49,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # covers ALL queries regardless — the rotation only governs the driver's
 # independent record.
 _DRIVER_PRIORITY: list[str] = [
-    # -- round 3: new, or downstream of round-3 engine changes -----------
-    # (combined fixture build; poison/param/return-type deep resolution;
-    #  min-dist transitive closure; extended Cypher; scaled-int LSH)
+    # -- round 3: new, or CHANGED this round — must land in the window ---
+    # (combined+concurrent fixture build; poison/param/return-type deep
+    #  resolution; min-dist transitive closure; extended Cypher;
+    #  per-plane LSH kernel; block-local near-dup; precomputed norms)
+    "doc_decontaminate",       # new (probe-set n-gram overlap)
+    "emb_ann_topk",            # new + kernel/probe-path changed
+    "emb_near_dup_pairs",      # rewritten (block-local applyInPandas)
+    "emb_cosine_topk",         # changed (norms precomputed once)
+    "minhash_lsh_candidates",  # changed (shared signature checkpoint)
     "g_cypher_extended",       # new
-    "emb_ann_topk",            # new
     "g_call_edges_deep",       # new goldens (factory return-type)
     "multimodal_dedup",        # oracle changed (real header sniff)
     "ngram_jaccard_pairs",     # df cap added this round
+    "doc_dup_clusters",        # consumes the same capped pair set
     "g_point_lookup",
     "g_filter_kind_name",
     "g_module_children",
