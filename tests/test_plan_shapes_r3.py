@@ -1,0 +1,40 @@
+"""Plan-shape guards for the round-3 query paths: the properties that make
+them scale are asserted on the physical plan, not just implied by the code.
+"""
+
+from __future__ import annotations
+
+from codegraphdb_spark import registry
+
+
+def _plan(spark, sf_dir, name):
+    registry.load_all()
+    df = registry.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_decontaminate_broadcasts_probe_grams(spark, sf_dir):
+    """The probe n-gram set must be the BROADCAST side (benchmarks are
+    small; the corpus streams past map-side) and the corpus scan must push
+    the doc_id >= 5 split down to parquet."""
+    plan = _plan(spark, sf_dir, "doc_decontaminate")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "GreaterThanOrEqual(doc_id,5)" in plan
+
+
+def test_ann_single_signature_stage(spark, sf_dir):
+    """probes_in_corpus=True: the corpus is bucketed ONCE — exactly one
+    Arrow signature evaluation in the plan (the checkpointed bucket table
+    serves both join sides), not one per side."""
+    plan = _plan(spark, sf_dir, "emb_ann_topk")
+    n_arrow = plan.count("ArrowEvalPython") + plan.count("MapInPandas")
+    assert n_arrow <= 1, f"expected <=1 Python signature stage, saw {n_arrow}"
+
+
+def test_near_dup_ships_vectors_once(spark, sf_dir):
+    """Block-local scoring: one FlatMapGroupsInPandas over the grouped
+    embeddings, NO self-join of the vector table (the pair-join
+    formulation shipped both vectors per candidate row)."""
+    plan = _plan(spark, sf_dir, "emb_near_dup_pairs")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
