@@ -126,3 +126,68 @@ def test_pruned_affected_set_is_pruned(spark):  # noqa: F811
     assert "libb/mid.py" in aff
     assert "libc/user.py" in aff
     assert "other/solo.py" not in aff
+
+
+# --- adversarial scenarios ----------------------------------------------------------
+
+SCEN_V1 = [
+    ("pkg/__init__.py", "from pkg.impl import *\n"),
+    (
+        "pkg/impl.py",
+        "class Widget:\n"
+        "    def render(self):\n        return 1\n\n"
+        "class Gone:\n"
+        "    def bye(self):\n        return 2\n",
+    ),
+    (
+        "app/main.py",
+        "from pkg import Widget, Gone\n"
+        "import missing.thing\n\n"
+        "def run():\n"
+        "    w = Widget()\n"
+        "    w.render()\n"
+        "    g = Gone()\n"
+        "    g.bye()\n"
+        "    missing.thing.helper()\n",
+    ),
+    ("lone/quiet.py", "def untouched():\n    return 0\n"),
+]
+
+
+def test_pruned_symbol_deletion_through_star_reexport(spark):  # noqa: F811
+    """Deleting a class from a star-re-exported module must invalidate the
+    consumer (app.main imports from pkg, pkg star-imports pkg.impl): the
+    g = Gone() binding and g.bye() CALL edge must vanish in v2 exactly as
+    the full recompile says."""
+    changed = [
+        (
+            "pkg/impl.py",
+            "class Widget:\n"
+            "    def render(self):\n        return 1\n",
+        ),
+    ]
+    _build_and_compare(spark, SCEN_V1, changed, ["pkg/impl.py"])
+
+
+def test_pruned_new_module_resolves_old_unsolved(spark):  # noqa: F811
+    """Adding a brand-new module that an EXISTING file already imports
+    (missing.thing was unsolved in v1) must re-resolve the old file's
+    references — the import-graph reachability must catch modules that
+    did not exist in v1."""
+    changed = [
+        ("missing/__init__.py", ""),
+        (
+            "missing/thing.py",
+            "def helper():\n    return 42\n",
+        ),
+    ]
+    _build_and_compare(
+        spark, SCEN_V1, changed, ["missing/__init__.py", "missing/thing.py"]
+    )
+
+
+def test_pruned_whole_file_deletion(spark):  # noqa: F811
+    """A file in the change list with NO new content is a deletion: its
+    symbols keep only the old version, and consumers' edges re-resolve
+    (to unsolved) — identically in both paths."""
+    _build_and_compare(spark, SCEN_V1, [], ["pkg/impl.py"])
