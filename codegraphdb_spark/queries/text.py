@@ -945,3 +945,97 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "doc_repetition_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), grams AS (
+      SELECT doc_id, 0 AS tag, unnest(toks) AS g FROM t
+      UNION ALL
+      SELECT doc_id, 1 AS tag,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS g
+      FROM t
+    ), c AS (
+      SELECT doc_id, tag, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3
+    ), s AS (
+      SELECT doc_id,
+             SUM(CASE WHEN tag = 0 THEN c END) AS n_tok,
+             COUNT(CASE WHEN tag = 0 THEN 1 END) AS n_distinct,
+             MAX(CASE WHEN tag = 0 THEN c END) AS top_word_c,
+             COALESCE(SUM(CASE WHEN tag = 1 THEN c END), 0) AS n_bigram,
+             COALESCE(MAX(CASE WHEN tag = 1 THEN c END), 0) AS top_bigram_c
+      FROM c GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(((n_tok - n_distinct) * 1000) // n_tok AS BIGINT) AS dup_word_pm,
+           CAST((top_word_c * 1000) // n_tok AS BIGINT) AS top_word_pm,
+           CAST(CASE WHEN n_bigram = 0 THEN 0
+                     ELSE (top_bigram_c * 1000) // n_bigram END AS BIGINT) AS top_bigram_pm,
+           CAST(CASE WHEN (top_word_c * 1000) // n_tok < 200
+                      AND (CASE WHEN n_bigram = 0 THEN 0
+                                ELSE (top_bigram_c * 1000) // n_bigram END) < 350
+                     THEN 1 ELSE 0 END AS INT) AS repetition_keep
+    FROM s ORDER BY doc_id
+    """,
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate (Rae et al. 2021, public):
+    duplicate-word fraction, most-frequent-word ratio, and
+    most-frequent-bigram ratio, each as a scaled-integer per-mille (the
+    determinism invariant: never hash raw double ratios cross-engine), plus
+    the keep/drop flag a training pipeline would filter on.
+
+    Scale shape: one explode shared by words AND bigrams (tagged rows) →
+    partial-aggregatable groupBy(doc, tag, gram) → per-doc rollup. Both
+    aggregations are map-side-combinable and keyed by doc_id, so the plan
+    is two linear hash aggregates with no join — survives 100 TB with the
+    document-keyed shuffle as the only data movement."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tagged = F.concat(
+        F.transform("toks", lambda t: F.struct(F.lit(0).alias("tag"), t.alias("g"))),
+        F.transform(bigrams, lambda t: F.struct(F.lit(1).alias("tag"), t.alias("g"))),
+    )
+    grams = d.select("doc_id", F.explode(tagged).alias("x")).select(
+        "doc_id", F.col("x.tag").alias("tag"), F.col("x.g").alias("g")
+    )
+    counts = grams.groupBy("doc_id", "tag", "g").agg(F.count(F.lit(1)).alias("c"))
+    is_w = F.col("tag") == 0
+    s = counts.groupBy("doc_id").agg(
+        F.sum(F.when(is_w, F.col("c"))).alias("n_tok"),
+        F.count(F.when(is_w, F.lit(1))).alias("n_distinct"),
+        F.max(F.when(is_w, F.col("c"))).alias("top_word_c"),
+        F.coalesce(F.sum(F.when(~is_w, F.col("c"))), F.lit(0)).alias("n_bigram"),
+        F.coalesce(F.max(F.when(~is_w, F.col("c"))), F.lit(0)).alias("top_bigram_c"),
+    )
+    top_bigram_pm = F.expr(
+        "CASE WHEN n_bigram = 0 THEN 0 ELSE (top_bigram_c * 1000) div n_bigram END"
+    )
+    top_word_pm = F.expr("(top_word_c * 1000) div n_tok")
+    return (
+        s.select(
+            "doc_id",
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+            F.expr("((n_tok - n_distinct) * 1000) div n_tok").cast("bigint").alias("dup_word_pm"),
+            top_word_pm.cast("bigint").alias("top_word_pm"),
+            top_bigram_pm.cast("bigint").alias("top_bigram_pm"),
+            F.when((top_word_pm < 200) & (top_bigram_pm < 350), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("repetition_keep"),
+        )
+        .orderBy("doc_id")
+    )

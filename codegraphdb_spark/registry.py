@@ -53,6 +53,7 @@ _DRIVER_PRIORITY: list[str] = [
     # (combined+concurrent fixture build; poison/param/return-type deep
     #  resolution; min-dist transitive closure; extended Cypher;
     #  per-plane LSH kernel; block-local near-dup; precomputed norms)
+    "doc_repetition_filter",   # new (Gopher-style repetition gate)
     "doc_decontaminate",       # new (probe-set n-gram overlap)
     "emb_ann_topk",            # new + kernel/probe-path changed
     "emb_near_dup_pairs",      # rewritten (block-local applyInPandas)

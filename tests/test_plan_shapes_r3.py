@@ -38,3 +38,15 @@ def test_near_dup_ships_vectors_once(spark, sf_dir):
     plan = _plan(spark, sf_dir, "emb_near_dup_pairs")
     assert "FlatMapGroupsInPandas" in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_repetition_filter_no_join(spark, sf_dir):
+    """The word AND bigram statistics share one tagged explode: the plan
+    must be two hash-aggregate chains with NO join (a join formulation
+    would ship the document stats twice), and no Python stage at all."""
+    plan = _plan(spark, sf_dir, "doc_repetition_filter")
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+               "CartesianProduct", "ArrowEvalPython", "MapInPandas",
+               "BatchEvalPython"):
+        assert op not in plan, f"unexpected {op} in doc_repetition_filter plan"
+    assert plan.count("Exchange hashpartitioning") <= 2
