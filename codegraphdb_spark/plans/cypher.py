@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from codegraphdb_spark.datamodel import KINDS
+from codegraphdb_spark.functions.code_ptr import encode_code_pointer
 
 _NODE = re.compile(
     r"\(\s*(?P<var>\w+)?\s*(?P<labels>(?::(?:`[^`]+`|[\w/.]+))*)\s*(?:\{(?P<props>[^}]*)\})?\s*\)"
@@ -433,6 +434,7 @@ def run_cypher(cypher: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
 
     cols = []
     agg_cols = []
+    prop_alias: dict[tuple[str, str | None], str] = {}
     for raw_item in _split_items(m.group("items")):
         it = _ITEM.match(raw_item)
         if not it:
@@ -454,7 +456,20 @@ def run_cypher(cypher: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
             if var not in binds:
                 raise CypherError(f"unbound variable {var!r}")
             p = binds[var]
-            if prop:
+            if alias:
+                prop_alias[(var, prop)] = alias
+            if prop == "code" and f"{p}__code" not in df.columns:
+                # the reference stores `code` as the lazy <CODE> pointer
+                # property (myClient.py:236-257); the graph keeps it as the
+                # typed (file, start, end) triple — re-serialize on demand
+                cols.append(
+                    encode_code_pointer(
+                        F.col(f"{p}__code_file"),
+                        F.col(f"{p}__code_start"),
+                        F.col(f"{p}__code_end"),
+                    ).alias(alias or f"{var}_{prop}")
+                )
+            elif prop:
                 cols.append(F.col(f"{p}__{prop}").alias(alias or f"{var}_{prop}"))
             else:
                 # whole-node return → its identity + kind (a stable, hashable
@@ -481,6 +496,10 @@ def run_cypher(cypher: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
             name = f"{var}_{prop}" if prop else var
             if name not in out_cols and var in out_cols and not prop:
                 name = var
+            if name not in out_cols and (var, prop) in prop_alias:
+                # ORDER BY var.prop where the item was RETURNed under an
+                # explicit alias (Cypher resolves either spelling)
+                name = prop_alias[(var, prop)]
             if name not in out_cols:
                 raise CypherError(
                     f"ORDER BY {raw.strip()!r} must reference a returned column"

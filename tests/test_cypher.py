@@ -252,3 +252,27 @@ def test_bidirectional_edge_is_loud(graph):
     nodes, edges = graph
     with pytest.raises(CypherError):
         run_cypher("MATCH (a)<-[:INHERITS]->(b) RETURN a.name", nodes, edges)
+
+
+def test_code_pointer_property(graph):
+    """The reference's HAS_METHOD smoke query (graphDB.py:279-282) returns
+    m.code — stored there as the lazy <CODE>{"S":..,"E":..,"F":..}</CODE>
+    pointer property (myClient.py:236-257). The graph keeps the typed
+    triple; x.code must re-serialize to the identical wire format, and
+    ORDER BY must resolve var.prop through an explicit RETURN alias."""
+    nodes, edges = graph
+    out = run_cypher(
+        'MATCH (c:CLASS {name: "Dog"})-[:HAS_METHOD]->(m:METHOD) '
+        "RETURN m.name AS MethodName, m.signature AS MethodSignature, "
+        "m.code AS MethodCode ORDER BY m.name",
+        nodes,
+        edges,
+    ).collect()
+    names = [r["MethodName"] for r in out]
+    assert names == sorted(names) and {"fetch", "speak"} <= set(names)
+    assert all(
+        r["MethodCode"].startswith('<CODE>{"S":') and r["MethodCode"].endswith("</CODE>")
+        for r in out
+    )
+    fetch = next(r for r in out if r["MethodName"] == "fetch")
+    assert '"F":"pkgb/dog.py"' in fetch["MethodCode"]
