@@ -622,3 +622,35 @@ def g_call_edges_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .orderBy("src", "dst")
     )
+
+
+@query(
+    "g_cypher_code",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('describe', 'def describe(self):', '<CODE>{"S":12,"E":13,"F":"pkga/base.py"}</CODE>'),
+      ('roll',  'def roll(self):',  '<CODE>{"S":12,"E":13,"F":"pkgb/dog.py"}</CODE>'),
+      ('speak', 'def speak(self):', '<CODE>{"S":5,"E":6,"F":"pkgb/dog.py"}</CODE>'),
+      ('fetch', 'def fetch(self):', '<CODE>{"S":8,"E":10,"F":"pkgb/dog.py"}</CODE>'),
+      ('speak', 'def speak(self):', '<CODE>{"S":9,"E":10,"F":"pkga/base.py"}</CODE>')
+    ) t(method, signature, code) ORDER BY code, method
+    """,
+)
+def g_cypher_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 through the Cypher front end: the reference's HAS_METHOD smoke
+    query run VERBATIM shape-for-shape (graphDB.py:279-282) — ``m.code``
+    returns the lazy ``<CODE>{"S":..,"E":..,"F":..}</CODE>`` pointer
+    property exactly as the reference stores it (myClient.py:236-257).
+    The graph keeps the typed (file, start, end) triple; the pointer is
+    re-serialized by a pure to_json projection — column pruning means the
+    code columns are only read when the query asks for them."""
+    from codegraphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges, _ = _graph(spark)
+    return run_cypher(
+        "MATCH (c:CLASS {name: 'Dog'})-[:HAS_METHOD]->(m:METHOD) "
+        "RETURN m.name AS method, m.signature AS signature, m.code AS code "
+        "ORDER BY code, method",
+        nodes,
+        edges,
+    )

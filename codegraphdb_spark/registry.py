@@ -60,6 +60,7 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_cosine_topk",         # changed (norms precomputed once)
     "minhash_lsh_candidates",  # changed (shared signature checkpoint)
     "g_cypher_extended",       # new
+    "g_cypher_code",           # new (lazy <CODE> pointer through Cypher)
     "g_call_edges_deep",       # new goldens (factory return-type)
     "multimodal_dedup",        # oracle changed (real header sniff)
     "ngram_jaccard_pairs",     # df cap added this round
