@@ -168,3 +168,115 @@ def exact_binary_dedup(decoded: DataFrame) -> DataFrame:
     return decoded.groupBy("content_hash").agg(
         F.min("path").alias("keep_path"), F.count(F.lit(1)).alias("n_copies")
     )
+
+
+# --- resize / frame-sample plumbing (the remaining §2.H multimodal verbs) ----
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("thumbnail", T.BinaryType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def _real_resample(payload: bytes, width: int, height: int) -> bytes:
+    """Pixel resampling needs a real codec (Pillow/libjpeg) on the
+    executors — not available in this environment. The deterministic
+    stand-in below (_fake_thumbnail) keeps the full Spark pipeline
+    testable; swap this one function to go real."""
+    raise NotImplementedError("pixel resampling requires an image codec library")
+
+
+def _fake_thumbnail(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic thumbnail double: a FAKE container whose bytes depend
+    on (content digest, target geometry) — same size contract as a real
+    thumbnail, stable across engines and partitionings."""
+    digest = hashlib.sha256(payload + struct.pack(">HH", width, height)).digest()
+    body = (digest * (width * height * 3 // len(digest) + 1))[: width * height * 3]
+    return b"FAKE" + struct.pack(">HH", width, height) + body
+
+
+def resize_images(binary_df: DataFrame, width: int, height: int) -> DataFrame:
+    """Thumbnail/resize stage: binaryFile rows → fixed-geometry thumbnails
+    via Arrow-batched mapInPandas. Header geometry is REAL (parse_header);
+    the pixel resample is the disclosed deterministic double
+    (_fake_thumbnail / _real_resample).
+
+    Scale shape: embarrassingly parallel over files — no shuffle at all;
+    Arrow batch memory is bounded by maxRecordsPerBatch, and the output
+    thumbnail column is a fixed width*height*3 bytes regardless of input
+    size, so downstream stages have predictable row weight."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("path", "format", "src_width", "src_height",
+                                    "width", "height", "thumbnail")}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                payload = bytes(content)
+                fmt, w, h = parse_header(payload)
+                out["path"].append(path)
+                out["format"].append(fmt)
+                out["src_width"].append(w)
+                out["src_height"].append(h)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["thumbnail"].append(_fake_thumbnail(payload, width, height))
+            yield pd.DataFrame(out)
+
+    return binary_df.select("path", "content").mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+_FRAME_MS = 40  # 25 fps nominal clock for the frame-sampling double
+
+
+def _fake_frame_count(payload: bytes) -> int:
+    """Frame-count double: a real demuxer reads the container index; the
+    stand-in derives a deterministic count from payload size (1 frame per
+    KiB, ≥1) so row-expansion plumbing is exercised with realistic shape."""
+    return max(1, len(payload) // 1024)
+
+
+def sample_frames(binary_df: DataFrame, every_n: int = 5) -> DataFrame:
+    """Video frame sampling: one input file row expands to one output row
+    per sampled frame (frame_idx ≡ 0 mod every_n) — the 1→many mapInPandas
+    shape a real ffmpeg-backed sampler uses. Frame payloads are the
+    deterministic double (digest-derived); timestamps follow a 25 fps
+    clock.
+
+    Scale shape: pure map-side row expansion, no shuffle; the expansion
+    factor is bounded by every_n, and repartitioning by file size BEFORE
+    sampling keeps long videos from skewing single tasks (see module
+    docstring)."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("path", "frame_idx", "ts_ms", "frame")}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                payload = bytes(content)
+                for idx in range(0, _fake_frame_count(payload), every_n):
+                    out["path"].append(path)
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(idx * _FRAME_MS)
+                    out["frame"].append(
+                        hashlib.sha256(payload + struct.pack(">I", idx)).digest()
+                    )
+            yield pd.DataFrame(out)
+
+    return binary_df.select("path", "content").mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -146,3 +146,42 @@ def test_parse_header_real_formats():
 
     assert multimodal.parse_header(b"\xff\xd8\xff\xd9") == ("jpeg", -1, -1)
     assert multimodal.parse_header(b"plain text") == ("unknown", -1, -1)
+
+
+def test_multimodal_resize_plumbing(spark, tmp_path):
+    """resize_images: fixed-geometry thumbnails, real header metadata, no
+    shuffle in the plan (embarrassingly parallel map)."""
+    img = b"FAKE" + struct.pack(">HH", 640, 480) + b"\x07" * 500
+    (tmp_path / "a.img").write_bytes(img)
+    (tmp_path / "b.img").write_bytes(img)  # identical content
+
+    binary = multimodal.read_binary_dir(spark, str(tmp_path))
+    resized = multimodal.resize_images(binary, 32, 16)
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in resized.collect()}
+    a = rows["a.img"]
+    assert (a["src_width"], a["src_height"]) == (640, 480)
+    assert (a["width"], a["height"]) == (32, 16)
+    # fixed output contract: FAKE header + w*h*3 body
+    assert len(a["thumbnail"]) == 8 + 32 * 16 * 3
+    # deterministic: same content -> same thumbnail bytes
+    assert bytes(a["thumbnail"]) == bytes(rows["b.img"]["thumbnail"])
+    plan = resized._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_multimodal_frame_sampling(spark, tmp_path):
+    """sample_frames: 1 file row -> ceil(n_frames/every_n) frame rows with
+    a 25fps clock; deterministic frame payloads."""
+    vid = b"\x00" * (10 * 1024)  # 10 fake frames
+    (tmp_path / "clip.bin").write_bytes(vid)
+
+    binary = multimodal.read_binary_dir(spark, str(tmp_path))
+    frames = multimodal.sample_frames(binary, every_n=4).collect()
+    assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 4, 8]
+    assert all(r["ts_ms"] == r["frame_idx"] * 40 for r in frames)
+    again = multimodal.sample_frames(binary, every_n=4).collect()
+    assert sorted(bytes(r["frame"]) for r in frames) == sorted(bytes(r["frame"]) for r in again)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.sample_frames(binary, every_n=0)
