@@ -225,6 +225,15 @@ class _Extractor(ast.NodeVisitor):
             ret = _dotted(node.returns)
             if ret:
                 self.returns_fact(full, ret, node.lineno)
+        else:
+            # jedi-parity static inference for the unannotated-factory idiom
+            # (indexer_visitor.py:125-157 resolves `x = make()` through the
+            # factory's body): a single unambiguous `return Ctor(...)` shape
+            # across the function's own returns emits the same fact an
+            # annotation would; anything mixed or dynamic stays un-inferred
+            ret = self._inferred_return(node)
+            if ret:
+                self.returns_fact(full, ret, node.lineno)
         # parameters are local bindings: annotated ones carry a usable
         # type (def f(a: Animal) → a.speak() resolves); unannotated ones
         # are poison rows so a parameter shadowing a module-global binding
@@ -258,6 +267,35 @@ class _Extractor(ast.NodeVisitor):
         self._handle_assign_targets([node.target], node, type_expr)
         if node.value is not None:
             self.visit(node.value)
+
+    @staticmethod
+    def _inferred_return(node: ast.FunctionDef | ast.AsyncFunctionDef) -> str | None:
+        """The single unambiguous ``return Ctor(...)`` textual type of an
+        UNANNOTATED function, or None. Conservative by design (false CALL
+        edges are worse than missed ones, ADVICE r2): nested def/class/
+        lambda bodies are skipped (their returns are not this function's);
+        ``return None`` / bare ``return`` guards are ignored; any other
+        non-constructor return value, or two different constructor names,
+        abandons the inference."""
+        names: set[str] = set()
+        stack: list[ast.AST] = list(node.body)
+        while stack:
+            n = stack.pop()
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef, ast.Lambda)):
+                continue
+            if isinstance(n, ast.Return):
+                if isinstance(n.value, ast.Call) and isinstance(n.value.func, ast.Name):
+                    # simple-Name constructor/factory shape only: an
+                    # attribute-call return (``return pet.speak()``) is a
+                    # value whose type depends on ANOTHER inference — bail
+                    names.add(n.value.func.id)
+                elif n.value is not None and not (
+                    isinstance(n.value, ast.Constant) and n.value.value is None
+                ):
+                    return None
+                continue
+            stack.extend(ast.iter_child_nodes(n))
+        return names.pop() if len(names) == 1 else None
 
     @staticmethod
     def _type_expr(value: ast.AST | None) -> str | None:

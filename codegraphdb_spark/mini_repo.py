@@ -137,6 +137,15 @@ def visit():
     return a.describe()
 
 
+def breed():
+    return Puppy("bred")
+
+
+def rehome():
+    p = breed()
+    return p.lick()
+
+
 class Keeper:
     def __init__(self):
         self.coach = Trainer()

@@ -598,6 +598,8 @@ def _deep_graph(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
       ('zoo.app.Keeper.tend', 'zoo.animals.Trainer.train'),
       ('zoo.app.adopt', 'zoo.animals.Animal.describe'),
       ('zoo.app.adopt', 'zoo.app.Puppy.lick'),
+      ('zoo.app.rehome', 'zoo.app.Puppy.lick'),
+      ('zoo.app.rehome', 'zoo.app.breed'),
       ('zoo.app.run', 'zoo.animals.Animal.speak'),
       ('zoo.app.visit', 'zoo.animals.Animal.describe'),
       ('zoo.app.visit', 'zoo.app.make_animal')
@@ -613,9 +615,12 @@ def g_call_edges_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (annotation), and ``pup.describe()`` resolving to a method Puppy only
     INHERITS (method-map hit). Since round 3 it also covers the factory
     shape ``a = make_animal(); a.describe()`` via annotation-derived
-    return types (operators/resolve.return_types). ``a.speak()`` on an
-    untyped parameter stays unsolved — jedi infers from call sites; the
-    join-based pass deliberately does not."""
+    return types (operators/resolve.return_types), and UNANNOTATED
+    factories (``def breed(): return Puppy(...)``) via static single-shape
+    return inference (ast_extract._inferred_return — the conservative
+    slice of jedi's body inference). ``a.speak()`` on an untyped parameter
+    stays unsolved — jedi infers from call sites; the join-based pass
+    deliberately does not."""
     _, edges = _deep_graph(spark)
     return (
         edges.filter(F.col("rel_type") == "CALL")

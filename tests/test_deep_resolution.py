@@ -35,6 +35,8 @@ def test_assign_facts_emitted():
         ("zoo.app.Keeper.buddy", "Animal"),
         # factory call: binds through make_animal's return annotation
         ("zoo.app.visit::a", "make_animal"),
+        # unannotated factory: binds through breed's INFERRED return type
+        ("zoo.app.rehome::p", "breed"),
         # unannotated parameters emit POISON bindings (type None): they
         # shadow, never resolve (ADVICE r2)
         ("zoo.app.Keeper.__init__::self", None),
@@ -44,7 +46,11 @@ def test_assign_facts_emitted():
     returns = {
         (f["full_name"], f["dst"]) for f in facts if f["fact"] == "returns"
     }
-    assert returns == {("zoo.app.make_animal", "Animal")}
+    assert returns == {
+        ("zoo.app.make_animal", "Animal"),
+        # static inference of the unannotated `return Puppy(...)` shape
+        ("zoo.app.breed", "Puppy"),
+    }
 
 
 def test_ref_bind_keys():
@@ -84,6 +90,9 @@ def test_deep_call_edges(deep_graph):
         # factory: direct call edge + return-type-propagated method call
         ("zoo.app.visit", "zoo.app.make_animal"),
         ("zoo.app.visit", "zoo.animals.Animal.describe"),
+        # unannotated factory: same shape through the INFERRED return type
+        ("zoo.app.rehome", "zoo.app.breed"),
+        ("zoo.app.rehome", "zoo.app.Puppy.lick"),
     }
 
 
