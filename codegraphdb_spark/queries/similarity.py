@@ -554,3 +554,80 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster", "pos")
     )
+
+
+_EMB_PAIRS_CACHE: dict = {}
+
+
+def _near_dup_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup pair set, materialized once per (session, sf_dir) —
+    same pattern as text._jaccard_pairs: the expensive intermediate a real
+    dedup pipeline computes exactly once and fans out from."""
+    key = (id(spark._jsparkSession), sf_dir)
+    if key not in _EMB_PAIRS_CACHE:
+        _EMB_PAIRS_CACHE[key] = emb_near_dup_pairs(spark, sf_dir).localCheckpoint(
+            eager=False
+        )
+    return _EMB_PAIRS_CACHE[key]
+
+
+@query(
+    "emb_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+             SQRT({_sql_ddot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_sql_ddot('a.e', 'b.e')} / (a.nrm * b.nrm) >= 0.38
+    ), undirected AS (
+      SELECT vec_a AS a, vec_b AS b FROM pairs
+      UNION
+      SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(vec_id, lbl) AS (
+      SELECT a, a FROM undirected
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN undirected e ON e.a = r.vec_id
+    ),
+    comp AS (
+      SELECT vec_id, MIN(lbl) AS component FROM reach GROUP BY vec_id
+    )
+    SELECT c.vec_id, CAST(c.component AS BIGINT) AS component, s.n_members
+    FROM comp c
+    JOIN (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM comp GROUP BY component) s USING (component)
+    ORDER BY c.vec_id
+    """,
+)
+def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-modality duplicate clusters: the SAME union-find operator
+    (operators/dedup.duplicate_components — min-label propagation,
+    checkpointed) over the cosine near-dup pair set, proving the dedup
+    stack is modality-agnostic once candidates are pairs. The pair set is
+    shared with emb_near_dup_pairs via a session cache, exactly like the
+    text pipeline shares its Jaccard pairs.
+
+    Scale shape: components run over PAIRS (tiny relative to the corpus);
+    each iteration is one key-partitioned join+agg with truncated lineage
+    — the corpus-sized scan happens once, in the candidate generator."""
+    from codegraphdb_spark.operators.dedup import duplicate_components
+
+    pairs = _near_dup_pairs_cached(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = duplicate_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("component").cast("bigint").alias("component"),
+            "n_members",
+        )
+        .orderBy("vec_id")
+    )
