@@ -226,3 +226,75 @@ def test_rocksdb_state_store_equivalence(spark, sf_dir, stream_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_streaming_repo_indexer(spark, tmp_path):
+    """Streaming incremental indexing: micro-batches of arriving files run
+    the SAME engine update path, one version per batch, snapshot always
+    complete. Drained deterministically with availableNow."""
+    from pyspark.sql import functions as F
+
+    from codegraphdb_spark.engine import GraphEngine
+    from codegraphdb_spark.streaming.repo_index import start_repo_indexer
+    from codegraphdb_spark import mini_repo
+
+    watch = tmp_path / "repo"
+    snap = tmp_path / "snap"
+    ckpt = tmp_path / "ckpt"
+    watch.mkdir()
+
+    # batch 0: the full v1 fixture arrives
+    for rel, content in mini_repo.V1:
+        p = watch / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(content)
+    q = start_repo_indexer(
+        spark, str(watch), str(snap), str(ckpt), available_now=True
+    )
+    q.awaitTermination(120)
+
+    eng = GraphEngine(spark)
+    nodes, edges = eng.read_snapshot(str(snap))
+    assert nodes.filter(F.col("full_name") == "pkgb.dog.Dog").count() == 1
+    base_versions = {
+        v
+        for r in nodes.filter(F.col("full_name") == "pkgb.dog.Dog")
+        .select("versions")
+        .collect()
+        for v in r["versions"]
+    }
+    assert "s0" in base_versions
+
+    # batch 1: a NEW module arrives (file-stream sources are append-only by
+    # path; modified-in-place files are an event-bus deployment, see module
+    # docstring)
+    (watch / "pkgb" / "kitten.py").write_text(
+        "from pkga.base import Animal\n\n\nclass Kitten(Animal):\n    def mew(self):\n        return 'mew'\n"
+    )
+    q = start_repo_indexer(
+        spark, str(watch), str(snap), str(ckpt), available_now=True
+    )
+    q.awaitTermination(120)
+
+    nodes2, edges2 = eng.read_snapshot(str(snap))
+    kitten = nodes2.filter(F.col("full_name") == "pkgb.kitten.Kitten")
+    assert kitten.count() == 1
+    assert kitten.select("kind").first()["kind"] == "CLASS"
+    # the new version stamped the carried-forward graph too
+    dog_versions = {
+        v
+        for r in nodes2.filter(F.col("full_name") == "pkgb.dog.Dog")
+        .select("versions")
+        .collect()
+        for v in r["versions"]
+    }
+    assert "s1" in dog_versions
+    # inheritance across the batch boundary resolved against carried facts
+    assert (
+        edges2.filter(
+            (F.col("src") == "pkgb.kitten.Kitten")
+            & (F.col("rel_type") == "INHERITS")
+            & (F.col("dst") == "pkga.base.Animal")
+        ).count()
+        == 1
+    )
