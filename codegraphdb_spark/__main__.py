@@ -39,6 +39,23 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("query_text")
     q.add_argument("--limit", type=int, default=50)
 
+    st = sub.add_parser(
+        "stream",
+        help="watch a directory; index newly arriving *.py files, one "
+        "graph version per micro-batch (streaming/repo_index.py)",
+    )
+    st.add_argument("watch_dir")
+    st.add_argument("snapshot_dir")
+    st.add_argument("checkpoint_dir")
+    st.add_argument("--prefix", default="s")
+    st.add_argument("--max-files-per-trigger", type=int, default=None)
+    st.add_argument(
+        "--drain",
+        action="store_true",
+        help="process the current backlog (availableNow) and exit instead "
+        "of running continuously",
+    )
+
     args = ap.parse_args(argv)
 
     from codegraphdb_spark.engine import GraphEngine
@@ -83,6 +100,22 @@ def main(argv: list[str] | None = None) -> int:
         eng.write_snapshot(nodes, edges, args.snapshot_dir)
         facts.write.mode("overwrite").parquet(f"{args.snapshot_dir}/facts_{args.new}")
         print(f"updated {args.old} -> {args.new}: {nodes.count()} nodes")
+        return 0
+
+    if args.cmd == "stream":
+        from codegraphdb_spark.streaming.repo_index import start_repo_indexer
+
+        query = start_repo_indexer(
+            spark,
+            args.watch_dir,
+            args.snapshot_dir,
+            args.checkpoint_dir,
+            version_prefix=args.prefix,
+            max_files_per_trigger=args.max_files_per_trigger,
+            available_now=args.drain,
+        )
+        query.awaitTermination()
+        print(f"stream drained -> {args.snapshot_dir}" if args.drain else "stream stopped")
         return 0
 
     # query
