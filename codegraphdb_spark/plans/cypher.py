@@ -49,12 +49,6 @@ _EDGE = re.compile(
     r"(?:\*\s*(?P<lo>\d+)?\s*(?:\.\.\s*(?P<hi>\d+)?)?)?\s*\]\s*-(?P<right>>)?"
 )
 _PROP = re.compile(r"(\w+)\s*:\s*(?:'([^']*)'|\"([^\"]*)\"|(\d+))")
-_CLAUSES = re.compile(
-    r"^\s*MATCH\b(?P<pattern>.*?)(?:\bWHERE\b(?P<where>.*?))?\bRETURN\b"
-    r"(?P<distinct>\s+DISTINCT\b)?(?P<items>.*?)"
-    r"(?:\bORDER\s+BY\b(?P<order>.*?))?(?:\bLIMIT\b\s*(?P<limit>\d+))?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
 _ITEM = re.compile(
     r"^\s*(?:(?P<func>labels|count)\s*\(\s*(?P<farg>\*|\w+)\s*\)"
     r"|(?P<var>\w+)(?:\.(?P<prop>\w+))?)"
@@ -342,42 +336,50 @@ def _predicate(raw: str, binds: dict[str, str]):
     raise CypherError(f"unsupported operator {op!r}")  # pragma: no cover
 
 
-def run_cypher(cypher: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
-    """Compile + run a Cypher-subset query against (nodes, edges)."""
-    text = cypher.strip()
-    m = _CLAUSES.match(text)
-    if not m:
-        raise CypherError(
-            "only MATCH ... [WHERE ...] RETURN [DISTINCT] ... "
-            "[ORDER BY ...] [LIMIT n] is supported"
-        )
+def _compile_pattern(
+    pattern: str,
+    nodes: DataFrame,
+    edges: DataFrame,
+    outer_binds: dict[str, str],
+    state: dict[str, int],
+) -> tuple[DataFrame, dict[str, str], list[tuple[str, str]]]:
+    """Compile one MATCH pattern (possibly comma-separated chains) into a
+    DataFrame. Returns (df, local_binds, cross_pairs):
 
-    binds: dict[str, str] = {}  # var -> dataframe alias (first binding wins)
-    shared_eq: list[tuple[str, str]] = []  # re-bound vars → equality constraints
+    - ``local_binds``: var → alias for this pattern's own columns;
+    - ``cross_pairs``: (outer_alias, local_alias) for variables already
+      bound by an EARLIER clause — the caller turns these into JOIN
+      conditions (a post-filter would defeat an OPTIONAL left join).
+
+    Intra-pattern re-bindings (same var twice in this pattern) are applied
+    as equality filters here, as before."""
+    local_binds: dict[str, str] = {}
+    cross_pairs: list[tuple[str, str]] = []
+    intra_eq: list[tuple[str, str]] = []
     df = None
-    node_i = 0
-    anon = 0
-    for chain_text in _split_chains(m.group("pattern")):
+    for chain_text in _split_chains(pattern):
         tokens = _parse_pattern(chain_text)
         chain_df = None
         prev_alias = None
         pending_edge: tuple[str, str] | None = None  # (ealias, end_col)
         for ttype, tok in tokens:
             if ttype == "node":
-                alias = f"n{node_i}"
-                node_i += 1
+                alias = f"n{state['node_i']}"
+                state["node_i"] += 1
                 kind, ver = _parse_labels(tok.group("labels"))
                 props = _parse_props(tok.group("props"))
                 nd = _prefixed(_node_filter(nodes, kind, ver, props), alias)
                 var = tok.group("var")
                 if var:
-                    if var in binds:
+                    if var in local_binds:
                         # same variable appearing again (within a chain or
                         # across comma-separated chains) means THE SAME
                         # node — enforced as an equality constraint below
-                        shared_eq.append((binds[var], alias))
+                        intra_eq.append((local_binds[var], alias))
                     else:
-                        binds[var] = alias
+                        local_binds[var] = alias
+                        if var in outer_binds:
+                            cross_pairs.append((outer_binds[var], alias))
                 if chain_df is None:
                     chain_df = nd
                 else:
@@ -402,8 +404,8 @@ def run_cypher(cypher: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
                     raise CypherError(f"hop bound {hi} exceeds cap {MAX_VARLEN_HOPS}")
                 if lo > hi or lo < 1:
                     raise CypherError(f"bad hop range *{lo}..{hi}")
-                ealias = f"e{anon}"
-                anon += 1
+                ealias = f"e{state['anon']}"
+                state["anon"] += 1
                 if lo == 1 and hi == 1:
                     e = edges.filter(F.col("rel_type") == rel)
                 else:
@@ -426,11 +428,75 @@ def run_cypher(cypher: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
         # product into an equi-join when shared-variable equality (below)
         # or WHERE predicates connect them
         df = chain_df if df is None else df.crossJoin(chain_df)
-    for a, b in shared_eq:
+    for a, b in intra_eq:
         df = df.filter(F.col(f"{a}__full_name") == F.col(f"{b}__full_name"))
+    return df, local_binds, cross_pairs
 
-    if m.group("where"):
-        df = df.filter(_where_condition(m.group("where"), binds))
+
+_RETURN_RX = re.compile(
+    r"^(?P<head>.*?)\bRETURN\b"
+    r"(?P<distinct>\s+DISTINCT\b)?(?P<items>.*?)"
+    r"(?:\bORDER\s+BY\b(?P<order>.*?))?(?:\bLIMIT\b\s*(?P<limit>\d+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_where(segment: str) -> tuple[str, str | None]:
+    mm = re.search(r"\bWHERE\b", segment, re.IGNORECASE)
+    if mm:
+        return segment[: mm.start()], segment[mm.end():]
+    return segment, None
+
+
+def run_cypher(cypher: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Compile + run a Cypher-subset query against (nodes, edges).
+
+    Grammar: ``MATCH p [WHERE w] (OPTIONAL MATCH p_i [WHERE w_i])*
+    RETURN [DISTINCT] items [ORDER BY ...] [LIMIT n]``. Per Cypher
+    semantics, a WHERE following an OPTIONAL MATCH filters THAT optional
+    pattern before the left join (its predicates may only reference that
+    pattern's variables); unmatched optional rows surface as NULLs."""
+    text = cypher.strip()
+    m = _RETURN_RX.match(text)
+    if not m:
+        raise CypherError(
+            "only MATCH ... [WHERE ...] [OPTIONAL MATCH ... [WHERE ...]]* "
+            "RETURN [DISTINCT] ... [ORDER BY ...] [LIMIT n] is supported"
+        )
+    segments = re.split(r"\bOPTIONAL\s+MATCH\b", m.group("head"), flags=re.IGNORECASE)
+    head_m = re.match(r"^\s*MATCH\b(?P<rest>.*)$", segments[0], re.IGNORECASE | re.DOTALL)
+    if not head_m:
+        raise CypherError("query must start with MATCH")
+
+    state = {"node_i": 0, "anon": 0}
+    binds: dict[str, str] = {}  # var -> dataframe alias (first binding wins)
+
+    pattern, where = _split_where(head_m.group("rest"))
+    df, local_binds, _ = _compile_pattern(pattern, nodes, edges, binds, state)
+    binds.update(local_binds)
+    if where:
+        df = df.filter(_where_condition(where, binds))
+
+    for seg in segments[1:]:
+        opt_pattern, opt_where = _split_where(seg)
+        odf, opt_binds, cross = _compile_pattern(
+            opt_pattern, nodes, edges, binds, state
+        )
+        if not cross:
+            raise CypherError(
+                "OPTIONAL MATCH must share at least one variable with an "
+                "earlier clause"
+            )
+        if opt_where:
+            # pre-join filter, scoped to the optional pattern's own columns
+            odf = odf.filter(_where_condition(opt_where, opt_binds))
+        cond = None
+        for outer_a, inner_a in cross:
+            c = F.col(f"{outer_a}__full_name") == F.col(f"{inner_a}__full_name")
+            cond = c if cond is None else (cond & c)
+        df = df.join(odf, cond, "left")
+        for var, alias in opt_binds.items():
+            binds.setdefault(var, alias)
 
     cols = []
     agg_cols = []

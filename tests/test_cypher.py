@@ -276,3 +276,48 @@ def test_code_pointer_property(graph):
     )
     fetch = next(r for r in out if r["MethodName"] == "fetch")
     assert '"F":"pkgb/dog.py"' in fetch["MethodCode"]
+
+
+def test_optional_match_left_join(graph):
+    """OPTIONAL MATCH preserves unmatched rows with NULLs (left join on the
+    shared variable): Animal has no INHERITS out-edge."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS) OPTIONAL MATCH (c)-[:INHERITS]->(b) "
+        "RETURN c.name AS cls, b.name AS base ORDER BY cls",
+        nodes,
+        edges,
+    ).collect()
+    assert [(r["cls"], r["base"]) for r in out] == [
+        ("Animal", None),
+        ("Dog", "Animal"),
+        ("Puppy", "Dog"),
+    ]
+
+
+def test_optional_match_scoped_where(graph):
+    """A WHERE after OPTIONAL MATCH filters the optional pattern BEFORE the
+    left join (Cypher semantics) — classes without a 'fetch' method keep
+    their row with NULL, they are not eliminated."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS) OPTIONAL MATCH (c)-[:HAS_METHOD]->(m) "
+        "WHERE m.name = 'fetch' "
+        "RETURN c.name AS cls, m.full_name AS fetcher ORDER BY cls",
+        nodes,
+        edges,
+    ).collect()
+    got = [(r["cls"], r["fetcher"]) for r in out]
+    assert ("Animal", None) in got
+    assert ("Dog", "pkgb.dog.Dog.fetch") in got
+    assert all(f in (None, "pkgb.dog.Dog.fetch") for _, f in got)
+
+
+def test_optional_match_requires_shared_variable(graph):
+    nodes, edges = graph
+    with pytest.raises(CypherError):
+        run_cypher(
+            "MATCH (c:CLASS) OPTIONAL MATCH (m:MODULE) RETURN c.name",
+            nodes,
+            edges,
+        )
