@@ -659,3 +659,30 @@ def g_cypher_code(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes,
         edges,
     )
+
+
+@query(
+    "g_cypher_optional",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('pkga.base.Animal', CAST(NULL AS VARCHAR)),
+      ('pkgb.dog.Dog', 'pkga.base.Animal'),
+      ('pkgb.puppy.Puppy', 'pkgb.dog.Dog')
+    ) t(cls, base) ORDER BY cls
+    """,
+)
+def g_cypher_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 breadth: OPTIONAL MATCH — the left-join pattern form. The root
+    class (no INHERITS out-edge) keeps its row with a NULL base instead of
+    being eliminated; the optional clause compiles to a LEFT equi-join on
+    the shared variable's identity, so Catalyst plans it like any outer
+    join (broadcastable when the optional side is small)."""
+    from codegraphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges, _ = _graph(spark)
+    return run_cypher(
+        "MATCH (c:CLASS) OPTIONAL MATCH (c)-[:INHERITS]->(b) "
+        "RETURN c.full_name AS cls, b.full_name AS base ORDER BY cls",
+        nodes,
+        edges,
+    )
