@@ -17,6 +17,9 @@ queries run verbatim:
         RETURN c.full_name, f.name ORDER BY c.full_name LIMIT 10
     MATCH (a:CLASS)-[:INHERITS*1..3]->(b:CLASS) RETURN a.name, b.name
     MATCH (c:CLASS) RETURN count(c) AS n
+    MATCH (c:CLASS) OPTIONAL MATCH (c)-[:INHERITS]->(b) RETURN c.name, b.name
+    MATCH (c:CLASS {name: 'Dog'})-[:HAS_METHOD]->(m:METHOD)
+        RETURN m.name, m.signature, m.code   -- code = lazy <CODE> pointer
 
 Label semantics mirror the reference: a label that is a known KIND filters
 ``kind``; any other label is a version tag and filters
