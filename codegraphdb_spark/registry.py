@@ -83,6 +83,9 @@ _DRIVER_PRIORITY: list[str] = [
     "g_cypher_match",
     "g_code_hydration",
     "g_cypher_varlen",
+    # -- headliners: keep the flagship pair inside every window ----------
+    "revenue_by_nation",
+    "pricing_summary",
     # -- rotation: checked in r1, outside the r2 window since ------------
     "topk_orders",
     "scalar_string_funcs",
@@ -110,9 +113,6 @@ _DRIVER_PRIORITY: list[str] = [
     "pipeline_clean_corpus",
     "doc_tfidf_top_terms",
     "doc_train_test_split",
-    # -- headliners ------------------------------------------------------
-    "revenue_by_nation",
-    "pricing_summary",
 ]
 
 
