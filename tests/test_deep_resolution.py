@@ -201,3 +201,53 @@ def test_class_body_annotation_is_field_key(spark):
         ).collect()
     }
     assert calls == {("zoo.client.Shelter.open", "zoo.animals.Animal.speak")}
+
+
+def _returns_of(src: str) -> set:
+    facts = _extract_one("m.py", src)
+    return {(f["full_name"], f["dst"]) for f in facts if f["fact"] == "returns"}
+
+
+def test_inferred_return_edge_cases():
+    """_inferred_return is deliberately conservative: only the single
+    unambiguous simple-Name constructor shape fires."""
+    # fires: single ctor shape, None-guard returns ignored
+    assert _returns_of(
+        "def f(x):\n"
+        "    if x is None:\n"
+        "        return None\n"
+        "    if not x:\n"
+        "        return\n"
+        "    return Foo(x)\n"
+    ) == {("m.f", "Foo")}
+    # two different ctor names -> ambiguous, no fact
+    assert _returns_of(
+        "def f(x):\n"
+        "    if x:\n"
+        "        return Foo()\n"
+        "    return Bar()\n"
+    ) == set()
+    # attribute-call return -> someone else's inference, bail entirely
+    assert _returns_of(
+        "def f(x):\n"
+        "    if x:\n"
+        "        return Foo()\n"
+        "    return x.make()\n"
+    ) == set()
+    # plain-value return -> bail
+    assert _returns_of("def f(x):\n    return x\n") == set()
+    # nested def/lambda returns are NOT this function's returns
+    assert _returns_of(
+        "def f():\n"
+        "    def g():\n"
+        "        return Bar()\n"
+        "    h = lambda: Baz()\n"
+        "    return Foo()\n"
+    ) >= {("m.f", "Foo")}
+    assert ("m.f", "Bar") not in _returns_of(
+        "def f():\n    def g():\n        return Bar()\n    return Foo()\n"
+    )
+    # an explicit annotation wins; no body scan happens
+    assert _returns_of(
+        "def f() -> Foo:\n    return Bar()\n"
+    ) == {("m.f", "Foo")}
