@@ -49,7 +49,8 @@ _NODE = re.compile(
 )
 _EDGE = re.compile(
     r"(?P<left><)?-\s*\[\s*:(?P<rel>\w+)\s*"
-    r"(?:\*\s*(?P<lo>\d+)?\s*(?:\.\.\s*(?P<hi>\d+)?)?)?\s*\]\s*-(?P<right>>)?"
+    r"(?:\*\s*(?P<lo>\d+)?\s*(?:\.\.\s*(?P<hi>\d+)?)?)?\s*"
+    r"(?:\{(?P<props>[^}]*)\})?\s*\]\s*-(?P<right>>)?"
 )
 _PROP = re.compile(r"(\w+)\s*:\s*(?:'([^']*)'|\"([^\"]*)\"|(\d+))")
 _ITEM = re.compile(
@@ -409,9 +410,19 @@ def _compile_pattern(
                     raise CypherError(f"bad hop range *{lo}..{hi}")
                 ealias = f"e{state['anon']}"
                 state["anon"] += 1
+                eprops = _parse_props(tok.group("props"))
                 if lo == 1 and hi == 1:
                     e = edges.filter(F.col("rel_type") == rel)
+                    # edge property map — the reference writes edge params
+                    # (association_type, myClient.py:187-194) and its C4
+                    # helper filters on them (ast_manage.py:106-121)
+                    for k, val in eprops.items():
+                        e = e.filter(F.col(k) == val)
                 else:
+                    if eprops:
+                        raise CypherError(
+                            "edge properties are not supported on var-length hops"
+                        )
                     e = _varlen_pairs(edges, rel, lo, hi)
                 if not left and not right:
                     # undirected: symmetrize the (src, dst) pair set, then

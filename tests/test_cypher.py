@@ -321,3 +321,33 @@ def test_optional_match_requires_shared_variable(graph):
             nodes,
             edges,
         )
+
+
+def test_edge_property_filter(graph):
+    """Edge property maps: the reference writes association_type on
+    CONTAINS edges (myClient.py:187-194) and filters on it in its C4
+    helper (ast_manage.py:106-121)."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (m:MODULE {full_name: 'pkgb.dog'})"
+        "-[:CONTAINS {association_type: 'CLASS'}]->(c) "
+        "RETURN c.full_name AS cls ORDER BY cls",
+        nodes,
+        edges,
+    ).collect()
+    assert [r["cls"] for r in out] == ["pkga.base.Animal", "pkgb.dog.Dog"]
+    # a non-matching edge property filters everything out, loudly nothing
+    out = run_cypher(
+        "MATCH (m:MODULE {full_name: 'pkgb.dog'})"
+        "-[:CONTAINS {association_type: 'FUNCTION'}]->(c) RETURN c",
+        nodes,
+        edges,
+    ).collect()
+    assert out == []
+    with pytest.raises(CypherError):
+        run_cypher(
+            "MATCH (a)-[:INHERITS*1..2 {association_type: 'CLASS'}]->(b) "
+            "RETURN a.name",
+            nodes,
+            edges,
+        )
