@@ -61,3 +61,42 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
     arbitrary-Cypher passthrough graphDB.py:106-112)."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def export_table(df: DataFrame, path: str, fmt: str) -> None:
+    """Write a fixture table as csv/json/orc/parquet — the sink half of
+    connector breadth. CSV keeps a header; both text formats serialize
+    timestamps as ISO-8601 so the round-trip is lossless at micros."""
+    if fmt not in ("csv", "json", "orc", "parquet"):
+        raise ValueError(f"unsupported export format {fmt!r}")
+    w = df.write.mode("overwrite")
+    if fmt == "csv":
+        w = w.option("header", "true").option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    if fmt == "json":
+        w = w.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    getattr(w, fmt)(path)
+
+
+def load_table_from(
+    spark: SparkSession, path: str, fmt: str, schema=None
+) -> DataFrame:
+    """Read a table from csv/json/orc/parquet with an ENFORCED schema.
+
+    Text formats (csv/json) never infer at scale: inference is a full
+    extra pass over 100 TB and can mis-type sparse columns per-partition.
+    Callers pass the authoritative schema (e.g. the parquet fixture's
+    ``df.schema``) so the scan is single-pass and bit-stable; orc/parquet
+    carry their own schema. Malformed rows fail loudly (FAILFAST) rather
+    than silently nulling."""
+    if fmt in ("parquet", "orc"):
+        return getattr(spark.read, fmt)(path)
+    if fmt not in ("csv", "json"):
+        raise ValueError(f"unsupported source format {fmt!r}")
+    if schema is None:
+        raise ValueError(f"{fmt} reads require an explicit schema (no inference at scale)")
+    r = spark.read.schema(schema).option("mode", "FAILFAST")
+    if fmt == "csv":
+        r = r.option("header", "true").option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    else:
+        r = r.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    return getattr(r, fmt)(path)

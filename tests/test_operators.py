@@ -185,3 +185,28 @@ def test_multimodal_frame_sampling(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         multimodal.sample_frames(binary, every_n=0)
+
+
+def test_table_format_round_trip(spark, tmp_path):
+    """Connector breadth: csv/json/orc round-trip the orders fixture with
+    enforced schema (no inference) and identical values."""
+    import os
+
+    from codegraphdb_spark.sources import tables as TS
+
+    sf = os.environ.get("SPARK_GRAFT_SF_TEST", "/root/testdata/sf0.001")
+    orig = TS.load_table(spark, sf, "orders").orderBy("o_orderkey").limit(200)
+    want = [tuple(r) for r in orig.collect()]
+    for fmt in ("csv", "json", "orc"):
+        p = str(tmp_path / f"orders_{fmt}")
+        TS.export_table(orig, p, fmt)
+        back = TS.load_table_from(
+            spark, p, fmt, schema=None if fmt == "orc" else orig.schema
+        )
+        assert back.schema == orig.schema, fmt
+        got = [tuple(r) for r in back.orderBy("o_orderkey").collect()]
+        assert got == want, f"{fmt} round-trip mismatch"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        TS.load_table_from(spark, str(tmp_path / "orders_csv"), "csv")
