@@ -631,3 +631,129 @@ def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+IVF_NPROBE = 2
+
+
+@query(
+    "emb_ivf_topk",
+    oracle=f"""
+    WITH expl AS (
+      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, (SELECT UNNEST(generate_series(1, {DIM})) AS i)
+    ), cent AS (
+      SELECT label AS clabel, pos,
+             CAST(CAST(SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) AS DOUBLE)
+                  / COUNT(*) / 1000000000 AS DOUBLE) AS c
+      FROM expl GROUP BY label, pos
+    ), dists AS (
+      SELECT e.vec_id, c.clabel,
+             SUM(CAST(ROUND((e.x - c.c) * (e.x - c.c) * 1000000000) AS BIGINT)) AS d
+      FROM expl e JOIN cent c ON e.pos = c.pos
+      GROUP BY e.vec_id, c.clabel
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+      FROM dists
+    ), assigned AS (
+      SELECT vec_id, clabel AS cell FROM ranked WHERE rn = 1
+    ), pcells AS (
+      SELECT vec_id AS probe_id, clabel AS cell FROM ranked
+      WHERE vec_id < {N_PROBES} AND rn <= {IVF_NPROBE}
+    ), v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             SQRT({_sql_ddot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), scored AS (
+      SELECT p.probe_id, a.vec_id AS cand_id,
+             {_sql_ddot('pv.e', 'cv.e')} / (pv.nrm * cv.nrm) AS cosine
+      FROM pcells p
+      JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.probe_id
+      JOIN v pv ON pv.vec_id = p.probe_id
+      JOIN v cv ON cv.vec_id = a.vec_id
+    )
+    SELECT probe_id, cand_id, cosine, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cosine DESC, cand_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    ORDER BY probe_id, rnk
+    """,
+)
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN top-k — the third ANN tier (brute force
+    `emb_cosine_topk` → sign-LSH `emb_ann_topk` → inverted-file cells):
+    corpus vectors are coarse-quantized ONCE to their nearest centroid
+    (the emb_ivf_assign pass); each probe searches only its nprobe=2
+    nearest cells. Exact hash-checked oracle — centroids and distances use
+    the scaled-integer arithmetic, so DuckDB recomputes identical cells.
+
+    Scale shape: assignment is one broadcast(k×dim centroids) join +
+    per-vector argmin, linear in the corpus; the candidate join is an
+    equi-join on cell id (bucket the inverted lists by cell at write time
+    and it is shuffle-free); probe cost is O(candidates in nprobe cells),
+    never O(corpus)."""
+    v = load_table(spark, sf_dir, "embeddings")
+    expl = v.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "x")
+    cent = (
+        expl.join(
+            v.select("vec_id", "label"), "vec_id"
+        )
+        .groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("x") * 1_000_000_000).cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+                / 1_000_000_000
+            ).alias("c")
+        )
+    )
+    dists = (
+        expl.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "clabel")
+        .agg(
+            F.sum(
+                F.round((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * 1_000_000_000)
+                .cast("bigint")
+            ).alias("d")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "clabel")
+    ranked = dists.withColumn("rn", F.row_number().over(w))
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("cand_id"), F.col("clabel").alias("cell")
+    )
+    pcells = ranked.filter(
+        (F.col("vec_id") < N_PROBES) & (F.col("rn") <= IVF_NPROBE)
+    ).select(F.col("vec_id").alias("probe_id"), F.col("clabel").alias("cell"))
+    vn = v.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn("nrm", F.sqrt(_ddot(F.col("e"), F.col("e"))))
+    cands = F.broadcast(pcells).join(
+        assigned, (assigned.cell == pcells.cell) & (F.col("cand_id") != F.col("probe_id"))
+    ).select("probe_id", "cand_id")
+    pv = vn.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pn"),
+    ).filter(F.col("probe_id") < N_PROBES)
+    scored = (
+        cands.join(F.broadcast(pv), "probe_id")
+        .join(vn.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .select(
+            "probe_id",
+            "cand_id",
+            (_ddot(F.col("pe"), F.col("e")) / (F.col("pn") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("probe_id", "cand_id", "cosine", "rnk")
+        .orderBy("probe_id", "rnk")
+    )

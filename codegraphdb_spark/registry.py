@@ -58,6 +58,7 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_ann_topk",            # new + kernel/probe-path changed
     "emb_near_dup_pairs",      # rewritten (block-local applyInPandas)
     "emb_dup_clusters",        # new (union-find over embedding near-dups)
+    "emb_ivf_topk",            # new (IVF-probed ANN, third tier)
     "emb_cosine_topk",         # changed (norms precomputed once)
     "minhash_lsh_candidates",  # changed (shared signature checkpoint)
     "g_cypher_extended",       # new
