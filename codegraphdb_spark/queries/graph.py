@@ -686,3 +686,36 @@ def g_cypher_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes,
         edges,
     )
+
+
+@query(
+    "g_version_diff",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('added', CAST(1 AS BIGINT), 'pkgb.dog.Dog.roll'),
+      ('carried', CAST(23 AS BIGINT), 'pkga')
+    ) t(change, n, sample_symbol) ORDER BY change
+    """,
+)
+def g_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 observed from the query side: the version census across the
+    v1→v2 incremental update — every node is 'carried' (stamped with both
+    labels: unchanged files), 'added' (v2 only: the new Dog.roll method in
+    the changed file), or 'removed' (v1 only — none here; deletion
+    scenarios live in tests/test_versioning.py). This is the multi-label
+    semantics of update_version.py:21-44 expressed as one aggregation over
+    the versions array — on the kind-partitioned snapshot it is a single
+    linear scan."""
+    nodes, _, _ = _graph(spark)
+    v1 = F.array_contains("versions", "v1")
+    v2 = F.array_contains("versions", "v2")
+    change = F.when(v1 & v2, "carried").when(v2, "added").otherwise("removed")
+    return (
+        nodes.select(change.alias("change"), "full_name")
+        .groupBy("change")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("full_name").alias("sample_symbol"),
+        )
+        .orderBy("change")
+    )

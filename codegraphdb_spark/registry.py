@@ -64,6 +64,7 @@ _DRIVER_PRIORITY: list[str] = [
     "g_cypher_extended",       # new
     "g_cypher_code",           # new (lazy <CODE> pointer through Cypher)
     "g_cypher_optional",       # new (OPTIONAL MATCH left join)
+    "g_version_diff",          # new (v1→v2 census over the versions array)
     "g_call_edges_deep",       # new goldens (annotated + inferred factory returns)
     "multimodal_dedup",        # oracle changed (real header sniff)
     "ngram_jaccard_pairs",     # df cap added this round
