@@ -298,3 +298,42 @@ def test_streaming_repo_indexer(spark, tmp_path):
         ).count()
         == 1
     )
+
+
+def test_index_batch_event_bus_modified_file(spark, tmp_path):
+    """The event-bus deployment path: index_batch driven directly with a
+    MODIFIED file's (path, content) — the case the append-only file stream
+    cannot deliver (module docstring). The changed file's symbols update;
+    everything else carries forward under the new version."""
+    from pyspark.sql import functions as F
+
+    from codegraphdb_spark.engine import GraphEngine
+    from codegraphdb_spark.sources.repo import files_from_pairs
+    from codegraphdb_spark.streaming.repo_index import index_batch
+    from codegraphdb_spark import mini_repo
+
+    snap = str(tmp_path / "snap")
+    index_batch(
+        spark,
+        files_from_pairs(spark, mini_repo.V1),
+        [p for p, _ in mini_repo.V1],
+        snap,
+        "s0",
+    )
+    # the v2 fixture modifies pkgb/dog.py in place (adds Dog.roll)
+    index_batch(
+        spark,
+        files_from_pairs(spark, mini_repo.V2_CHANGED_ONLY),
+        mini_repo.CHANGE_LIST,
+        snap,
+        "s1",
+    )
+    eng = GraphEngine(spark)
+    nodes, _ = eng.read_snapshot(snap)
+    roll = nodes.filter(F.col("full_name") == "pkgb.dog.Dog.roll")
+    assert roll.count() == 1
+    assert roll.select("versions").first()["versions"] == ["s1"]
+    dog_versions = nodes.filter(F.col("full_name") == "pkgb.dog.Dog").first()[
+        "versions"
+    ]
+    assert set(dog_versions) == {"s0", "s1"}
