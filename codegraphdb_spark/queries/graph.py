@@ -23,6 +23,9 @@ from pyspark.sql import functions as F
 from codegraphdb_spark.registry import query
 
 _CACHE: dict[int, tuple[DataFrame, DataFrame, DataFrame]] = {}
+# v1 extraction facts from the same build (already checkpointed) — consumed
+# by g_blast_radius' import-reachability analysis, no extra pipeline run
+_FACTS_CACHE: dict[int, DataFrame] = {}
 
 
 def _graph(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -61,6 +64,7 @@ def _graph(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
             f1 = eng.extract(
                 files_from_pairs(spark, mini_repo.V1 + mini_repo.DEEP_V1)
             ).localCheckpoint(eager=True)
+            _FACTS_CACHE[key] = f1
 
             # The v2 side (re-extract changed files + compile the v2 facts)
             # depends only on f1, never on the v1 compile — the two
@@ -719,3 +723,123 @@ def g_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change")
     )
+
+
+# --- graph analytics: components / call-graph closure / blast radius ----------
+
+@query(
+    "g_inherit_components",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('pkga.base.Animal', 'pkga.base.Animal'),
+      ('pkgb.dog.Dog', 'pkga.base.Animal'),
+      ('pkgb.puppy.Puppy', 'pkga.base.Animal')
+    ) t(class_full_name, component) ORDER BY class_full_name
+    """,
+)
+def g_inherit_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the (undirected) INHERITS graph — the
+    'inheritance family' grouping, computed by the SAME min-label-
+    propagation union-find the dedup stack uses on duplicate pairs
+    (operators/dedup.py::duplicate_components): one operator, two
+    modalities. Component label = lexicographically-least member.
+    Singleton classes keep themselves as the component (left join +
+    coalesce, no extra iteration). Converges in O(diameter) join+agg
+    rounds; the INHERITS table is always small relative to the corpus
+    (classes × direct bases)."""
+    from codegraphdb_spark.operators.dedup import duplicate_components
+
+    nodes, edges, _ = _graph(spark)
+    pairs = edges.filter(F.col("rel_type") == "INHERITS").select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    comp = duplicate_components(pairs).withColumnRenamed("doc_id", "class_full_name")
+    cls = nodes.filter(F.col("kind") == "CLASS").select(
+        F.col("full_name").alias("class_full_name")
+    )
+    return (
+        cls.join(comp, "class_full_name", "left")
+        .select(
+            "class_full_name",
+            F.coalesce("component", "class_full_name").alias("component"),
+        )
+        .orderBy("class_full_name")
+    )
+
+
+@query(
+    "g_call_closure",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('pkga.util.shout', 'pkga.util.helper', 1),
+      ('pkgb.dog.Dog.fetch', 'pkgb.dog.Dog.speak', 1),
+      ('pkgb.dog.Dog.roll', 'pkgb.dog.Dog.fetch', 1),
+      ('pkgb.dog.Dog.roll', 'pkgb.dog.Dog.speak', 2),
+      ('pkgb.puppy.Puppy.whine', 'unsolved symbol', 1)
+    ) t(caller, callee, dist) ORDER BY caller, callee
+    """,
+)
+def g_call_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive call-graph reachability with minimal hop distance ("what
+    can this function end up calling?") — the E1 hybrid closure
+    (operators/closure.py::transitive_bases: driver-exact under the size
+    threshold, min-plus path doubling above it) applied to the v2 CALL
+    edges instead of INHERITS. The v2-only Dog.roll picks up its 2-hop
+    path to Dog.speak through the closure, proving the closure recomputes
+    across incremental updates."""
+    from codegraphdb_spark.operators.closure import transitive_bases
+
+    _, edges, _ = _graph(spark)
+    calls = (
+        edges.filter(
+            (F.col("rel_type") == "CALL") & F.array_contains("versions", "v2")
+        )
+        # transitive_bases keys on rel_type INHERITS — relabel the
+        # projection (the operator is relation-agnostic otherwise)
+        .select("src", "dst", F.lit("INHERITS").alias("rel_type"))
+    )
+    return (
+        transitive_bases(calls)
+        .select(
+            F.col("cls").alias("caller"),
+            F.col("ancestor").alias("callee"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+        .orderBy("caller", "callee")
+    )
+
+
+@query(
+    "g_blast_radius",
+    oracle="""
+    SELECT * FROM (VALUES ('pkgb/dog.py'), ('pkgb/puppy.py')) t(file_path)
+    ORDER BY file_path
+    """,
+)
+def g_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-impact analysis: which files must recompile when
+    pkgb/dog.py changes — the changed file plus every file whose module
+    reaches it in the import graph (pkgb/puppy.py via `from .dog import
+    Dog`). This is exactly the affected-set the dependency-pruned
+    incremental update executes (operators/incremental.py::affected_files,
+    F3 at scale), exposed as a query. Uses the v1 extraction facts cached
+    from the same single fixture build — no extra pipeline run."""
+    from codegraphdb_spark import mini_repo
+    from codegraphdb_spark.operators.incremental import affected_files
+
+    _graph(spark)  # ensure the build ran and _FACTS_CACHE is populated
+    f1 = _FACTS_CACHE[id(spark._jsparkSession)]
+    # same tiny-fixture trade as _graph: the reachability closure is a
+    # handful of rows — 32 shuffle partitions + codegen would dominate
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_fm = spark.conf.get("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try:
+        aff = affected_files(f1, f1, mini_repo.CHANGE_LIST).localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.codegen.factoryMode", prev_fm)
+    return aff.select("file_path").orderBy("file_path")

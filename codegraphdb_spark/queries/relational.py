@@ -864,3 +864,79 @@ def rolling_7d_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --- grouping sets: rollup / cube -------------------------------------------
+
+@query(
+    "rollup_orders_report",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+             AS sum_totalprice
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def rollup_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (status → status+priority → grand total) in ONE
+    pass: Spark expands ROLLUP into grouping sets inside a single hash
+    aggregate with map-side partial combine — no union of three scans. gid
+    is the standard grouping bitmask (identical bit order in Spark's
+    grouping_id() and DuckDB's GROUPING()). Decimal-exact sums keep the
+    subtotal doubles bit-identical at any partitioning."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_totalprice"),
+        )
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "cube_returns_report",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def cube_returns_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cross-tab with margins: CUBE = all 2^k grouping sets, still one
+    shuffle (each input row is expanded to its grouping-set keys map-side,
+    then a single hash agg). At 100 TB prefer ROLLUP/explicit GROUPING SETS
+    over CUBE when the lattice isn't needed — expansion factor is 2^k per
+    row — but the flags here are 2 columns with ~3 values each, so the
+    blow-up is bounded by the tiny key cardinality after combine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )

@@ -757,3 +757,65 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "cand_id", "cosine", "rnk")
         .orderBy("probe_id", "rnk")
     )
+
+
+# --- per-dimension corpus statistics (whitening / quantizer calibration) ------
+
+_DSCALE = 1_000_000  # value-domain scale for exact per-dim moments
+
+
+@query(
+    "emb_dim_stats",
+    oracle=f"""
+    WITH x AS (
+      SELECT i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, (SELECT UNNEST(generate_series(1, {DIM})) AS i)
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vals,
+           CAST(CAST(SUM(CAST(ROUND(val * {_DSCALE}) AS BIGINT)) AS DOUBLE)
+                / {_DSCALE} / COUNT(*) AS DOUBLE) AS mean_val,
+           CAST(CAST(SUM(CAST(ROUND(val * {_DSCALE}) AS BIGINT)
+                         * CAST(ROUND(val * {_DSCALE}) AS BIGINT)) AS DOUBLE)
+                / {_DSCALE} / {_DSCALE} / COUNT(*)
+                - (CAST(SUM(CAST(ROUND(val * {_DSCALE}) AS BIGINT)) AS DOUBLE)
+                   / {_DSCALE} / COUNT(*))
+                  * (CAST(SUM(CAST(ROUND(val * {_DSCALE}) AS BIGINT)) AS DOUBLE)
+                     / {_DSCALE} / COUNT(*))
+                AS DOUBLE) AS var_val,
+           MIN(val) AS min_val,
+           MAX(val) AS max_val
+    FROM x
+    GROUP BY dim
+    ORDER BY dim
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus moments (mean/variance/min/max) — the
+    calibration pass a whitening transform or scalar/product quantizer
+    trains on. posexplode → ONE hash aggregate keyed by dim (64 keys):
+    map-side combine reduces each partition to 64 partial rows, so the
+    shuffle is O(partitions × dims) regardless of corpus size. Moments
+    accumulate in scaled-integer space (exact, order-independent — see
+    _determinism.isum); the final mean/variance divisions are single
+    double ops, bit-identical across engines."""
+    d = load_table(spark, sf_dir, "embeddings")
+    x = d.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    sv = F.round(F.col("val") * _DSCALE).cast("bigint")
+    s1 = F.sum(sv).cast("double")
+    s2 = F.sum(sv * sv).cast("double")
+    n = F.count(F.lit(1))
+    mean = (s1 / _DSCALE / n).cast("double")
+    return (
+        x.groupBy((F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            n.alias("n_vals"),
+            mean.alias("mean_val"),
+            (s2 / _DSCALE / _DSCALE / n - mean * mean).cast("double").alias("var_val"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .orderBy("dim")
+    )

@@ -1039,3 +1039,128 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- training-window chunking / sequence packing ------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive windows
+PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+@query(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks), 1), {CHUNK_STRIDE}))
+               AS start_tok
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start_tok - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(len(list_slice(toks, start_tok, start_tok + {CHUNK_TOKENS} - 1))
+                AS INT) AS n_chunk_tokens,
+           array_to_string(
+             list_slice(toks, start_tok, start_tok + {CHUNK_TOKENS} - 1), ' ')
+             AS chunk_text
+    FROM s
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking for LLM training: split every document into
+    overlapping token windows (size 32, stride 24). One explode per window
+    start — no UDF, no shuffle before the explode (the sort at the end is
+    presentation only; a real pipeline writes chunks unsorted). Output size
+    is ~n_tokens/stride rows per doc, linear in corpus size; the slice /
+    array_join stay inside codegen on the already-split token array."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", _tokens().alias("toks"))
+    s = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("toks"), F.lit(1)),
+                F.lit(CHUNK_STRIDE),
+            )
+        ).alias("start_tok"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start_tok"), F.lit(CHUNK_TOKENS))
+    return (
+        s.select(
+            "doc_id",
+            ((F.col("start_tok") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+            F.col("start_tok").cast("bigint").alias("start_tok"),
+            F.size(chunk).cast("int").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
+    "doc_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({SQL_TOKS}) AS n_tokens FROM documents
+    ), b AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM t
+    )
+    SELECT source,
+           CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM b
+    GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: concatenate each source's document
+    stream (ordered by doc_id) and cut it into ~256-token training bins; a
+    document lands in the bin where it starts, so a bin overflows by at
+    most one document. One window shuffle on source + one hash agg.
+
+    Scale note: the per-source running sum serializes each source into one
+    partition — at 100 TB pack within arrival partitions instead (the bin
+    boundary is arbitrary anyway); this catalog entry keeps the
+    deterministic doc_id order so the oracle can replay it."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", F.size(_tokens()).alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        b.groupBy(
+            "source",
+            F.floor(F.col("cum_before") / PACK_BUDGET).cast("bigint").alias("bin_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("source", "bin_id")
+    )

@@ -49,6 +49,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # covers ALL queries regardless — the rotation only governs the driver's
 # independent record.
 _DRIVER_PRIORITY: list[str] = [
+    # -- round 3 late additions: new queries — must land in the window ---
+    "rollup_orders_report",    # new (ROLLUP grouping sets, one-pass)
+    "cube_returns_report",     # new (CUBE cross-tab with margins)
+    "doc_chunk_windows",       # new (context-window chunking)
+    "doc_pack_sequences",      # new (training-sequence packing bins)
+    "emb_dim_stats",           # new (per-dim moments for whitening/PQ)
+    "g_inherit_components",    # new (union-find reused on INHERITS)
+    "g_call_closure",          # new (E1 closure on CALL edges)
+    "g_blast_radius",          # new (pruned-update affected set as query)
     # -- round 3: new, or CHANGED this round — must land in the window ---
     # (combined+concurrent fixture build; poison/param/return-type deep
     #  resolution; min-dist transitive closure; extended Cypher;
