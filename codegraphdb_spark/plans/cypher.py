@@ -17,6 +17,10 @@ queries run verbatim:
         RETURN c.full_name, f.name ORDER BY c.full_name LIMIT 10
     MATCH (a:CLASS)-[:INHERITS*1..3]->(b:CLASS) RETURN a.name, b.name
     MATCH (c:CLASS) RETURN count(c) AS n
+    MATCH (c:CLASS)-[:HAS_METHOD]->(m)
+        RETURN c.name, count(m), collect(m.name)   -- implicit grouping
+    MATCH (n:`v1`) WHERE exists(n.file_path)
+        RETURN n.full_name, n.file_path ORDER BY n.full_name SKIP 2 LIMIT 3
     MATCH (c:CLASS) OPTIONAL MATCH (c)-[:INHERITS]->(b) RETURN c.name, b.name
     MATCH (c:CLASS {name: 'Dog'})-[:HAS_METHOD]->(m:METHOD)
         RETURN m.name, m.signature, m.code   -- code = lazy <CODE> pointer
@@ -54,10 +58,15 @@ _EDGE = re.compile(
 )
 _PROP = re.compile(r"(\w+)\s*:\s*(?:'([^']*)'|\"([^\"]*)\"|(\d+))")
 _ITEM = re.compile(
-    r"^\s*(?:(?P<func>labels|count)\s*\(\s*(?P<farg>\*|\w+)\s*\)"
+    r"^\s*(?:(?P<func>labels|count|collect|min|max)\s*\(\s*"
+    r"(?P<farg>\*|\w+(?:\.\w+)?)\s*\)"
     r"|(?P<var>\w+)(?:\.(?P<prop>\w+))?)"
     r"(?:\s+AS\s+(?P<alias>\w+))?\s*$",
     re.IGNORECASE,
+)
+_EXISTS_RX = re.compile(r"(?i)^\s*exists\s*\(\s*(?P<var>\w+)\.(?P<prop>\w+)\s*\)\s*$")
+_IS_NULL_RX = re.compile(
+    r"(?i)^\s*(?P<var>\w+)\.(?P<prop>\w+)\s+IS\s+(?P<neg>NOT\s+)?NULL\s*$"
 )
 _PRED = re.compile(
     r"^\s*(?P<var>\w+)\.(?P<prop>\w+)\s*"
@@ -306,6 +315,20 @@ def _where_condition(where: str, binds: dict[str, str]):
 
 
 def _predicate(raw: str, binds: dict[str, str]):
+    # exists(n.prop) — the reference's own bulk-update scan shape
+    # (update_file_path, graphDB.py:155-174) — and IS [NOT] NULL, its
+    # openCypher spelling (exists() on properties is deprecated there)
+    ex = _EXISTS_RX.match(raw)
+    if ex:
+        if ex.group("var") not in binds:
+            raise CypherError(f"unbound variable {ex.group('var')!r} in WHERE")
+        return F.col(f"{binds[ex.group('var')]}__{ex.group('prop')}").isNotNull()
+    nu = _IS_NULL_RX.match(raw)
+    if nu:
+        if nu.group("var") not in binds:
+            raise CypherError(f"unbound variable {nu.group('var')!r} in WHERE")
+        col = F.col(f"{binds[nu.group('var')]}__{nu.group('prop')}")
+        return col.isNotNull() if nu.group("neg") else col.isNull()
     m = _PRED.match(raw)
     if not m:
         raise CypherError(f"cannot parse WHERE predicate: {raw.strip()!r}")
@@ -450,7 +473,8 @@ def _compile_pattern(
 _RETURN_RX = re.compile(
     r"^(?P<head>.*?)\bRETURN\b"
     r"(?P<distinct>\s+DISTINCT\b)?(?P<items>.*?)"
-    r"(?:\bORDER\s+BY\b(?P<order>.*?))?(?:\bLIMIT\b\s*(?P<limit>\d+))?\s*$",
+    r"(?:\bORDER\s+BY\b(?P<order>.*?))?(?:\bSKIP\b\s*(?P<skip>\d+))?"
+    r"\s*(?:\bLIMIT\b\s*(?P<limit>\d+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -521,11 +545,30 @@ def run_cypher(cypher: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
             raise CypherError(f"cannot parse RETURN item: {raw_item!r}")
         alias = it.group("alias")
         func = (it.group("func") or "").lower()
-        if func == "count":
+        if func in ("count", "collect", "min", "max"):
             arg = it.group("farg")
-            if arg != "*" and arg not in binds:
-                raise CypherError(f"unbound variable {arg!r}")
-            agg_cols.append(F.count(F.lit(1)).alias(alias or "count"))
+            if arg == "*":
+                if func != "count":
+                    raise CypherError(f"{func}(*) is not valid Cypher")
+                agg_cols.append(F.count(F.lit(1)).alias(alias or "count"))
+            else:
+                v, _, pr = arg.partition(".")
+                if v not in binds:
+                    raise CypherError(f"unbound variable {v!r}")
+                c = F.col(f"{binds[v]}__{pr or 'full_name'}")
+                if func == "count":
+                    agg = F.count(c)  # Cypher count(x): non-null rows only
+                elif func == "min":
+                    agg = F.min(c)
+                elif func == "max":
+                    agg = F.max(c)
+                else:
+                    # Cypher collect() has no defined order — sort for a
+                    # deterministic, engine-stable result
+                    agg = F.sort_array(F.collect_list(c))
+                agg_cols.append(
+                    agg.alias(alias or f"{func}_{arg.replace('.', '_')}")
+                )
         elif func == "labels":
             var = it.group("farg")
             if var not in binds:
@@ -557,8 +600,10 @@ def run_cypher(cypher: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
                 cols.append(F.col(f"{p}__full_name").alias(alias or f"{var}_full_name"))
                 cols.append(F.col(f"{p}__kind").alias(f"{var}_kind"))
     if agg_cols and cols:
-        raise CypherError("mixing count() with non-aggregated items is unsupported")
-    if agg_cols:
+        # Cypher implicit grouping: non-aggregated RETURN items become the
+        # grouping key (one hash aggregate; map-side combine as usual)
+        out = df.groupBy(*cols).agg(*agg_cols)
+    elif agg_cols:
         out = df.agg(*agg_cols)
     else:
         out = df.select(*cols)
@@ -590,6 +635,10 @@ def run_cypher(cypher: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
             order_cols.append(c)
         out = out.orderBy(*order_cols)
 
+    if m.group("skip"):
+        # SKIP before LIMIT, per Cypher; compiles to a logical Offset that
+        # Spark folds into the same TakeOrdered when an ORDER BY precedes
+        out = out.offset(int(m.group("skip")))
     if m.group("limit"):
         out = out.limit(int(m.group("limit")))
     return out

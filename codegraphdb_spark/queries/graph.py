@@ -843,3 +843,70 @@ def g_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set("spark.sql.codegen.factoryMode", prev_fm)
     return aff.select("file_path").orderBy("file_path")
+
+
+# --- C8 extension: aggregating Cypher (implicit grouping) ---------------------
+
+@query(
+    "g_cypher_grouped",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('pkga.base.Animal', CAST(3 AS BIGINT), 'speak',
+       '__init__,describe,speak'),
+      ('pkgb.dog.Dog', CAST(5 AS BIGINT), 'speak',
+       'describe,fetch,roll,speak,speak'),
+      ('pkgb.puppy.Puppy', CAST(6 AS BIGINT), 'whine',
+       'describe,fetch,roll,speak,speak,whine')
+    ) t(cls, n_methods, max_method, methods) ORDER BY cls
+    """,
+)
+def g_cypher_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 extension: Cypher implicit grouping — RETURN mixing properties
+    with count()/max()/collect() groups by the non-aggregated items, like
+    Neo4j. Compiles to ONE hash aggregate (map-side combine as usual);
+    collect() is sorted for engine-stable output. Dog/Puppy method counts
+    include the E1 inherited-method closure (duplicate 'speak' = own
+    override + inherited base method, both edges per the reference's
+    copy-down semantics, ast_manage.py:79-99)."""
+    from codegraphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges, _ = _graph(spark)
+    out = run_cypher(
+        "MATCH (c:CLASS)-[:HAS_METHOD]->(m) "
+        "RETURN c.full_name AS cls, count(m) AS n_methods, "
+        "max(m.name) AS max_method, collect(m.name) AS methods "
+        "ORDER BY cls",
+        nodes,
+        edges,
+    )
+    # comma-join the collected array for cross-engine hashability (the
+    # same convention _vjoin uses for the versions array)
+    return out.withColumn("methods", F.array_join("methods", ","))
+
+
+@query(
+    "g_cypher_exists_skip",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('pkga.base.Animal', 'pkga/base.py'),
+      ('pkga.base.Animal.__init__', 'pkga/base.py'),
+      ('pkga.base.Animal.describe', 'pkga/base.py')
+    ) t(fn, fp) ORDER BY fn
+    """,
+)
+def g_cypher_exists_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 parity: the reference's own bulk-scan shape — MATCH (n:`task`)
+    WHERE exists(n.file_path) (update_file_path, graphDB.py:155-174) —
+    plus SKIP/LIMIT pagination. exists() compiles to isNotNull (a
+    pushable predicate); SKIP 2 LIMIT 3 after ORDER BY folds into one
+    TakeOrdered, no global sort materialization."""
+    from codegraphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges, _ = _graph(spark)
+    return run_cypher(
+        "MATCH (n:`v1`) WHERE exists(n.file_path) "
+        "RETURN n.full_name AS fn, n.file_path AS fp "
+        "ORDER BY fn SKIP 2 LIMIT 3",
+        nodes,
+        edges,
+    )

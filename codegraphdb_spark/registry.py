@@ -58,6 +58,8 @@ _DRIVER_PRIORITY: list[str] = [
     "g_inherit_components",    # new (union-find reused on INHERITS)
     "g_call_closure",          # new (E1 closure on CALL edges)
     "g_blast_radius",          # new (pruned-update affected set as query)
+    "g_cypher_grouped",        # new (implicit grouping + collect/min/max)
+    "g_cypher_exists_skip",    # new (exists() + SKIP/LIMIT, ref B8 shape)
     # -- round 3: new, or CHANGED this round — must land in the window ---
     # (combined+concurrent fixture build; poison/param/return-type deep
     #  resolution; min-dist transitive closure; extended Cypher;

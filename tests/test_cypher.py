@@ -351,3 +351,89 @@ def test_edge_property_filter(graph):
             nodes,
             edges,
         )
+
+
+def test_implicit_grouping_counts(graph):
+    """RETURN mixing properties with aggregates groups by the properties
+    (Cypher implicit grouping)."""
+    from pyspark.sql import functions as F
+
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS)-[:HAS_METHOD]->(m) "
+        "RETURN c.full_name AS cls, count(m) AS n ORDER BY cls",
+        nodes,
+        edges,
+    ).collect()
+    expected = {
+        r["src"]: r["n"]
+        for r in edges.filter(F.col("rel_type") == "HAS_METHOD")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {r["cls"]: r["n"] for r in out}
+    assert got == expected and got
+
+
+def test_collect_is_sorted(graph):
+    from pyspark.sql import functions as F
+
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS {name: 'Dog'})-[:HAS_METHOD]->(m) "
+        "RETURN collect(m.full_name) AS methods",
+        nodes,
+        edges,
+    ).collect()
+    expected = sorted(
+        r["dst"]
+        for r in edges.filter(
+            (F.col("rel_type") == "HAS_METHOD") & (F.col("src") == "pkgb.dog.Dog")
+        ).collect()
+    )
+    assert out[0]["methods"] == expected
+
+
+def test_exists_and_is_null(graph):
+    from pyspark.sql import functions as F
+
+    nodes, edges = graph
+    with_path = run_cypher(
+        "MATCH (n) WHERE exists(n.file_path) RETURN count(*) AS n",
+        nodes,
+        edges,
+    ).collect()[0]["n"]
+    null_path = run_cypher(
+        "MATCH (n) WHERE n.file_path IS NULL RETURN count(*) AS n",
+        nodes,
+        edges,
+    ).collect()[0]["n"]
+    not_exists = run_cypher(
+        "MATCH (n) WHERE NOT exists(n.file_path) RETURN count(*) AS n",
+        nodes,
+        edges,
+    ).collect()[0]["n"]
+    assert with_path == nodes.filter(F.col("file_path").isNotNull()).count()
+    assert null_path == not_exists == nodes.count() - with_path
+    is_not_null = run_cypher(
+        "MATCH (n) WHERE n.file_path IS NOT NULL RETURN count(*) AS n",
+        nodes,
+        edges,
+    ).collect()[0]["n"]
+    assert is_not_null == with_path
+
+
+def test_skip_paginates(graph):
+    nodes, edges = graph
+    all_rows = run_cypher(
+        "MATCH (c:CLASS) RETURN c.full_name AS fn ORDER BY fn",
+        nodes,
+        edges,
+    ).collect()
+    page = run_cypher(
+        "MATCH (c:CLASS) RETURN c.full_name AS fn ORDER BY fn SKIP 1 LIMIT 2",
+        nodes,
+        edges,
+    ).collect()
+    assert [r["fn"] for r in page] == [r["fn"] for r in all_rows][1:3]
