@@ -50,3 +50,53 @@ def test_repetition_filter_no_join(spark, sf_dir):
                "BatchEvalPython"):
         assert op not in plan, f"unexpected {op} in doc_repetition_filter plan"
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_rollup_single_aggregate_pass(spark, sf_dir):
+    """ROLLUP compiles to Expand + ONE hash-aggregate chain (partial +
+    final) — a single shuffle, not a union of per-level scans."""
+    plan = _plan(spark, sf_dir, "rollup_orders_report")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "Union"):
+        assert op not in plan, f"unexpected {op} in rollup plan"
+
+
+def test_chunk_windows_no_shuffle_before_explode(spark, sf_dir):
+    """Chunking is map-local: explode + slice run in the scan stage; the
+    only exchange is the presentation sort at the end. No Python stage."""
+    plan = _plan(spark, sf_dir, "doc_chunk_windows")
+    assert "Generate explode" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+    for op in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert op not in plan
+
+
+def test_pack_sequences_one_window_shuffle(spark, sf_dir):
+    """Packing = one hash exchange on source for the running-sum window,
+    then the bin aggregate reuses that partitioning (no second shuffle
+    keyed the same way is required map-side -> at most 2 exchanges
+    total including the aggregate)."""
+    plan = _plan(spark, sf_dir, "doc_pack_sequences")
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_dim_stats_partial_aggregation(spark, sf_dir):
+    """The per-dimension moments must pre-aggregate map-side: shuffle rows
+    = partitions x 64 dims, not corpus x 64. Assert a partial_ aggregate
+    below the exchange."""
+    plan = _plan(spark, sf_dir, "emb_dim_stats")
+    assert "partial_" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    for op in ("ArrowEvalPython", "MapInPandas"):
+        assert op not in plan
+
+
+def test_cypher_grouped_is_one_aggregate(spark, sf_dir):
+    """Implicit grouping compiles to a single hash-aggregate over the
+    joined pattern — no extra shuffle beyond the aggregate's own and the
+    pattern's joins (fixture side: everything is broadcast-small)."""
+    plan = _plan(spark, sf_dir, "g_cypher_grouped")
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert "CartesianProduct" not in plan
