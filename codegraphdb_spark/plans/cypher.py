@@ -19,6 +19,9 @@ queries run verbatim:
     MATCH (c:CLASS) RETURN count(c) AS n
     MATCH (c:CLASS)-[:HAS_METHOD]->(m)
         RETURN c.name, count(m), collect(m.name)   -- implicit grouping
+    MATCH (c:CLASS)-[:HAS_METHOD]->(m)
+        WITH c, count(m) AS n WHERE n > 2          -- pipeline + HAVING
+        MATCH (c)-[:INHERITS]->(b) RETURN c.name, b.name, n
     MATCH (n:`v1`) WHERE exists(n.file_path)
         RETURN n.full_name, n.file_path ORDER BY n.full_name SKIP 2 LIMIT 3
     MATCH (c:CLASS) OPTIONAL MATCH (c)-[:INHERITS]->(b) RETURN c.name, b.name
@@ -65,6 +68,12 @@ _ITEM = re.compile(
     re.IGNORECASE,
 )
 _EXISTS_RX = re.compile(r"(?i)^\s*exists\s*\(\s*(?P<var>\w+)\.(?P<prop>\w+)\s*\)\s*$")
+_PLAIN_PRED = re.compile(
+    r"^\s*(?P<name>\w+)\s*"
+    r"(?P<op><>|!=|<=|>=|=|<|>|STARTS\s+WITH|ENDS\s+WITH|CONTAINS|IN)\s*"
+    r"(?P<val>.+?)\s*$",
+    re.IGNORECASE,
+)
 _IS_NULL_RX = re.compile(
     r"(?i)^\s*(?P<var>\w+)\.(?P<prop>\w+)\s+IS\s+(?P<neg>NOT\s+)?NULL\s*$"
 )
@@ -289,32 +298,33 @@ def _outer_parens(s: str) -> bool:
     return False
 
 
-def _where_condition(where: str, binds: dict[str, str]):
+def _where_condition(where: str, binds: dict[str, str], plain: set[str] | None = None):
     """Boolean expression over simple predicates: AND / OR / NOT with
-    parentheses, standard precedence (OR < AND < NOT)."""
+    parentheses, standard precedence (OR < AND < NOT). ``plain`` names
+    bare columns projected by a WITH clause (usable in HAVING position)."""
     ors = [p for p in _split_bool(where, "OR") if p.strip()]
     if not ors:
         raise CypherError("empty WHERE clause")
     if len(ors) > 1:
-        cond = _where_condition(ors[0], binds)
+        cond = _where_condition(ors[0], binds, plain)
         for p in ors[1:]:
-            cond = cond | _where_condition(p, binds)
+            cond = cond | _where_condition(p, binds, plain)
         return cond
     ands = [p for p in _split_bool(where, "AND") if p.strip()]
     if len(ands) > 1:
-        cond = _where_condition(ands[0], binds)
+        cond = _where_condition(ands[0], binds, plain)
         for p in ands[1:]:
-            cond = cond & _where_condition(p, binds)
+            cond = cond & _where_condition(p, binds, plain)
         return cond
     text = where.strip()
     if re.match(r"(?i)^NOT\b", text):
-        return ~_where_condition(text[3:], binds)
+        return ~_where_condition(text[3:], binds, plain)
     if _outer_parens(text):
-        return _where_condition(text[1:-1], binds)
-    return _predicate(text, binds)
+        return _where_condition(text[1:-1], binds, plain)
+    return _predicate(text, binds, plain)
 
 
-def _predicate(raw: str, binds: dict[str, str]):
+def _predicate(raw: str, binds: dict[str, str], plain: set[str] | None = None):
     # exists(n.prop) — the reference's own bulk-update scan shape
     # (update_file_path, graphDB.py:155-174) — and IS [NOT] NULL, its
     # openCypher spelling (exists() on properties is deprecated there)
@@ -329,6 +339,13 @@ def _predicate(raw: str, binds: dict[str, str]):
             raise CypherError(f"unbound variable {nu.group('var')!r} in WHERE")
         col = F.col(f"{binds[nu.group('var')]}__{nu.group('prop')}")
         return col.isNotNull() if nu.group("neg") else col.isNull()
+    pm = plain and _PLAIN_PRED.match(raw)
+    if pm and pm.group("name") in plain:
+        return _apply_op(
+            F.col(pm.group("name")),
+            re.sub(r"\s+", " ", pm.group("op").upper()),
+            _literal(pm.group("val")),
+        )
     m = _PRED.match(raw)
     if not m:
         raise CypherError(f"cannot parse WHERE predicate: {raw.strip()!r}")
@@ -337,7 +354,10 @@ def _predicate(raw: str, binds: dict[str, str]):
         raise CypherError(f"unbound variable {var!r} in WHERE")
     col = F.col(f"{binds[var]}__{m.group('prop')}")
     op = re.sub(r"\s+", " ", m.group("op").upper())
-    val = _literal(m.group("val"))
+    return _apply_op(col, op, _literal(m.group("val")))
+
+
+def _apply_op(col, op: str, val):
     if op == "=":
         return col == val
     if op in ("<>", "!="):
@@ -486,41 +506,51 @@ def _split_where(segment: str) -> tuple[str, str | None]:
     return segment, None
 
 
-def run_cypher(cypher: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
-    """Compile + run a Cypher-subset query against (nodes, edges).
-
-    Grammar: ``MATCH p [WHERE w] (OPTIONAL MATCH p_i [WHERE w_i])*
-    RETURN [DISTINCT] items [ORDER BY ...] [LIMIT n]``. Per Cypher
-    semantics, a WHERE following an OPTIONAL MATCH filters THAT optional
-    pattern before the left join (its predicates may only reference that
-    pattern's variables); unmatched optional rows surface as NULLs."""
-    text = cypher.strip()
-    m = _RETURN_RX.match(text)
-    if not m:
-        raise CypherError(
-            "only MATCH ... [WHERE ...] [OPTIONAL MATCH ... [WHERE ...]]* "
-            "RETURN [DISTINCT] ... [ORDER BY ...] [LIMIT n] is supported"
-        )
-    segments = re.split(r"\bOPTIONAL\s+MATCH\b", m.group("head"), flags=re.IGNORECASE)
+def _compile_chain(
+    head: str,
+    nodes: DataFrame,
+    edges: DataFrame,
+    binds: dict[str, str],
+    state: dict[str, int],
+    df: DataFrame | None = None,
+):
+    """Compile a ``MATCH p [WHERE w] (OPTIONAL MATCH p_i [WHERE w_i])*``
+    clause chain. With a carried ``df`` (post-WITH), the first MATCH inner-
+    joins on its shared variables; per Cypher, a WHERE after an OPTIONAL
+    MATCH filters THAT pattern before the left join."""
+    segments = re.split(r"\bOPTIONAL\s+MATCH\b", head, flags=re.IGNORECASE)
     head_m = re.match(r"^\s*MATCH\b(?P<rest>.*)$", segments[0], re.IGNORECASE | re.DOTALL)
     if not head_m:
-        raise CypherError("query must start with MATCH")
-
-    state = {"node_i": 0, "anon": 0}
-    binds: dict[str, str] = {}  # var -> dataframe alias (first binding wins)
+        raise CypherError("expected MATCH clause")
 
     pattern, where = _split_where(head_m.group("rest"))
-    df, local_binds, _ = _compile_pattern(pattern, nodes, edges, binds, state)
-    binds.update(local_binds)
+    mdf, local_binds, cross = _compile_pattern(pattern, nodes, edges, binds, state)
+    if df is None:
+        df = mdf
+    else:
+        # MATCH after WITH: inner join on the variables shared with the
+        # carried scope (requiring one keeps products explicit)
+        if not cross:
+            raise CypherError(
+                "MATCH after WITH must share at least one variable with the "
+                "carried scope"
+            )
+        cond = None
+        for outer_a, inner_a in cross:
+            c = F.col(f"{outer_a}__full_name") == F.col(f"{inner_a}__full_name")
+            cond = c if cond is None else (cond & c)
+        df = df.join(mdf, cond, "inner")
+    for var, alias in local_binds.items():
+        binds.setdefault(var, alias)
     if where:
         df = df.filter(_where_condition(where, binds))
 
     for seg in segments[1:]:
         opt_pattern, opt_where = _split_where(seg)
-        odf, opt_binds, cross = _compile_pattern(
+        odf, opt_binds, ocross = _compile_pattern(
             opt_pattern, nodes, edges, binds, state
         )
-        if not cross:
+        if not ocross:
             raise CypherError(
                 "OPTIONAL MATCH must share at least one variable with an "
                 "earlier clause"
@@ -529,12 +559,163 @@ def run_cypher(cypher: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
             # pre-join filter, scoped to the optional pattern's own columns
             odf = odf.filter(_where_condition(opt_where, opt_binds))
         cond = None
-        for outer_a, inner_a in cross:
+        for outer_a, inner_a in ocross:
             c = F.col(f"{outer_a}__full_name") == F.col(f"{inner_a}__full_name")
             cond = c if cond is None else (cond & c)
         df = df.join(odf, cond, "left")
         for var, alias in opt_binds.items():
             binds.setdefault(var, alias)
+    return df
+
+
+def _split_on_with(head: str) -> list[str]:
+    """Split a query head on top-level WITH keywords (never the WITH of
+    STARTS WITH, never inside a string literal)."""
+    parts, last = [], 0
+    for mm in re.finditer(r"\bWITH\b", head, re.IGNORECASE):
+        prefix = head[: mm.start()]
+        if re.search(r"(?i)\bSTARTS\s*$", prefix):
+            continue
+        if prefix.count("'") % 2 == 1 or prefix.count('"') % 2 == 1:
+            continue
+        parts.append(head[last : mm.start()])
+        last = mm.end()
+    parts.append(head[last:])
+    return parts
+
+
+def _apply_with(
+    df: DataFrame,
+    clause: str,
+    nodes: DataFrame,
+    edges: DataFrame,
+    binds: dict[str, str],
+    plain: set[str],
+    state: dict[str, int],
+):
+    """One ``WITH items [WHERE having] [MATCH ...]`` stage: project/aggregate
+    the carried scope down to the listed items (bare variables carry their
+    whole column set; aggregates trigger implicit grouping), apply the
+    post-projection WHERE (HAVING semantics), then compile any following
+    MATCH chain against the narrowed scope."""
+    mm = re.search(r"\b(?:OPTIONAL\s+)?MATCH\b", clause, re.IGNORECASE)
+    with_text, rest = (clause[: mm.start()], clause[mm.start():]) if mm else (clause, "")
+    items_text, having = _split_where(with_text)
+
+    carried: list[str] = []  # prefixes of bare-carried variables
+    new_binds: dict[str, str] = {}
+    plain_items: list = []  # non-aggregate projected columns
+    new_plain: set[str] = set()
+    aggs: list = []
+    for raw_item in _split_items(items_text):
+        it = _ITEM.match(raw_item)
+        if not it:
+            raise CypherError(f"cannot parse WITH item: {raw_item!r}")
+        alias = it.group("alias")
+        func = (it.group("func") or "").lower()
+        if func in ("count", "collect", "min", "max"):
+            agg_col, agg_name = _agg_expr(func, it.group("farg"), alias, binds, plain)
+            aggs.append(agg_col)
+            new_plain.add(agg_name)
+        elif func == "labels":
+            var = it.group("farg")
+            if var not in binds:
+                raise CypherError(f"unbound variable {var!r}")
+            name = alias or f"labels_{var}"
+            plain_items.append(_labels_col(binds[var]).alias(name))
+            new_plain.add(name)
+        else:
+            var, prop = it.group("var"), it.group("prop")
+            if prop is None and var in binds and not alias:
+                carried.append(binds[var])
+                new_binds[var] = binds[var]
+            elif prop is None and var in plain:
+                name = alias or var
+                plain_items.append(F.col(var).alias(name))
+                new_plain.add(name)
+            else:
+                if var not in binds:
+                    raise CypherError(f"unbound variable {var!r}")
+                name = alias or f"{var}_{prop or 'full_name'}"
+                plain_items.append(
+                    F.col(f"{binds[var]}__{prop or 'full_name'}").alias(name)
+                )
+                new_plain.add(name)
+
+    carried_cols = [
+        F.col(c) for p in carried for c in df.columns if c.startswith(f"{p}__")
+    ]
+    if aggs:
+        # implicit grouping: every carried column is functionally dependent
+        # on the variable's identity, so grouping by the full prefix set
+        # preserves var.prop access downstream without a re-join
+        df = df.groupBy(*carried_cols, *plain_items).agg(*aggs)
+    else:
+        df = df.select(*carried_cols, *plain_items)
+    if having:
+        df = df.filter(_where_condition(having, new_binds, new_plain))
+    binds.clear()
+    binds.update(new_binds)
+    if rest:
+        df = _compile_chain(rest, nodes, edges, binds, state, df)
+    return df, new_plain
+
+
+def _agg_expr(func: str, arg: str, alias: str | None, binds, plain):
+    """Aggregate RETURN/WITH item → (Spark aggregate Column, output name)."""
+    if arg == "*":
+        if func != "count":
+            raise CypherError(f"{func}(*) is not valid Cypher")
+        name = alias or "count"
+        return F.count(F.lit(1)).alias(name), name
+    v, _, pr = arg.partition(".")
+    if not pr and v in plain:
+        c = F.col(v)
+    elif v in binds:
+        c = F.col(f"{binds[v]}__{pr or 'full_name'}")
+    else:
+        raise CypherError(f"unbound variable {v!r}")
+    if func == "count":
+        agg = F.count(c)  # Cypher count(x): non-null rows only
+    elif func == "min":
+        agg = F.min(c)
+    elif func == "max":
+        agg = F.max(c)
+    else:
+        # Cypher collect() has no defined order — sort for a
+        # deterministic, engine-stable result
+        agg = F.sort_array(F.collect_list(c))
+    name = alias or f"{func}_{arg.replace('.', '_')}"
+    return agg.alias(name), name
+
+
+def run_cypher(cypher: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Compile + run a Cypher-subset query against (nodes, edges).
+
+    Grammar: ``MATCH p [WHERE w] (OPTIONAL MATCH p_i [WHERE w_i])*
+    (WITH items [WHERE having] [MATCH ...])*
+    RETURN [DISTINCT] items [ORDER BY ...] [SKIP n] [LIMIT n]``. Per
+    Cypher semantics, a WHERE following an OPTIONAL MATCH filters THAT
+    optional pattern before the left join; a WHERE after WITH filters the
+    projected/aggregated scope (HAVING); unmatched optional rows surface
+    as NULLs."""
+    text = cypher.strip()
+    m = _RETURN_RX.match(text)
+    if not m:
+        raise CypherError(
+            "only MATCH ... [WHERE ...] [OPTIONAL MATCH ... [WHERE ...]]* "
+            "[WITH ... [WHERE ...] [MATCH ...]]* "
+            "RETURN [DISTINCT] ... [ORDER BY ...] [SKIP n] [LIMIT n] is supported"
+        )
+    with_parts = _split_on_with(m.group("head"))
+
+    state = {"node_i": 0, "anon": 0}
+    binds: dict[str, str] = {}  # var -> dataframe alias (first binding wins)
+    plain: set[str] = set()  # bare columns introduced by WITH aliases
+
+    df = _compile_chain(with_parts[0], nodes, edges, binds, state)
+    for wp in with_parts[1:]:
+        df, plain = _apply_with(df, wp, nodes, edges, binds, plain, state)
 
     cols = []
     agg_cols = []
@@ -546,29 +727,8 @@ def run_cypher(cypher: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
         alias = it.group("alias")
         func = (it.group("func") or "").lower()
         if func in ("count", "collect", "min", "max"):
-            arg = it.group("farg")
-            if arg == "*":
-                if func != "count":
-                    raise CypherError(f"{func}(*) is not valid Cypher")
-                agg_cols.append(F.count(F.lit(1)).alias(alias or "count"))
-            else:
-                v, _, pr = arg.partition(".")
-                if v not in binds:
-                    raise CypherError(f"unbound variable {v!r}")
-                c = F.col(f"{binds[v]}__{pr or 'full_name'}")
-                if func == "count":
-                    agg = F.count(c)  # Cypher count(x): non-null rows only
-                elif func == "min":
-                    agg = F.min(c)
-                elif func == "max":
-                    agg = F.max(c)
-                else:
-                    # Cypher collect() has no defined order — sort for a
-                    # deterministic, engine-stable result
-                    agg = F.sort_array(F.collect_list(c))
-                agg_cols.append(
-                    agg.alias(alias or f"{func}_{arg.replace('.', '_')}")
-                )
+            agg_col, _ = _agg_expr(func, it.group("farg"), alias, binds, plain)
+            agg_cols.append(agg_col)
         elif func == "labels":
             var = it.group("farg")
             if var not in binds:
@@ -576,6 +736,10 @@ def run_cypher(cypher: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
             cols.append(_labels_col(binds[var]).alias(alias or f"labels_{var}"))
         else:
             var, prop = it.group("var"), it.group("prop")
+            if prop is None and var in plain:
+                # a bare column projected by an earlier WITH
+                cols.append(F.col(var).alias(alias or var))
+                continue
             if var not in binds:
                 raise CypherError(f"unbound variable {var!r}")
             p = binds[var]

@@ -910,3 +910,32 @@ def g_cypher_exists_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes,
         edges,
     )
+
+
+@query(
+    "g_cypher_with",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('Dog', 'Animal', CAST(5 AS BIGINT)),
+      ('Puppy', 'Dog', CAST(6 AS BIGINT))
+    ) t(cls, base, n) ORDER BY cls
+    """,
+)
+def g_cypher_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 extension: the WITH pipeline clause — aggregate (implicit
+    grouping), filter the aggregate (HAVING), then MATCH onward from the
+    narrowed scope. Compiles to hash-agg → filter → inner join on the
+    carried variable's identity; the carried class keeps its full column
+    set through the aggregation (grouping by the functionally-dependent
+    prefix columns), so no re-join against nodes is needed."""
+    from codegraphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges, _ = _graph(spark)
+    return run_cypher(
+        "MATCH (c:CLASS)-[:HAS_METHOD]->(m) "
+        "WITH c, count(m) AS n WHERE n > 3 "
+        "MATCH (c)-[:INHERITS]->(b) "
+        "RETURN c.name AS cls, b.name AS base, n ORDER BY cls",
+        nodes,
+        edges,
+    )

@@ -60,6 +60,7 @@ _DRIVER_PRIORITY: list[str] = [
     "g_blast_radius",          # new (pruned-update affected set as query)
     "g_cypher_grouped",        # new (implicit grouping + collect/min/max)
     "g_cypher_exists_skip",    # new (exists() + SKIP/LIMIT, ref B8 shape)
+    "g_cypher_with",           # new (WITH pipeline: agg -> HAVING -> MATCH)
     # -- round 3: new, or CHANGED this round — must land in the window ---
     # (combined+concurrent fixture build; poison/param/return-type deep
     #  resolution; min-dist transitive closure; extended Cypher;

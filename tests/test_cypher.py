@@ -437,3 +437,76 @@ def test_skip_paginates(graph):
         edges,
     ).collect()
     assert [r["fn"] for r in page] == [r["fn"] for r in all_rows][1:3]
+
+
+def test_with_having_filters_aggregate(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS)-[:HAS_METHOD]->(m) "
+        "WITH c, count(m) AS n WHERE n > 3 "
+        "RETURN c.full_name AS cls, n ORDER BY cls",
+        nodes,
+        edges,
+    ).collect()
+    # v1 fixture: Dog has speak+fetch+inherited describe+inherited speak
+    assert all(r["n"] > 3 for r in out)
+    base = run_cypher(
+        "MATCH (c:CLASS)-[:HAS_METHOD]->(m) "
+        "RETURN c.full_name AS cls, count(m) AS n",
+        nodes,
+        edges,
+    ).collect()
+    expected = sorted(r["cls"] for r in base if r["n"] > 3)
+    assert [r["cls"] for r in out] == expected
+
+
+def test_with_pipeline_into_second_match(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS)-[:HAS_METHOD]->(m) "
+        "WITH c, count(m) AS n "
+        "MATCH (c)-[:INHERITS]->(b) "
+        "RETURN c.name AS cls, b.name AS base, n ORDER BY cls",
+        nodes,
+        edges,
+    ).collect()
+    got = {(r["cls"], r["base"]) for r in out}
+    assert got == {("Dog", "Animal"), ("Puppy", "Dog")}
+    assert all(r["n"] >= 1 for r in out)
+
+
+def test_with_projection_and_alias_filter(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS) WITH c.name AS nm WHERE nm STARTS WITH 'D' RETURN nm",
+        nodes,
+        edges,
+    ).collect()
+    assert [r["nm"] for r in out] == ["Dog"]
+
+
+def test_with_aggregate_of_aggregate(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS)-[:HAS_METHOD]->(m) "
+        "WITH c, count(m) AS n RETURN max(n) AS max_methods",
+        nodes,
+        edges,
+    ).collect()
+    per_class = run_cypher(
+        "MATCH (c:CLASS)-[:HAS_METHOD]->(m) RETURN c.name AS c, count(m) AS n",
+        nodes,
+        edges,
+    ).collect()
+    assert out[0]["max_methods"] == max(r["n"] for r in per_class)
+
+
+def test_starts_with_not_parsed_as_with_clause(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS) WHERE c.full_name STARTS WITH 'pkgb' "
+        "RETURN count(*) AS n",
+        nodes,
+        edges,
+    ).collect()
+    assert out[0]["n"] == 2
