@@ -377,3 +377,70 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(fp, "3_purchase"))
         .orderBy("stage")
     )
+
+
+# --- retention cohorts --------------------------------------------------------
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+                  AS INT) AS week
+      FROM events
+    ), firsts AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id
+    ), j AS (
+      SELECT ev.user_id, f.cohort_week, ev.week - f.cohort_week AS week_age
+      FROM ev JOIN firsts f USING (user_id)
+    ), sizes AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY cohort_week
+    )
+    SELECT j.cohort_week, j.week_age,
+           CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS n_active,
+           s.cohort_size,
+           CAST(CAST(COUNT(DISTINCT j.user_id) AS DOUBLE) / s.cohort_size
+                AS DOUBLE) AS retention
+    FROM j JOIN sizes s USING (cohort_week)
+    GROUP BY j.cohort_week, j.week_age, s.cohort_size
+    ORDER BY cohort_week, week_age
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by week of first activity;
+    each cell counts distinct users of that cohort active N weeks later.
+    Three aggregates, all key-partitioned: first-seen per user (one
+    shuffle on user_id), cohort sizes (tiny — broadcast back), and the
+    (cohort, age) distinct-count. The retention ratio is a single
+    int/int→double division (cross-engine exact). At 100 TB the first-seen
+    table is the only corpus-sized intermediate and it shuffles one row
+    per user — everything downstream is cohort-cardinality."""
+    e = load_table(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("2024-01-01"))) / 7
+    ).cast("int")
+    ev = e.select("user_id", week.alias("week"))
+    firsts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    j = ev.join(firsts, "user_id").select(
+        "user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_age")
+    )
+    return (
+        j.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "week_age", "cohort_size")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+        .select(
+            "cohort_week",
+            "week_age",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size"))
+            .cast("double")
+            .alias("retention"),
+        )
+        .orderBy("cohort_week", "week_age")
+    )

@@ -819,3 +819,156 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --- product quantization: encode + ADC top-k (fourth ANN tier) ---------------
+
+PQ_M = 8     # subspaces (DIM/PQ_M dims each)
+PQ_K = 8     # centroids per subspace codebook
+_PQ_SCALE = 1_000_000
+
+_SQL_PQ_COMMON = f"""
+    sx AS (
+      SELECT vec_id,
+             CAST((i - 1) // {DIM // PQ_M} AS INT) AS m,
+             CAST((i - 1) % {DIM // PQ_M} AS INT) AS j,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {_PQ_SCALE}) AS BIGINT) AS sx
+      FROM embeddings, (SELECT UNNEST(generate_series(1, {DIM})) AS i)
+    ), cb AS (
+      SELECT CAST(vec_id AS INT) AS k, m, j, sx AS c FROM sx WHERE vec_id < {PQ_K}
+    ), subdist AS (
+      SELECT s.vec_id, s.m, c.k, SUM((s.sx - c.c) * (s.sx - c.c)) AS d
+      FROM sx s JOIN cb c ON s.m = c.m AND s.j = c.j
+      GROUP BY s.vec_id, s.m, c.k
+    ), coded AS (
+      SELECT vec_id, m, k AS code, d,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+      FROM subdist
+    )
+"""
+
+
+def _pq_coded(spark: SparkSession, sf_dir: str):
+    """(subdist, coded) DataFrames: per-(vector, subspace) distances to the
+    deterministic codebook (subvectors of vec_id < PQ_K) and the argmin
+    code per subspace — all scaled-integer arithmetic, so the DuckDB
+    oracle recomputes identical codes."""
+    v = load_table(spark, sf_dir, "embeddings")
+    sub = DIM // PQ_M
+    sx = v.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") / sub).cast("int").alias("m"),
+        (F.col("pos0") % sub).cast("int").alias("j"),
+        F.round(F.col("x") * _PQ_SCALE).cast("bigint").alias("sx"),
+    )
+    cb = sx.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").cast("int").alias("k"), "m", "j", F.col("sx").alias("c")
+    )
+    subdist = (
+        sx.join(F.broadcast(cb), ["m", "j"])
+        .groupBy("vec_id", "m", "k")
+        .agg(F.sum((F.col("sx") - F.col("c")) * (F.col("sx") - F.col("c"))).alias("d"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("d", "k")
+    coded = (
+        subdist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("k").alias("code"), "d")
+    )
+    return subdist, coded
+
+
+@query(
+    "emb_pq_encode",
+    oracle=f"""
+    WITH {_SQL_PQ_COMMON}
+    SELECT vec_id,
+           array_to_string(list(code ORDER BY m), ',') AS codes,
+           CAST(SUM(d) AS BIGINT) AS recon_err
+    FROM coded WHERE rn = 1
+    GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: each vector compresses to PQ_M
+    one-byte codes (64 floats → 8 bytes, 32× smaller than float32) plus
+    its exact reconstruction error. The codebook is deterministic (the
+    subvectors of the first PQ_K vectors — refine it by composing
+    emb_kmeans_step's Lloyd iteration per subspace); assignment is one
+    broadcast join + per-(vector,subspace) argmin, linear in the corpus.
+    At 100 TB the codes table is what you keep hot: ADC search
+    (emb_pq_topk) touches only codes, never the raw vectors."""
+    _, coded = _pq_coded(spark, sf_dir)
+    return (
+        coded.groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "code"))),
+                    lambda s: s["code"].cast("string"),
+                ),
+                ",",
+            ).alias("codes"),
+            F.sum("d").cast("bigint").alias("recon_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "emb_pq_topk",
+    oracle=f"""
+    WITH {_SQL_PQ_COMMON}, pd AS (
+      SELECT vec_id AS probe_id, m, k, d FROM subdist WHERE vec_id < {N_PROBES}
+    ), adc AS (
+      SELECT pd.probe_id, e.vec_id AS cand_id, SUM(pd.d) AS dist
+      FROM coded e
+      JOIN pd ON pd.m = e.m AND pd.k = e.code
+      WHERE e.rn = 1 AND e.vec_id <> pd.probe_id
+      GROUP BY pd.probe_id, e.vec_id
+    )
+    SELECT probe_id, cand_id, CAST(dist AS BIGINT) AS adc_dist,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY dist, cand_id) AS rnk
+      FROM adc
+    ) WHERE rnk <= {TOP_K}
+    ORDER BY probe_id, rnk
+    """,
+)
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over the PQ codes — the
+    fourth ANN tier (brute force → sign-LSH → IVF cells → PQ codes): each
+    probe precomputes its distance TABLE to every subspace centroid
+    (PQ_M × PQ_K integers), then every candidate's distance is PQ_M table
+    lookups summed — no float math against raw vectors at query time.
+    Exact oracle via the shared scaled-integer code path.
+
+    Scale shape: the probe table is broadcast (M×K rows per probe); the
+    candidate side streams the CODES table (8 bytes/vector); the argmin
+    and top-k are the only shuffles. Compose with IVF cells (probe only
+    nprobe cells' code lists) for the production configuration."""
+    subdist, coded = _pq_coded(spark, sf_dir)
+    pd = subdist.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "m", F.col("k").alias("code"),
+        F.col("d").alias("pd"),
+    )
+    adc = (
+        coded.join(F.broadcast(pd), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("pd").alias("dist"))
+    )
+    wk = Window.partitionBy("probe_id").orderBy("dist", "cand_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "probe_id", "cand_id", F.col("dist").cast("bigint").alias("adc_dist"), "rnk"
+        )
+        .orderBy("probe_id", "rnk")
+    )

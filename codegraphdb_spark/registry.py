@@ -61,6 +61,9 @@ _DRIVER_PRIORITY: list[str] = [
     "g_cypher_grouped",        # new (implicit grouping + collect/min/max)
     "g_cypher_exists_skip",    # new (exists() + SKIP/LIMIT, ref B8 shape)
     "g_cypher_with",           # new (WITH pipeline: agg -> HAVING -> MATCH)
+    "emb_pq_encode",           # new (product-quantization codes, 4th ANN tier)
+    "emb_pq_topk",             # new (ADC top-k over PQ codes)
+    "events_retention_cohorts",  # new (weekly cohort retention)
     # -- round 3: new, or CHANGED this round — must land in the window ---
     # (combined+concurrent fixture build; poison/param/return-type deep
     #  resolution; min-dist transitive closure; extended Cypher;

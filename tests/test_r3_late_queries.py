@@ -111,3 +111,79 @@ def test_emb_dim_stats_moment_sanity(spark):
         assert r.n_vals == n_vec
         assert r.var_val >= 0.0
         assert r.min_val <= r.mean_val <= r.max_val
+
+
+def test_pq_encode_seed_vectors_are_exact(spark):
+    """The codebook is the subvectors of vec_id < PQ_K, so those vectors
+    must encode to their own index in every subspace with zero
+    reconstruction error."""
+    from codegraphdb_spark.queries.similarity import PQ_K, PQ_M, emb_pq_encode
+
+    rows = {r.vec_id: r for r in emb_pq_encode(spark, SF_SMALL).collect()}
+    for k in range(PQ_K):
+        assert rows[k].recon_err == 0
+        assert rows[k].codes == ",".join([str(k)] * PQ_M)
+    # non-seed vectors have non-negative error and full-length codes
+    for r in rows.values():
+        assert r.recon_err >= 0
+        assert len(r.codes.split(",")) == PQ_M
+
+
+def test_pq_adc_agrees_with_explicit_reconstruction(spark):
+    """ADC distance must equal the sum of the candidate's chosen per-
+    subspace distances computed against the probe — verify one probe's
+    ranking against a direct numpy recomputation."""
+    import numpy as np
+
+    from codegraphdb_spark.queries.similarity import (
+        PQ_K,
+        PQ_M,
+        _PQ_SCALE,
+        emb_pq_topk,
+    )
+    from codegraphdb_spark.sources.tables import load_table
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_SMALL, "embeddings").collect()
+    }
+    sub = len(emb[0]) // PQ_M
+    sx = {v: np.rint(e * _PQ_SCALE).astype(np.int64) for v, e in emb.items()}
+    cb = [sx[k] for k in range(PQ_K)]
+
+    def codes(v):
+        out = []
+        for m in range(PQ_M):
+            s = slice(m * sub, (m + 1) * sub)
+            d = [int(((sx[v][s] - cb[k][s]) ** 2).sum()) for k in range(PQ_K)]
+            out.append(min(range(PQ_K), key=lambda k: (d[k], k)))
+        return out
+
+    def adc(probe, cand):
+        total = 0
+        ccodes = codes(cand)
+        for m in range(PQ_M):
+            s = slice(m * sub, (m + 1) * sub)
+            total += int(((sx[probe][s] - cb[ccodes[m]][s]) ** 2).sum())
+        return total
+
+    got = [r for r in emb_pq_topk(spark, SF_SMALL).collect() if r.probe_id == 0]
+    assert len(got) == 10
+    for r in got:
+        assert r.adc_dist == adc(0, r.cand_id)
+    # ranking really is ascending ADC distance
+    dists = [r.adc_dist for r in sorted(got, key=lambda r: r.rnk)]
+    assert dists == sorted(dists)
+
+
+def test_retention_cohort_conservation(spark):
+    """Age-0 cell of every cohort counts the whole cohort (everyone is
+    active in their first week), and no cell exceeds its cohort size."""
+    from codegraphdb_spark.queries.events import events_retention_cohorts
+
+    rows = events_retention_cohorts(spark, SF_SMALL).collect()
+    for r in rows:
+        assert 0 < r.n_active <= r.cohort_size
+        if r.week_age == 0:
+            assert r.n_active == r.cohort_size
+            assert r.retention == 1.0
