@@ -444,3 +444,73 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_age")
     )
+
+
+# --- time-series resample + LOCF gap fill -------------------------------------
+
+@query(
+    "events_gap_fill_locf",
+    oracle=f"""
+    WITH grid AS (
+      SELECT u.user_id, d.day
+      FROM (SELECT DISTINCT user_id FROM events) u,
+           (SELECT UNNEST(generate_series(0, 29)) AS day) d
+    ), daily AS (
+      SELECT user_id,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT)
+               AS day,
+             {sql_isum('value')} AS day_value,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ), joined AS (
+      SELECT g.user_id, CAST(g.day AS INT) AS day, d.day_value, d.n_events
+      FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    )
+    SELECT user_id, day,
+           COALESCE(n_events, 0) AS n_events,
+           CAST(LAST_VALUE(day_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS filled_value,
+           day_value IS NULL AS was_gap
+    FROM joined
+    ORDER BY user_id, day
+    """,
+)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling onto a dense daily grid with LOCF
+    (last-observation-carried-forward) gap fill — the standard feature-
+    engineering shape for activity series. The grid is users × 30 days
+    (explode of a sequence — no data shuffle to build it); the daily
+    aggregate is one shuffle on (user, day); the fill is one window pass
+    per user. Days before a user's first observation stay NULL (honest
+    missingness) — COALESCE at the edge if a model needs zeros. At 100 TB
+    the grid is |users|×|days| rows of three integers: smaller than the
+    event corpus, and the LOCF window never materializes more than one
+    partition's run."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("2024-01-01"))).cast("int")
+    daily = e.groupBy(F.col("user_id"), day.alias("day")).agg(
+        isum("value").alias("day_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    users = e.select("user_id").distinct()
+    grid = users.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(29))).alias("day")
+    ).select("user_id", F.col("day").cast("int").alias("day"))
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("day_value", ignorenulls=True).over(w).cast("double").alias("filled_value"),
+            F.col("day_value").isNull().alias("was_gap"),
+        )
+        .orderBy("user_id", "day")
+    )

@@ -114,3 +114,70 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("keep_doc_id")
     )
+
+
+_META_SCHEMA = "doc_id BIGINT, format STRING, width INT, height INT, n_bytes INT"
+
+
+@query(
+    "multimodal_meta_extract",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
+             ELSE 'wav' END AS format,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN 8000 + (doc_id % 8) * 4000
+                     ELSE 16 + doc_id % 64 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN 1 + doc_id % 2
+                     ELSE 16 + (doc_id * 7) % 48 END AS INT) AS height,
+           CAST(CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 24 WHEN 1 THEN 10 WHEN 2 THEN 26
+             ELSE 28 END AS INT) AS n_bytes
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary container-header round-trip under the value-hash gate:
+    each doc_id deterministically synthesizes a genuine PNG / GIF / BMP /
+    WAV header (struct-packed magic bytes + geometry fields, exactly as
+    the formats specify), and parse_header — the same stdlib kernel the
+    binaryFile ingestion path uses — must recover the format and
+    dimensions the oracle predicts from doc_id arithmetic alone. A parser
+    regression in any branch (endianness, offset, magic) hash-fails this
+    row. Both synthesis and parse run in ONE Arrow mapInPandas stage —
+    embarrassingly parallel, no shuffle before the presentation sort."""
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "format", "width", "height", "n_bytes")}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mod = d % 4
+                if mod == 3:
+                    rate, ch = 8000 + (d % 8) * 4000, 1 + d % 2
+                    payload = (
+                        b"RIFF" + b"\x00\x00\x00\x00" + b"WAVE" + b"fmt "
+                        + b"\x00" * 6 + struct.pack("<H", ch) + struct.pack("<I", rate)
+                    )
+                else:
+                    w, h = 16 + d % 64, 16 + (d * 7) % 48
+                    if mod == 0:
+                        payload = (
+                            b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0d" + b"IHDR"
+                            + struct.pack(">II", w, h)
+                        )
+                    elif mod == 1:
+                        payload = b"GIF89a" + struct.pack("<HH", w, h)
+                    else:
+                        payload = b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h)
+                fmt, pw, ph = parse_header(payload)
+                out["doc_id"].append(d)
+                out["format"].append(fmt)
+                out["width"].append(pw)
+                out["height"].append(ph)
+                out["n_bytes"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(batches, schema=_META_SCHEMA).orderBy("doc_id")

@@ -955,3 +955,45 @@ def cube_returns_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linestatus").asc_nulls_first(),
         )
     )
+
+
+# --- distribution window functions -------------------------------------------
+
+@query(
+    "window_distribution_ranks",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pct_rank,
+           CAST(CUME_DIST() OVER w AS DOUBLE) AS cume,
+           CAST(NTILE(10) OVER w AS INT) AS decile,
+           FIRST_VALUE(c_custkey) OVER w AS poorest_in_segment,
+           LAST_VALUE(c_custkey) OVER (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS richest_in_segment
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics: percent_rank / cume_dist / ntile /
+    first_value / last_value in one window pass (single shuffle on the
+    partition key, one sort per partition serves every function). The
+    unique (acctbal, custkey) ordering makes the rank-derived doubles a
+    single int/int division — cross-engine exact."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.percent_rank().over(w).cast("double").alias("pct_rank"),
+            F.cume_dist().over(w).cast("double").alias("cume"),
+            F.ntile(10).over(w).cast("int").alias("decile"),
+            F.first("c_custkey").over(w).alias("poorest_in_segment"),
+            F.last("c_custkey").over(wall).alias("richest_in_segment"),
+        )
+        .orderBy("c_custkey")
+    )

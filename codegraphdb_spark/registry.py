@@ -64,6 +64,9 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_pq_encode",           # new (product-quantization codes, 4th ANN tier)
     "emb_pq_topk",             # new (ADC top-k over PQ codes)
     "events_retention_cohorts",  # new (weekly cohort retention)
+    "multimodal_meta_extract",   # new (real header parse under the hash gate)
+    "window_distribution_ranks",  # new (percent_rank/cume_dist/ntile/first/last)
+    "events_gap_fill_locf",      # new (dense-grid resample + LOCF fill)
     # -- round 3: new, or CHANGED this round — must land in the window ---
     # (combined+concurrent fixture build; poison/param/return-type deep
     #  resolution; min-dist transitive closure; extended Cypher;
@@ -84,6 +87,11 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_dedup",        # oracle changed (real header sniff)
     "ngram_jaccard_pairs",     # df cap added this round
     "doc_dup_clusters",        # consumes the same capped pair set
+    # -- headliners: keep the flagship pair inside every window ----------
+    "revenue_by_nation",
+    "pricing_summary",
+    "g_cypher_varlen",         # exercises var-length paths through the
+                               # round-3 run_cypher refactor — stays checked
     "g_point_lookup",
     "g_filter_kind_name",
     "g_module_children",
@@ -99,10 +107,6 @@ _DRIVER_PRIORITY: list[str] = [
     "g_override_edges",
     "g_cypher_match",
     "g_code_hydration",
-    "g_cypher_varlen",
-    # -- headliners: keep the flagship pair inside every window ----------
-    "revenue_by_nation",
-    "pricing_summary",
     # -- rotation: checked in r1, outside the r2 window since ------------
     "topk_orders",
     "scalar_string_funcs",

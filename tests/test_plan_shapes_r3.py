@@ -100,3 +100,32 @@ def test_cypher_grouped_is_one_aggregate(spark, sf_dir):
     plan = _plan(spark, sf_dir, "g_cypher_grouped")
     assert "HashAggregate" in plan or "SortAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_meta_extract_single_python_stage(spark, sf_dir):
+    """Synthesis + real header parse run in ONE Arrow mapInPandas stage —
+    no shuffle before it (the sort at the end is presentation only)."""
+    plan = _plan(spark, sf_dir, "multimodal_meta_extract")
+    n_py = plan.count("MapInPandas") + plan.count("ArrowEvalPython")
+    assert n_py == 1, f"expected exactly 1 Python stage, saw {n_py}"
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_gap_fill_grid_is_shuffle_lean(spark, sf_dir):
+    """Grid build (distinct users + explode) and the daily aggregate +
+    LOCF window: each shuffles on user-keyed partitions; no Python
+    stages, no cartesian product."""
+    plan = _plan(spark, sf_dir, "events_gap_fill_locf")
+    assert "Generate explode" in plan
+    for op in ("CartesianProduct", "MapInPandas", "ArrowEvalPython"):
+        assert op not in plan
+    assert "Window" in plan
+
+
+def test_pq_topk_joins_codes_not_vectors(spark, sf_dir):
+    """ADC scoring must join the probe distance TABLE against the codes —
+    the raw embedding column must not appear past the encode stage (no
+    zip_with/aggregate folds in the scoring plan)."""
+    plan = _plan(spark, sf_dir, "emb_pq_topk")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "zip_with" not in plan and "aggregate(" not in plan
