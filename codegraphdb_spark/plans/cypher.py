@@ -87,7 +87,9 @@ _ORDER_ITEM = re.compile(
     r"^\s*(?P<var>\w+)(?:\.(?P<prop>\w+))?(?:\s+(?P<dir>ASC|DESC))?\s*$", re.IGNORECASE
 )
 
-_REAL_KINDS = {k for k in KINDS if k != "none"} | {"none"}
+# every kind is a label, INCLUDING 'none' — placeholder nodes (endpoints
+# seen before definition, graphDB.py:72-80) are queryable as :none
+_REAL_KINDS = set(KINDS)
 
 # Reachability expansions beyond this many hops refuse loudly rather than
 # silently truncating (inheritance chains deeper than this don't occur in
@@ -118,12 +120,18 @@ def _parse_labels(raw: str) -> tuple[str | None, list[str]]:
 
 
 def _parse_props(raw: str | None) -> dict[str, object]:
+    """Parse a {k: v, ...} property map STRICTLY: every comma-separated
+    entry must be `name: 'str'|\"str\"|int` — an unparseable entry (bare
+    identifier, boolean, negative number) raises instead of silently
+    dropping the filter and over-matching."""
     if not raw or not raw.strip():
         return {}
     props: dict[str, object] = {}
-    for m in _PROP.finditer(raw):
-        key = m.group(1)
-        props[key] = int(m.group(4)) if m.group(4) is not None else (
+    for part in raw.split(","):
+        m = _PROP.fullmatch(part.strip())
+        if not m:
+            raise CypherError(f"cannot parse property entry {part.strip()!r}")
+        props[m.group(1)] = int(m.group(4)) if m.group(4) is not None else (
             m.group(2) if m.group(2) is not None else m.group(3)
         )
     return props
@@ -154,12 +162,20 @@ def _labels_col(prefix: str):
     )
 
 
-def _varlen_pairs(edges: DataFrame, rel: str, lo: int, hi: int) -> DataFrame:
+def _varlen_pairs(
+    edges: DataFrame, rel: str, lo: int, hi: int, undirected: bool = False
+) -> DataFrame:
     """(src, dst) pairs connected by a directed path of lo..hi ``rel``
     edges. Bounded iterated self-join with per-hop dedup — same shape as
     the E1 closure (operators/closure.py), kept inline because LIMIT-less
     reachability here is hop-bounded by construction."""
     base = edges.filter(F.col("rel_type") == rel).select("src", "dst").dropDuplicates()
+    if undirected:
+        # symmetrize BEFORE expanding so multi-hop paths may mix edge
+        # orientations (a->b, c->b: the undirected 2-path a-b-c exists)
+        base = base.unionByName(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).dropDuplicates()
     step = base.select(F.col("src").alias("mid"), F.col("dst").alias("dst"))
     hop = base
     out = hop if lo <= 1 else None
@@ -466,11 +482,15 @@ def _compile_pattern(
                         raise CypherError(
                             "edge properties are not supported on var-length hops"
                         )
-                    e = _varlen_pairs(edges, rel, lo, hi)
-                if not left and not right:
-                    # undirected: symmetrize the (src, dst) pair set, then
-                    # treat as forward — each undirected hop matches the
-                    # edge in either orientation
+                    # undirected expansion symmetrizes the BASE edge set
+                    # inside _varlen_pairs (paths may mix orientations)
+                    e = _varlen_pairs(
+                        edges, rel, lo, hi, undirected=not left and not right
+                    )
+                if (lo, hi) == (1, 1) and not left and not right:
+                    # undirected single hop: symmetrize the (src, dst) pair
+                    # set, then treat as forward — matches the edge in
+                    # either orientation
                     p = e.select("src", "dst")
                     e = p.unionByName(
                         p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -513,6 +533,7 @@ def _compile_chain(
     binds: dict[str, str],
     state: dict[str, int],
     df: DataFrame | None = None,
+    plain: set[str] | None = None,
 ):
     """Compile a ``MATCH p [WHERE w] (OPTIONAL MATCH p_i [WHERE w_i])*``
     clause chain. With a carried ``df`` (post-WITH), the first MATCH inner-
@@ -543,7 +564,9 @@ def _compile_chain(
     for var, alias in local_binds.items():
         binds.setdefault(var, alias)
     if where:
-        df = df.filter(_where_condition(where, binds))
+        # WHERE sees the full scope: pattern variables plus any bare
+        # columns a preceding WITH projected (Cypher scoping)
+        df = df.filter(_where_condition(where, binds, plain))
 
     for seg in segments[1:]:
         opt_pattern, opt_where = _split_where(seg)
@@ -568,15 +591,33 @@ def _compile_chain(
     return df
 
 
+def _string_spans(text: str) -> list[tuple[int, int]]:
+    """Spans of quoted string literals, tracked with a real scanner (a '
+    inside a "..." literal must not poison quote state, and vice versa)."""
+    spans, i, n = [], 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in "'\"":
+            j = text.find(ch, i + 1)
+            if j == -1:
+                spans.append((i, n))
+                break
+            spans.append((i, j + 1))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
 def _split_on_with(head: str) -> list[str]:
     """Split a query head on top-level WITH keywords (never the WITH of
-    STARTS WITH, never inside a string literal)."""
+    STARTS WITH / ENDS WITH, never inside a string literal)."""
+    spans = _string_spans(head)
     parts, last = [], 0
     for mm in re.finditer(r"\bWITH\b", head, re.IGNORECASE):
-        prefix = head[: mm.start()]
-        if re.search(r"(?i)\bSTARTS\s*$", prefix):
+        if re.search(r"(?i)\b(?:STARTS|ENDS)\s*$", head[: mm.start()]):
             continue
-        if prefix.count("'") % 2 == 1 or prefix.count('"') % 2 == 1:
+        if any(a <= mm.start() < b for a, b in spans):
             continue
         parts.append(head[last : mm.start()])
         last = mm.end()
@@ -626,9 +667,11 @@ def _apply_with(
             new_plain.add(name)
         else:
             var, prop = it.group("var"), it.group("prop")
-            if prop is None and var in binds and not alias:
+            if prop is None and var in binds:
+                # bare node variable (optionally re-aliased: WITH c AS x)
+                # stays a NODE binding — full column set carried
                 carried.append(binds[var])
-                new_binds[var] = binds[var]
+                new_binds[alias or var] = binds[var]
             elif prop is None and var in plain:
                 name = alias or var
                 plain_items.append(F.col(var).alias(name))
@@ -657,7 +700,7 @@ def _apply_with(
     binds.clear()
     binds.update(new_binds)
     if rest:
-        df = _compile_chain(rest, nodes, edges, binds, state, df)
+        df = _compile_chain(rest, nodes, edges, binds, state, df, new_plain)
     return df, new_plain
 
 
@@ -750,10 +793,15 @@ def run_cypher(cypher: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
                 # property (myClient.py:236-257); the graph keeps it as the
                 # typed (file, start, end) triple — re-serialize on demand
                 cols.append(
-                    encode_code_pointer(
-                        F.col(f"{p}__code_file"),
-                        F.col(f"{p}__code_start"),
-                        F.col(f"{p}__code_end"),
+                    # NULL-pointer nodes (modules; unmatched OPTIONAL rows)
+                    # render as NULL like Neo4j, not '<CODE>{}</CODE>'
+                    F.when(
+                        F.col(f"{p}__code_file").isNotNull(),
+                        encode_code_pointer(
+                            F.col(f"{p}__code_file"),
+                            F.col(f"{p}__code_start"),
+                            F.col(f"{p}__code_end"),
+                        ),
                     ).alias(alias or f"{var}_{prop}")
                 )
             elif prop:

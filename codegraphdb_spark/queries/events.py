@@ -514,3 +514,64 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+# --- z-score anomaly flagging -------------------------------------------------
+
+_ZS = 100  # event values are 2-decimal: scale 100 is exact, squares stay in int64
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(CAST(SUM(CAST(ROUND(value * {_ZS}) AS BIGINT)) AS DOUBLE)
+                  / {_ZS} / COUNT(*) AS DOUBLE) AS mu,
+             CAST(CAST(SUM(CAST(ROUND(value * {_ZS}) AS BIGINT)
+                           * CAST(ROUND(value * {_ZS}) AS BIGINT)) AS DOUBLE)
+                  / {_ZS} / {_ZS} / COUNT(*)
+                  - (CAST(SUM(CAST(ROUND(value * {_ZS}) AS BIGINT)) AS DOUBLE)
+                     / {_ZS} / COUNT(*))
+                    * (CAST(SUM(CAST(ROUND(value * {_ZS}) AS BIGINT)) AS DOUBLE)
+                       / {_ZS} / COUNT(*))
+                  AS DOUBLE) AS var
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST((e.value - s.mu) / SQRT(s.var) AS DOUBLE) AS z,
+           ABS((e.value - s.mu) / SQRT(s.var)) > 3 AS is_anomaly
+    FROM events e JOIN s USING (event_type)
+    ORDER BY e.event_id
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score outlier flagging per event type: one tiny
+    grouped-moments aggregate (scaled-integer sums — exact and
+    order-independent, same convention as emb_dim_stats) broadcast back
+    over the stream, then a pure map-side projection. sqrt and the final
+    divisions are single IEEE ops on identical doubles, so the z values
+    are bit-identical cross-engine. At 100 TB this is the cheapest
+    anomaly pass there is: one map-side-combined aggregate over k event
+    types + one broadcast join; nothing corpus-sized shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    sv = F.round(F.col("value") * _ZS).cast("bigint")
+    n = F.count(F.lit(1))
+    s1 = F.sum(sv).cast("double")
+    s2 = F.sum(sv * sv).cast("double")
+    mu = (s1 / _ZS / n).cast("double")
+    stats = e.groupBy("event_type").agg(
+        mu.alias("mu"),
+        (s2 / _ZS / _ZS / n - mu * mu).cast("double").alias("var"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.sqrt(F.col("var"))
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            z.cast("double").alias("z"),
+            (F.abs(z) > 3).alias("is_anomaly"),
+        )
+        .orderBy("event_id")
+    )

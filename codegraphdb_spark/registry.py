@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_meta_extract",   # new (real header parse under the hash gate)
     "window_distribution_ranks",  # new (percent_rank/cume_dist/ntile/first/last)
     "events_gap_fill_locf",      # new (dense-grid resample + LOCF fill)
+    "events_anomaly_zscore",     # new (broadcast moments, z-score flags)
     # -- round 3: new, or CHANGED this round — must land in the window ---
     # (combined+concurrent fixture build; poison/param/return-type deep
     #  resolution; min-dist transitive closure; extended Cypher;
@@ -92,6 +93,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pricing_summary",
     "g_cypher_varlen",         # exercises var-length paths through the
                                # round-3 run_cypher refactor — stays checked
+    "g_cypher_match",          # same: every Cypher-path query stays checked
     "g_point_lookup",
     "g_filter_kind_name",
     "g_module_children",
@@ -105,7 +107,6 @@ _DRIVER_PRIORITY: list[str] = [
     "g_pagerank_top",
     "g_degree_centrality",
     "g_override_edges",
-    "g_cypher_match",
     "g_code_hydration",
     # -- rotation: checked in r1, outside the r2 window since ------------
     "topk_orders",

@@ -510,3 +510,134 @@ def test_starts_with_not_parsed_as_with_clause(graph):
         edges,
     ).collect()
     assert out[0]["n"] == 2
+
+
+def test_double_with_stage_chain(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS)-[:HAS_METHOD]->(m) "
+        "WITH c, count(m) AS n "
+        "WITH n WHERE n > 3 "
+        "RETURN n ORDER BY n",
+        nodes,
+        edges,
+    ).collect()
+    per_class = run_cypher(
+        "MATCH (c:CLASS)-[:HAS_METHOD]->(m) RETURN c.name AS c, count(m) AS n",
+        nodes,
+        edges,
+    ).collect()
+    assert sorted(r["n"] for r in out) == sorted(
+        r["n"] for r in per_class if r["n"] > 3
+    )
+
+
+def test_with_distinct_rejected_cleanly(graph):
+    nodes, edges = graph
+    with pytest.raises(CypherError):
+        run_cypher(
+            "MATCH (c:CLASS) WITH DISTINCT c RETURN c.name", nodes, edges
+        )
+
+
+# --- round-3 review fixes: regression coverage --------------------------------
+
+def test_unparseable_property_raises(graph):
+    """A property value the subset can't parse must error, never silently
+    drop the filter and over-match."""
+    nodes, edges = graph
+    for q in (
+        "MATCH (n:CLASS {name: Dog}) RETURN n",       # unquoted string
+        "MATCH (n:CLASS {flag: true}) RETURN n",      # boolean literal
+        "MATCH (n {code_start: -1}) RETURN n",        # negative number
+    ):
+        with pytest.raises(CypherError):
+            run_cypher(q, nodes, edges)
+
+
+def test_ends_with_predicate(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (n:CLASS) WHERE n.name ENDS WITH 'og' RETURN n.name AS nm",
+        nodes,
+        edges,
+    ).collect()
+    assert [r["nm"] for r in out] == ["Dog"]
+
+
+def test_undirected_varlen_mixes_orientations(graph):
+    """Dog->Animal and Puppy->Dog: the undirected 2-path Animal-Dog-Puppy
+    must be reachable from Animal even though both edges point AT it."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (a:CLASS {name: 'Animal'})-[:INHERITS*1..2]-(b:CLASS) "
+        "RETURN b.name AS nm ORDER BY nm",
+        nodes,
+        edges,
+    ).collect()
+    assert sorted(r["nm"] for r in out) == ["Animal", "Dog", "Puppy"]
+    # ('Animal' itself: Dog->Animal then back Animal<-Dog... excluded?
+    # reaching a node via fwd+back IS a valid undirected walk of length 2)
+
+
+def test_null_code_pointer_renders_null(graph):
+    """Nodes without a code pointer (placeholder endpoints; unmatched
+    OPTIONAL rows) render code as NULL like Neo4j — never '<CODE>{}</CODE>'.
+    (Modules DO carry a full-file pointer in this engine.)"""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (n:none) RETURN n.full_name AS fn, n.code AS code",
+        nodes,
+        edges,
+    ).collect()
+    assert out and all(r["code"] is None for r in out)
+
+
+def test_where_after_match_sees_with_alias(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS)-[:HAS_METHOD]->(m) "
+        "WITH c, count(m) AS n "
+        "MATCH (c)-[:INHERITS]->(b) WHERE n > 3 "
+        "RETURN c.name AS cls, n ORDER BY cls",
+        nodes,
+        edges,
+    ).collect()
+    assert all(r["n"] > 3 for r in out) and out
+
+
+def test_quote_scanner_handles_apostrophe_in_double_quotes(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        'MATCH (c:CLASS {name: "Dog"})-[:HAS_METHOD]->(m) '
+        "WITH c, count(m) AS n RETURN n",
+        nodes,
+        edges,
+    ).collect()
+    assert len(out) == 1
+    # an apostrophe inside a double-quoted literal must not hide the WITH
+    out2 = run_cypher(
+        'MATCH (c:CLASS) WHERE c.name <> "do\'nt" '
+        "WITH c.name AS nm WHERE nm = 'Dog' RETURN nm",
+        nodes,
+        edges,
+    ).collect()
+    assert [r["nm"] for r in out2] == ["Dog"]
+
+
+def test_with_rebinds_node_variable(graph):
+    """WITH c AS x keeps x a full node binding: whole-node RETURN works
+    and a following MATCH can extend from x."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS {name: 'Dog'}) WITH c AS x "
+        "MATCH (x)-[:INHERITS]->(b) RETURN x.name AS cls, b.name AS base",
+        nodes,
+        edges,
+    ).collect()
+    assert [(r["cls"], r["base"]) for r in out] == [("Dog", "Animal")]
+    whole = run_cypher(
+        "MATCH (c:CLASS {name: 'Dog'}) WITH c AS x RETURN x", nodes, edges
+    ).collect()
+    assert whole[0]["x_full_name"] == "pkgb.dog.Dog"
+    assert whole[0]["x_kind"] == "CLASS"
