@@ -120,10 +120,13 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # microsecond-exact gap (ts.cast('long') truncates to seconds and
+    # would disagree with the oracle's full-precision interval compare
+    # for gaps inside (1800 s, 1801 s))
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
     marked = e.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
     )
     return (
         marked.withColumn("session_seq", F.sum("new_session").over(w_run).cast("bigint"))
@@ -258,7 +261,9 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             (F.col("sec_b") - F.col("sec_a")).cast("bigint").alias("gap_sec"),
         )
-        .dropDuplicates(["event_a", "event_b"])
+        # no dedup needed: the three a-side replicas carry DISTINCT bucket
+        # ids and b carries exactly one, so a pair can match at most once —
+        # a dropDuplicates here would be a whole wasted shuffle at scale
         .orderBy("event_a", "event_b")
     )
 
@@ -386,8 +391,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (
       SELECT user_id,
-             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
-                  AS INT) AS week
+             -- floor division (not //, which truncates toward zero and
+             -- would diverge from Spark's F.floor for pre-epoch days)
+             CAST(FLOOR(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        / 7.0) AS INT) AS week
       FROM events
     ), firsts AS (
       SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id

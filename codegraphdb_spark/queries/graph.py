@@ -22,10 +22,10 @@ from pyspark.sql import functions as F
 
 from codegraphdb_spark.registry import query
 
-_CACHE: dict[int, tuple[DataFrame, DataFrame, DataFrame]] = {}
+_CACHE: dict[SparkSession, tuple[DataFrame, DataFrame, DataFrame]] = {}
 # v1 extraction facts from the same build (already checkpointed) — consumed
 # by g_blast_radius' import-reachability analysis, no extra pipeline run
-_FACTS_CACHE: dict[int, DataFrame] = {}
+_FACTS_CACHE: dict[SparkSession, DataFrame] = {}
 
 
 def _graph(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -38,7 +38,8 @@ def _graph(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
     golden rows change. This halves the fixture-build cost the graph
     catalog pays per session (the deep catalog previously ran a second
     full engine build)."""
-    key = id(spark._jsparkSession)
+    # session OBJECT key (id() is reusable after GC — see similarity cache)
+    key = spark
     if key not in _CACHE:
         from codegraphdb_spark import mini_repo
         from codegraphdb_spark.engine import GraphEngine
@@ -581,13 +582,14 @@ def g_cypher_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- A4: deep (type-propagated) call resolution ---------------------------------
 
-_DEEP_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
+_DEEP_CACHE: dict[SparkSession, tuple[DataFrame, DataFrame]] = {}
 
 
 def _deep_graph(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     """The zoo.* (mini_repo.DEEP_V1) side of the combined fixture build —
     see _graph: one pipeline run populates both caches."""
-    key = id(spark._jsparkSession)
+    # session OBJECT key (id() is reusable after GC — see similarity cache)
+    key = spark
     if key not in _DEEP_CACHE:
         _graph(spark)
     return _DEEP_CACHE[key]
@@ -828,7 +830,7 @@ def g_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codegraphdb_spark.operators.incremental import affected_files
 
     _graph(spark)  # ensure the build ran and _FACTS_CACHE is populated
-    f1 = _FACTS_CACHE[id(spark._jsparkSession)]
+    f1 = _FACTS_CACHE[spark]
     # same tiny-fixture trade as _graph: the reachability closure is a
     # handful of rows — 32 shuffle partitions + codegen would dominate
     prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -226,14 +226,15 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(
                 {"vec_a": [], "vec_b": [], "label": [], "cosine": []}
             ).astype({"vec_a": "int64", "vec_b": "int64", "label": "int32", "cosine": "float64"})
-        sq = np.rint(m * m * _SCALE).astype(np.int64).sum(axis=1) / _SCALE
+        # HALF_UP (away-from-zero) rounding, matching F.round/DuckDB ROUND —
+        # np.rint rounds half-to-even and would diverge on exact .5 products
+        # (same fix as operators/similarity.py's signature kernel)
+        def _half_up(x):
+            return (np.floor(np.abs(x) + 0.5) * np.sign(x)).astype(np.int64)
+
+        sq = _half_up(m * m * _SCALE).sum(axis=1) / _SCALE
         nrm = np.sqrt(sq)
-        dots = (
-            np.rint(m[:, None, :] * m[None, :, :] * _SCALE)
-            .astype(np.int64)
-            .sum(axis=2)
-            / _SCALE
-        )
+        dots = _half_up(m[:, None, :] * m[None, :, :] * _SCALE).sum(axis=2) / _SCALE
         cos = dots / (nrm[:, None] * nrm[None, :])
         ia, ib = np.triu_indices(g, k=1)
         keep = cos[ia, ib] >= 0.38
@@ -281,6 +282,52 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+
+_IVF_SCALE = 1_000_000_000
+
+
+def _ivf_expl_cent(spark: SparkSession, sf_dir: str):
+    """(expl, cent): per-(vector, pos) components and per-(label, pos)
+    scaled-integer mean centroids — the shared first stage of the IVF
+    family (assign / probed top-k / Lloyd step). ONE definition so the
+    scale constant and rounding can never drift between the queries that
+    claim to share the same cells."""
+    v = load_table(spark, sf_dir, "embeddings")
+    expl = v.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x"),
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "x")
+    cent = expl.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        (
+            F.sum(F.round(F.col("x") * _IVF_SCALE).cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+            / _IVF_SCALE
+        ).alias("c")
+    )
+    return expl, cent
+
+
+def _ivf_ranked(expl: DataFrame, cent: DataFrame, keep_label: bool = False):
+    """Scaled-int squared distances of every vector to every centroid,
+    ranked per vector (rn=1 is the assignment; rn<=nprobe the probe
+    cells). Broadcast centroids, one shuffle keyed on the vector."""
+    keys = ["vec_id", "label", "clabel"] if keep_label else ["vec_id", "clabel"]
+    dists = (
+        expl.join(F.broadcast(cent), "pos")
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * _IVF_SCALE
+                ).cast("bigint")
+            ).alias("d")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "clabel")
+    return dists.withColumn("rn", F.row_number().over(w))
+
+
 @query(
     "emb_ivf_assign",
     oracle=f"""
@@ -317,35 +364,9 @@ def emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: centroids are k×dim rows (tiny → broadcast); the vector side
     explodes to (vec, pos) once and aggregates per (vec, centroid) — one
     shuffle, linear in corpus size, independent of corpus×corpus."""
-    v = load_table(spark, sf_dir, "embeddings")
-    expl = v.select(
-        "vec_id",
-        "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x"),
-    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "x")
-    cent = (
-        expl.groupBy(F.col("label").alias("clabel"), "pos")
-        .agg(
-            (
-                F.sum(F.round(F.col("x") * 1_000_000_000).cast("bigint")).cast("double")
-                / F.count(F.lit(1))
-                / 1_000_000_000
-            ).alias("c")
-        )
-    )
-    dists = (
-        expl.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "label", "clabel")
-        .agg(
-            F.sum(
-                F.round((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * 1_000_000_000)
-                .cast("bigint")
-            ).alias("d")
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy("d", "clabel")
+    expl, cent = _ivf_expl_cent(spark, sf_dir)
     return (
-        dists.withColumn("rn", F.row_number().over(w))
+        _ivf_ranked(expl, cent, keep_label=True)
         .filter(F.col("rn") == 1)
         .select(
             "vec_id",
@@ -501,35 +522,9 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     is shuffle-order-dependent). At 100 TB each iteration is two linear
     passes: one broadcast-join/agg to assign, one agg to update; only
     k×dim rows ever cross the cluster."""
-    v = load_table(spark, sf_dir, "embeddings")
-    expl = v.select(
-        "vec_id",
-        "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x"),
-    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "x")
-    cent = (
-        expl.groupBy(F.col("label").alias("clabel"), "pos")
-        .agg(
-            (
-                F.sum(F.round(F.col("x") * 1_000_000_000).cast("bigint")).cast("double")
-                / F.count(F.lit(1))
-                / 1_000_000_000
-            ).alias("c")
-        )
-    )
-    dists = (
-        expl.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "clabel")
-        .agg(
-            F.sum(
-                F.round((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * 1_000_000_000)
-                .cast("bigint")
-            ).alias("d")
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy("d", "clabel")
+    expl, cent = _ivf_expl_cent(spark, sf_dir)
     assign = (
-        dists.withColumn("rn", F.row_number().over(w))
+        _ivf_ranked(expl, cent)
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("clabel").alias("cluster"))
     )
@@ -563,7 +558,9 @@ def _near_dup_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The near-dup pair set, materialized once per (session, sf_dir) —
     same pattern as text._jaccard_pairs: the expensive intermediate a real
     dedup pipeline computes exactly once and fans out from."""
-    key = (id(spark._jsparkSession), sf_dir)
+    # keyed on the session OBJECT (not id(): a freed wrapper's address can
+    # be reused by a new session, silently returning a dead-session frame)
+    key = (spark, sf_dir)
     if key not in _EMB_PAIRS_CACHE:
         _EMB_PAIRS_CACHE[key] = emb_near_dup_pairs(spark, sf_dir).localCheckpoint(
             eager=False
@@ -695,35 +692,8 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and it is shuffle-free); probe cost is O(candidates in nprobe cells),
     never O(corpus)."""
     v = load_table(spark, sf_dir, "embeddings")
-    expl = v.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x"),
-    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "x")
-    cent = (
-        expl.join(
-            v.select("vec_id", "label"), "vec_id"
-        )
-        .groupBy(F.col("label").alias("clabel"), "pos")
-        .agg(
-            (
-                F.sum(F.round(F.col("x") * 1_000_000_000).cast("bigint")).cast("double")
-                / F.count(F.lit(1))
-                / 1_000_000_000
-            ).alias("c")
-        )
-    )
-    dists = (
-        expl.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "clabel")
-        .agg(
-            F.sum(
-                F.round((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * 1_000_000_000)
-                .cast("bigint")
-            ).alias("d")
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy("d", "clabel")
-    ranked = dists.withColumn("rn", F.row_number().over(w))
+    expl, cent = _ivf_expl_cent(spark, sf_dir)
+    ranked = _ivf_ranked(expl, cent)
     assigned = ranked.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("cand_id"), F.col("clabel").alias("cell")
     )

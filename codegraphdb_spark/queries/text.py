@@ -52,7 +52,9 @@ def _shingles(tok: Column) -> Column:
                 " ", F.element_at(tok, i), F.element_at(tok, i + 1), F.element_at(tok, i + 2)
             ),
         ),
-    ).otherwise(F.array(F.col("text")))
+    ).otherwise(F.array(F.concat_ws(" ", tok)))  # rejoin == original text;
+    # derived from `tok` so callers tokenizing any column name work
+    # (near_dedup_minhash's text_col parameter was unusable before)
 
 
 def _h28(s: Column) -> Column:
@@ -293,7 +295,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
-_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PAIRS_CACHE: dict[tuple[object, str], DataFrame] = {}
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,7 +303,8 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — shared by ngram_jaccard_pairs and doc_dup_clusters. Materialized
     once per (session, sf_dir): the pair set is the expensive intermediate
     a real dedup pipeline computes exactly once and fans out from."""
-    key = (id(spark._jsparkSession), sf_dir)
+    # session OBJECT key — see similarity._near_dup_pairs_cached
+    key = (spark, sf_dir)
     if key not in _PAIRS_CACHE:
         _PAIRS_CACHE[key] = _jaccard_pairs_uncached(spark, sf_dir).localCheckpoint(
             eager=False

@@ -210,3 +210,18 @@ def test_table_format_round_trip(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         TS.load_table_from(spark, str(tmp_path / "orders_csv"), "csv")
+
+
+def test_near_dedup_minhash_custom_text_col(spark):
+    """Regression: _shingles' short-doc fallback used to hardcode
+    F.col('text'), making near_dedup_minhash's text_col parameter unusable
+    for any other column name (AnalysisException on short docs)."""
+    from codegraphdb_spark.operators.dedup import near_dedup_minhash
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "a b c d e f g h i j")],
+        "id long, body string",
+    )
+    kept = near_dedup_minhash(docs, id_col="id", text_col="body").collect()
+    ids = sorted(r["id"] for r in kept)
+    assert 3 in ids and 1 in ids and 2 not in ids  # exact dup collapses to min id
