@@ -16,6 +16,7 @@ don't re-run the pipeline each time.
 from __future__ import annotations
 
 import threading
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,6 +27,47 @@ _CACHE: dict[SparkSession, tuple[DataFrame, DataFrame, DataFrame]] = {}
 # v1 extraction facts from the same build (already checkpointed) — consumed
 # by g_blast_radius' import-reachability analysis, no extra pipeline run
 _FACTS_CACHE: dict[SparkSession, DataFrame] = {}
+# serializes fixture builds AND the session-conf save/set/restore around
+# them: without it, two threads racing into the first build would (a) run
+# the pipeline twice and (b) save each other's TEMPORARY conf values as
+# "previous", permanently leaving the session at 1 shuffle partition with
+# codegen off
+_BUILD_LOCK = threading.RLock()
+
+_TINY_CONFS = {
+    # the fixture is ~11 files across many tiny stages: 32-partition
+    # scheduling overhead and Janino codegen both cost multiples of the
+    # actual work (results are checkpointed, so later queries never see
+    # these settings)
+    "spark.sql.shuffle.partitions": "1",
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.codegen.wholeStage": "false",
+    "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+}
+
+
+def _evict_old(cache: dict, keep: int) -> None:
+    """Bounded cache: drop oldest entries (insertion order) — a process
+    cycling through SparkSessions must not accumulate checkpointed frames
+    for dead sessions forever."""
+    while len(cache) > keep:
+        cache.pop(next(iter(cache)))
+
+
+@contextmanager
+def _tiny_fixture_confs(spark: SparkSession):
+    """Apply the tiny-fixture session confs, restoring the caller's values
+    on exit — under _BUILD_LOCK so saves can never capture another
+    thread's temporary values."""
+    with _BUILD_LOCK:
+        prev = {k: spark.conf.get(k) for k in _TINY_CONFS}
+        for k, v in _TINY_CONFS.items():
+            spark.conf.set(k, v)
+        try:
+            yield
+        finally:
+            for k, v in prev.items():
+                spark.conf.set(k, v)
 
 
 def _graph(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -40,27 +82,13 @@ def _graph(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
     full engine build)."""
     # session OBJECT key (id() is reusable after GC — see similarity cache)
     key = spark
-    if key not in _CACHE:
+    with _BUILD_LOCK:
+      if key not in _CACHE:
         from codegraphdb_spark import mini_repo
         from codegraphdb_spark.engine import GraphEngine
         from codegraphdb_spark.sources.repo import files_from_pairs
 
-        # The fixture is 11 files; the pipeline is many tiny stages. Drop
-        # shuffle parallelism to avoid paying 32-partition scheduling
-        # overhead ~30x (restored after — the data queries are unaffected).
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-        prev_wsc = spark.conf.get("spark.sql.codegen.wholeStage")
-        prev_fm = spark.conf.get("spark.sql.codegen.factoryMode")
-        spark.conf.set("spark.sql.shuffle.partitions", "1")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        # Janino compilation of the deep resolution plans costs multiple
-        # seconds per action and buys nothing on an 11-file fixture —
-        # interpreted mode produces identical rows (results are
-        # checkpointed, so later queries are unaffected by these confs)
-        spark.conf.set("spark.sql.codegen.wholeStage", "false")
-        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-        try:
+        with _tiny_fixture_confs(spark):
             eng = GraphEngine(spark, small_repo=True)
             f1 = eng.extract(
                 files_from_pairs(spark, mini_repo.V1 + mini_repo.DEEP_V1)
@@ -89,8 +117,12 @@ def _graph(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
 
             th = threading.Thread(target=_v2_side)
             th.start()
-            n1, e1 = eng.compile(f1, "v1")
-            th.join()
+            try:
+                n1, e1 = eng.compile(f1, "v1")
+            finally:
+                # always join: a v1-compile failure must not leave the v2
+                # thread submitting jobs after the confs are restored
+                th.join()
             if "err" in prep:
                 raise prep["err"]  # type: ignore[misc]
             n2, e2, _ = eng.update_version(
@@ -133,11 +165,8 @@ def _graph(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
                 n2.filter(zoo_node | (F.col("full_name") == "unsolved symbol")),
                 e2.filter(zoo_edge),
             )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-            spark.conf.set("spark.sql.codegen.wholeStage", prev_wsc)
-            spark.conf.set("spark.sql.codegen.factoryMode", prev_fm)
+            for cache in (_CACHE, _DEEP_CACHE, _FACTS_CACHE):
+                _evict_old(cache, keep=2)
     return _CACHE[key]
 
 
@@ -832,18 +861,12 @@ def g_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     _graph(spark)  # ensure the build ran and _FACTS_CACHE is populated
     f1 = _FACTS_CACHE[spark]
     # same tiny-fixture trade as _graph: the reachability closure is a
-    # handful of rows — 32 shuffle partitions + codegen would dominate
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_fm = spark.conf.get("spark.sql.codegen.factoryMode")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    try:
+    # handful of rows — shared contextmanager so the conf set is identical
+    # and the save/restore is race-free
+    with _tiny_fixture_confs(spark):
         aff = affected_files(f1, f1, mini_repo.CHANGE_LIST).localCheckpoint(
             eager=True
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        spark.conf.set("spark.sql.codegen.factoryMode", prev_fm)
     return aff.select("file_path").orderBy("file_path")
 
 

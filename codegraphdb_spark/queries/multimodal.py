@@ -47,6 +47,15 @@ def decode_payloads(payloads: DataFrame) -> DataFrame:
         for pdf in it:
             out = {k: [] for k in ("doc_id", "n_bytes", "format", "content_hash", "f0")}
             for doc_id, content in zip(pdf["doc_id"], pdf["payload"]):
+                if content is None:
+                    # NULL payload mirrors the SQL semantics: NULL LIKE
+                    # falls through to 'unknown'; hash/length/feature NULL
+                    out["doc_id"].append(doc_id)
+                    out["n_bytes"].append(None)
+                    out["format"].append("unknown")
+                    out["content_hash"].append(None)
+                    out["f0"].append(None)
+                    continue
                 payload = bytes(content)
                 fmt, _w, _h = parse_header(payload)
                 out["doc_id"].append(doc_id)
@@ -70,7 +79,13 @@ def decode_payloads(payloads: DataFrame) -> DataFrame:
                     AND OCTET_LENGTH(CAST(text AS BLOB)) >= 26 THEN 'bmp'
                WHEN (text LIKE 'GIF87a%' OR text LIKE 'GIF89a%')
                     AND OCTET_LENGTH(CAST(text AS BLOB)) >= 10 THEN 'gif'
-               WHEN text LIKE 'RIFF%' AND substr(text, 9, 4) = 'WAVE' THEN 'wav'
+               -- BYTE offsets, not characters: substr(text, 9, 4) counts
+               -- code points and diverges from payload[8:12] when any of
+               -- the first 8 bytes is multi-byte UTF-8; hex space is
+               -- byte-exact (bytes 9..12 = hex chars 17..24, 'WAVE')
+               WHEN text LIKE 'RIFF%'
+                    AND substr(to_hex(encode(text)), 17, 8) = '57415645'
+                    THEN 'wav'
                WHEN text LIKE 'FAKE%'
                     AND OCTET_LENGTH(CAST(text AS BLOB)) >= 8 THEN 'fake'
                ELSE 'unknown'

@@ -417,15 +417,24 @@ def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-06-01')
     ORDER BY c_custkey
     """,
 )
 def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (reference B4 missing-endpoint synthesis: keys present
-    in edges but absent from nodes, graphDB.py:133-153)."""
+    in edges but absent from nodes, graphDB.py:133-153). Dormant = no
+    order since mid-2000: every fixture SF has a non-empty answer (27 at
+    sf0.001), so the check cannot pass vacuously — the plain no-orders-ever
+    predicate matched zero customers at the small SFs and would have let a
+    broken anti-join slip through. The date filter is pushed below the
+    anti-join to the orders scan."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -845,11 +854,18 @@ def rolling_7d_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_custkey; the frame is computed in a single pass over each sorted
     partition. Decimal-exact window sum keeps doubles bit-identical."""
     o = load_table(spark, sf_dir, "orders")
-    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    # frame over microsecond event time, exactly the oracle's
+    # RANGE INTERVAL 6 DAY frame (a day-granular datediff frame would
+    # diverge the moment a fixture carries non-midnight order timestamps).
+    # timestampdiff is timezone-free on the NTZ column (unix_micros would
+    # need an LTZ cast and inherit the session timezone)
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+    )
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy(day)
-        .rangeBetween(-6, Window.currentRow)
+        .orderBy(micros)
+        .rangeBetween(-6 * 86_400 * 1_000_000, Window.currentRow)
     )
     return (
         o.select(

@@ -562,9 +562,12 @@ def _near_dup_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     # be reused by a new session, silently returning a dead-session frame)
     key = (spark, sf_dir)
     if key not in _EMB_PAIRS_CACHE:
+        from codegraphdb_spark.queries.graph import _evict_old
+
         _EMB_PAIRS_CACHE[key] = emb_near_dup_pairs(spark, sf_dir).localCheckpoint(
             eager=False
         )
+        _evict_old(_EMB_PAIRS_CACHE, keep=6)  # (session, sf_dir) pairs
     return _EMB_PAIRS_CACHE[key]
 
 

@@ -306,9 +306,12 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session OBJECT key — see similarity._near_dup_pairs_cached
     key = (spark, sf_dir)
     if key not in _PAIRS_CACHE:
+        from codegraphdb_spark.queries.graph import _evict_old
+
         _PAIRS_CACHE[key] = _jaccard_pairs_uncached(spark, sf_dir).localCheckpoint(
             eager=False
         )
+        _evict_old(_PAIRS_CACHE, keep=6)  # (session, sf_dir) pairs
     return _PAIRS_CACHE[key]
 
 
