@@ -49,6 +49,42 @@ from codegraphdb_spark.operators.resolve import (
 )
 
 
+# node-count bound under which the pruned update's corpus-scale stages
+# (global symbol window, old-edge ownership join) still run comfortably at
+# few shuffle partitions without codegen — same order as the driver-closure
+# threshold in operators/closure.py
+SMALL_SNAPSHOT_LIMIT = 200_000
+
+
+def _priority_merge(
+    local_edges: DataFrame,
+    reexports: DataFrame,
+    resolved: DataFrame,
+    closure_new: DataFrame,
+) -> DataFrame:
+    """Union the four edge passes with explicit source priority (local >
+    reexport > resolved > inherited-closure, then association_type): a
+    plain dropDuplicates would keep an arbitrary association_type /
+    versions pick when the same edge arises from two passes, breaking the
+    deterministic-snapshot guarantee. ONE definition shared by compile()
+    and _pruned_recompile() so the priority order can never drift between
+    the full and pruned paths."""
+    tagged = local_edges.withColumn("__origin", F.lit(0))
+    for i, df in enumerate((reexports, resolved, closure_new), start=1):
+        tagged = tagged.unionByName(
+            df.select(*local_edges.columns).withColumn("__origin", F.lit(i))
+        )
+    w = Window.partitionBy("src", "dst", "rel_type").orderBy(
+        F.col("__origin"), F.col("association_type").asc_nulls_last()
+    )
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__origin", "__rn")
+    )
+
+
+
 class GraphEngine:
     def __init__(self, spark: SparkSession, small_repo: bool = False) -> None:
         """``small_repo=True`` hints that the symbol table / import
@@ -165,41 +201,16 @@ class GraphEngine:
             ),
             bases=bases,
         )
-        # union the four passes with an explicit source priority (local >
-        # reexport > resolved > inherited-closure, then association_type):
-        # a plain dropDuplicates would keep an arbitrary association_type /
-        # versions pick when the same edge arises from two passes, breaking
-        # the deterministic-snapshot guarantee
-        tagged = (
-            local_edges.withColumn("__origin", F.lit(0))
-            .unionByName(
-                reexports.select(*local_edges.columns).withColumn(
-                    "__origin", F.lit(1)
-                )
-            )
-            .unionByName(
-                resolved.select(*local_edges.columns).withColumn(
-                    "__origin", F.lit(2)
-                )
-            )
-            .unionByName(
-                closure_new.select(*local_edges.columns).withColumn(
-                    "__origin", F.lit(3)
-                )
-            )
-        )
-        w = Window.partitionBy("src", "dst", "rel_type").orderBy(
-            F.col("__origin"), F.col("association_type").asc_nulls_last()
-        )
-        edges = (
-            tagged.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__origin", "__rn")
-            .localCheckpoint(eager=True)
-        )
+        edges = _priority_merge(
+            local_edges, reexports, resolved, closure_new
+        ).localCheckpoint(eager=True)
         # endpoints synthesize against the CHECKPOINTED edges, so callers'
         # later actions on nodes never replay the full resolution plan
         nodes = synthesize_endpoints(nodes, edges, version)
+        # every output is derived from checkpointed frames — release the
+        # facts cache now instead of leaking one pinned copy per version
+        # in a long-lived incremental session
+        facts.unpersist()
         return nodes, edges
 
     def build(self, files: DataFrame, version: str) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -310,7 +321,15 @@ class GraphEngine:
         # see these confs.
         spark = facts_new.sparkSession
         tweaks: dict[str, str] = {}
-        if len(change_list) <= 64:
+        # the pruned pipeline ALSO materializes corpus-scale frames (the
+        # global symbol-table window, the old-edge ownership join), so the
+        # few-partitions/no-codegen trade is only safe when the SNAPSHOT is
+        # small too — probe with a short-circuiting bounded count (limit
+        # stops the scan; checkpointed snapshot, so the job is cheap)
+        small_snapshot = (
+            old_nodes.limit(SMALL_SNAPSHOT_LIMIT + 1).count() <= SMALL_SNAPSHOT_LIMIT
+        )
+        if len(change_list) <= 64 and small_snapshot:
             tweaks = {
                 "spark.sql.shuffle.partitions": "8",
                 "spark.sql.codegen.wholeStage": "false",
@@ -452,16 +471,26 @@ class GraphEngine:
         resolved = gate_edges(deep).unionByName(resolved_inh).withColumn(
             "versions", F.array(F.lit(new_version))
         )
-        # star-expansion children must cover unaffected modules: direct
-        # CONTAINS = definition-site containment (dst under src's dotted
-        # prefix), which excludes carried re-export CONTAINS rows — the
-        # full compile's star pass sees only definition-site children too
+        # star-expansion children must cover unaffected modules, but ONLY
+        # their definition-site CONTAINS rows — the full compile's star
+        # pass sees only extractor children. A definition-site row is
+        # dst = src + "." + <one undotted segment> and never targets a
+        # MODULE; carried RE-EXPORT rows violate one of the three
+        # (2+ extra segments for `from pkg.impl import X` in __init__;
+        # association_type MODULE for `from . import impl`) and feeding
+        # them back through the star pass would fabricate edges the full
+        # recompile never produces (tests/test_incremental_pruned.py).
+        tail = F.expr("substring(dst, length(src) + 2)")
         contains_comb = (
             local_edges.filter(F.col("rel_type") == "CONTAINS")
             .unionByName(
                 old_keep.filter(
                     (F.col("rel_type") == "CONTAINS")
                     & F.col("dst").startswith(F.concat("src", F.lit(".")))
+                    & ~tail.contains(".")
+                    & ~F.coalesce(
+                        F.col("association_type") == "MODULE", F.lit(False)
+                    )
                 )
             )
         )
@@ -471,35 +500,19 @@ class GraphEngine:
         closure_new = inherited_method_closure(
             direct_comb.unionByName(inh_comb), bases=bases
         )
-        tagged = (
-            local_edges.withColumn("__origin", F.lit(0))
-            .unionByName(
-                reexports.select(*local_edges.columns).withColumn("__origin", F.lit(1))
-            )
-            .unionByName(
-                resolved.select(*local_edges.columns).withColumn("__origin", F.lit(2))
-            )
-            .unionByName(
-                closure_new.select(*local_edges.columns).withColumn(
-                    "__origin", F.lit(3)
-                )
-            )
-        )
-        w = Window.partitionBy("src", "dst", "rel_type").orderBy(
-            F.col("__origin"), F.col("association_type").asc_nulls_last()
-        )
-        new_edges = (
-            tagged.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__origin", "__rn")
-            .localCheckpoint(eager=True)
-        )
+        new_edges = _priority_merge(
+            local_edges, reexports, resolved, closure_new
+        ).localCheckpoint(eager=True)
         # checkpoint the final merge: the node assembly below consumes it
         # twice (placeholder synthesis + version-endpoint stamp) and the
         # caller materializes nodes and edges as separate actions
         edges = merge_snapshots(
             old_stamped, new_edges, ["src", "dst", "rel_type"]
         ).localCheckpoint(eager=True)
+        # every remaining consumer reads checkpointed frames (nodes_aff,
+        # base, old_e, new_edges, edges) — release the affected-facts
+        # cache instead of pinning one copy per incremental version
+        facts_aff.unpersist()
 
         # nodes: stamp unaffected real-file nodes; merge in the recompiled
         # affected nodes; synthesize NEW placeholders; then stamp the new

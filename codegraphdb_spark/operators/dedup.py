@@ -52,6 +52,7 @@ def duplicate_components(pairs: DataFrame) -> DataFrame:
         .select("doc_id", F.least("doc_id", "nbr_min").alias("component"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(MAX_CC_ITERATIONS):
         neighbor_min = (
             edges.join(labels, edges.b == labels.doc_id)
@@ -78,7 +79,18 @@ def duplicate_components(pairs: DataFrame) -> DataFrame:
         )
         labels = updated
         if no_change:
+            converged = True
             break
+    if not converged:
+        # a silent fall-out of the loop would return WRONG components (a
+        # doc whose id is minimal within 30 hops but not its component
+        # keeps itself as label and survives dedup) — fail loudly; a
+        # cluster chain deeper than 30 means the threshold is admitting
+        # non-duplicates or the propagation needs pointer doubling
+        raise RuntimeError(
+            f"duplicate_components did not converge in {MAX_CC_ITERATIONS} "
+            "rounds — component diameter exceeds the cap"
+        )
     return labels
 
 
@@ -99,39 +111,14 @@ def near_dedup_minhash(
             F.array_distinct(tq._shingles(tq._tokens(text_col))), tq._h28
         ).alias("shs_h"),
     )
-    sigs = sh.select("doc_id", tq._minhash_sig(F.col("shs_h")).alias("sig"))
-    bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(F.sequence(F.lit(0), F.lit(tq.LSH_BANDS - 1))).alias("band_idx"),
-    ).withColumn(
-        "band_key",
-        F.concat_ws(
-            ":",
-            *[F.element_at("sig", F.col("band_idx") * 4 + i + 1) for i in range(4)],
-        ),
+    # lazy checkpoint for the same reason as minhash_lsh_candidates: the
+    # band self-join inside lsh_candidate_pairs references sigs twice
+    sigs = sh.select(
+        "doc_id", tq._minhash_sig(F.col("shs_h")).alias("sig")
+    ).localCheckpoint(eager=False)
+    dup_pairs = tq.lsh_candidate_pairs(sigs).filter(
+        F.col("n_equal_minhash") >= min_agreement
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .distinct()
-    )
-    n_eq = sum(
-        F.when(F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1), 1).otherwise(0)
-        for i in range(tq.NUM_MINHASH)
-    )
-    dup_pairs = cand.withColumn("n_eq", n_eq).filter(F.col("n_eq") >= min_agreement)
     comps = duplicate_components(dup_pairs.select("doc_a", "doc_b"))
     drop = comps.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     return docs.join(

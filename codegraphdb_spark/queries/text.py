@@ -536,6 +536,60 @@ def _minhash_sigs_pandas(docs: DataFrame) -> DataFrame:
 
 
 
+
+ROWS_PER_BAND = NUM_MINHASH // LSH_BANDS
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig) → candidate pairs (doc_a, doc_b, n_equal_minhash):
+    LSH banding, bucket self-join on band key, signature-agreement count.
+    THE near-dup candidate generator (touches only colliding docs, never
+    all pairs) — shared by minhash_lsh_candidates and
+    operators.dedup.near_dedup_minhash so the banding constants and join
+    shape can never drift between the query and the operator. Checkpoint
+    ``sigs`` before calling if its lineage is expensive: the self-join
+    references it on BOTH sides."""
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band_idx"),
+    ).withColumn(
+        "band_key",
+        F.concat_ws(
+            ":",
+            *[
+                F.element_at("sig", F.col("band_idx") * ROWS_PER_BAND + i + 1)
+                for i in range(ROWS_PER_BAND)
+            ],
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    n_eq = sum(
+        F.when(
+            F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1), 1
+        ).otherwise(0)
+        for i in range(NUM_MINHASH)
+    )
+    return cand.select(
+        "doc_a", "doc_b", n_eq.cast("int").alias("n_equal_minhash")
+    )
+
+
 @query(
     "minhash_lsh_candidates",
     oracle=f"""
@@ -577,42 +631,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides, and without truncation each side re-runs the Python signature
     # stage — the single most expensive stage in the query
     sigs = _minhash_sigs_pandas(d).localCheckpoint(eager=False)
-    bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band_idx"),
-    ).withColumn(
-        "band_key",
-        F.concat_ws(
-            ":",
-            *[F.element_at("sig", F.col("band_idx") * 4 + i + 1) for i in range(4)],
-        ),
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .distinct()
-    )
-    n_eq = sum(
-        F.when(F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1), 1).otherwise(0)
-        for i in range(NUM_MINHASH)
-    )
-    return (
-        cand.select("doc_a", "doc_b", n_eq.cast("int").alias("n_equal_minhash"))
-        .orderBy("doc_a", "doc_b")
-    )
+    return lsh_candidate_pairs(sigs).orderBy("doc_a", "doc_b")
 
 
 @query(

@@ -191,3 +191,39 @@ def test_pruned_whole_file_deletion(spark):  # noqa: F811
     symbols keep only the old version, and consumers' edges re-resolve
     (to unsolved) — identically in both paths."""
     _build_and_compare(spark, SCEN_V1, [], ["pkg/impl.py"])
+
+
+# --- round-3 review: intra-package re-export behind a star import -------------
+
+REEXPORT_STAR_V1 = [
+    ("pkg/__init__.py", "from pkg.impl import Widget\n"),
+    ("pkg/impl.py", "class Widget:\n    def spin(self):\n        return 1\n"),
+    ("app.py", "from pkg import *\n"),
+    ("other.py", "X = 1\n"),
+]
+REEXPORT_STAR_V2_CHANGED = [("other.py", "X = 2\n")]
+
+
+def test_pruned_equals_full_with_reexport_behind_star(spark):
+    """The carried re-export edge CONTAINS(pkg, pkg.impl.Widget) lies
+    under pkg's dotted prefix; the pruned star-expansion must NOT treat
+    it as a definition-site child of pkg (the full recompile's star pass
+    sees only definition-site children), or app gains a phantom
+    CONTAINS(app, pkg.impl.Widget) edge."""
+    _build_and_compare(
+        spark, REEXPORT_STAR_V1, REEXPORT_STAR_V2_CHANGED, ["other.py"]
+    )
+
+
+def test_pruned_equals_full_with_submodule_reexport(spark):
+    """`from . import impl` emits a MODULE-kind re-export edge
+    CONTAINS(pkg, pkg.impl) with exactly one extra dotted segment — the
+    association_type discriminator (never MODULE for definition-site
+    children) must keep it out of the pruned star-expansion too."""
+    v1 = [
+        ("pkg/__init__.py", "from . import impl\n"),
+        ("pkg/impl.py", "class Widget:\n    pass\n"),
+        ("app.py", "from pkg import *\n"),
+        ("other.py", "X = 1\n"),
+    ]
+    _build_and_compare(spark, v1, [("other.py", "X = 2\n")], ["other.py"])
