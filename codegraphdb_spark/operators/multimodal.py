@@ -98,6 +98,12 @@ def parse_header(payload: bytes) -> tuple[str, int, int]:
     ('FAKE' + 2x uint16 BE w/h)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24 and payload[12:16] == b"IHDR":
         w, h = struct.unpack(">II", payload[16:24])
+        # unsigned 32-bit fields vs the schema's int32: a corrupt/hostile
+        # header (e.g. 0xFFFFFFFF) must degrade to the malformed marker,
+        # not overflow the Arrow conversion (which either kills the task
+        # or silently wraps negative depending on safe-convert settings)
+        if w > 0x7FFFFFFF or h > 0x7FFFFFFF:
+            return "png", -1, -1
         return "png", w, h
     if payload[:2] == b"\xff\xd8":
         w, h = _jpeg_dims(payload)
@@ -114,6 +120,8 @@ def parse_header(payload: bytes) -> tuple[str, int, int]:
         if len(payload) >= 28 and payload[12:16] == b"fmt ":
             (channels,) = struct.unpack("<H", payload[22:24])
             (rate,) = struct.unpack("<I", payload[24:28])
+            if rate > 0x7FFFFFFF:  # same int32-overflow guard as PNG
+                return "wav", -1, -1
             return "wav", rate, channels
         return "wav", -1, -1
     if payload[:4] == b"FAKE" and len(payload) >= 8:

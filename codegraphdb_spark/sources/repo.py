@@ -22,27 +22,49 @@ from pyspark.sql import functions as F
 from codegraphdb_spark.datamodel import FILES_SCHEMA
 
 
-def scan_repo(spark: SparkSession, root: str) -> DataFrame:
-    """All *.py files under ``root`` as (path repo-relative, content)."""
+def relative_path_col(root: str):
+    """Column: decoded repo-relative path from input_file_name().
+
+    input_file_name() yields a URL-ENCODED file:///abs/path URI — decode
+    before stripping the prefix, or paths with spaces/percent-escapes keep
+    the encoded form and never match git-diff change lists or the
+    repo-relative paths hydrate_code joins on. url_decode is form-encoding
+    ('+' → space), but the URI form leaves literal '+' unencoded — protect
+    it first so 'a+b.py' survives (ADVICE r2). THE one definition of this
+    invariant — scan_repo and the streaming indexer's load_files must
+    decode identically or change-list pruning silently misses files."""
     import re
 
+    prefix = (root if root.endswith("/") else root + "/")
+    decoded = F.url_decode(F.regexp_replace(F.input_file_name(), r"\+", "%2B"))
+    # URI scheme forms vary by source (file:///abs from input_file_name,
+    # file:/abs from the binaryFile source) — normalize to a plain path
+    # before stripping the root prefix
+    plain = F.regexp_replace(decoded, "^file:/+", "/")
+    return F.regexp_replace(plain, "^" + re.escape(prefix), "")
+
+
+def uri_to_relative(uri: str, root: str) -> str:
+    """Driver-side twin of relative_path_col for a single URI string
+    (urllib.parse.unquote leaves literal '+' intact, so no protection
+    step is needed here — asserted equivalent in tests)."""
+    import re
+    from urllib.parse import unquote
+
+    path = re.sub(r"^file:/+", "/", unquote(uri))
+    prefix = (root if root.endswith("/") else root + "/")
+    return path[len(prefix):] if path.startswith(prefix) else path
+
+
+def scan_repo(spark: SparkSession, root: str) -> DataFrame:
+    """All *.py files under ``root`` as (path repo-relative, content)."""
     df = (
         spark.read.option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.py")
         .text(root, wholetext=True)
     )
-    # input_file_name() yields a URL-ENCODED file:///abs/path URI — decode
-    # before stripping the prefix, or paths with spaces/percent-escapes
-    # keep the encoded form and never match git-diff change lists or the
-    # repo-relative paths hydrate_code joins on. url_decode is
-    # form-encoding ('+' → space), but the URI form leaves literal '+'
-    # unencoded — protect it first so 'a+b.py' survives (ADVICE r2).
-    prefix = "file://" + (root if root.endswith("/") else root + "/")
-    decoded = F.url_decode(
-        F.regexp_replace(F.input_file_name(), r"\+", "%2B")
-    )
     return df.select(
-        F.regexp_replace(decoded, "^" + re.escape(prefix), "").alias("path"),
+        relative_path_col(root).alias("path"),
         F.col("value").alias("content"),
     )
 

@@ -44,14 +44,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP_NTZ, which disallows cast-to-long). Normalize both to
         # TimestampType; the session tz is pinned to UTC so NTZ→LTZ is a
         # value-preserving bijection and oracles agree.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        # conf is SCOPED to this read (schema resolves at read time;
+        # verified that execution after restore still works) — leaving it
+        # set session-wide would silently turn every later nanos-parquet
+        # read into bigint columns far from the cause
+        _K = "spark.sql.legacy.parquet.nanosAsLong"
+        try:
+            prev: str | None = spark.conf.get(_K)
+        except Exception:  # noqa: BLE001 — unset has no default in 4.x
+            prev = None
+        spark.conf.set(_K, "true")
+        try:
+            df = spark.read.parquet(path)
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif ts_type == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            return df
+        finally:
+            if prev is None:
+                spark.conf.unset(_K)
+            else:
+                spark.conf.set(_K, prev)
     return spark.read.parquet(path)
 
 

@@ -192,7 +192,9 @@ def read_events_stream(spark, source_dir: str, max_files_per_trigger: int | None
         )
         .option("pathGlobFilter", "*.json")
     )
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
+        # `is not None`, not truthiness: an explicit 0 should reach Spark
+        # and fail loudly, not silently unthrottle the stream
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.json(source_dir)
 

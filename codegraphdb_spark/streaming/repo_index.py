@@ -7,14 +7,31 @@ Reference parity: the reference's incremental flow is poll-git-diff →
 re-index changed files → stamp a new task label (update_version.py:21-68).
 Here the arrival of files IS the trigger; each micro-batch runs
 ``GraphEngine.update_version`` (carried-forward facts + re-extract of the
-batch only) and overwrites the snapshot, so readers always see a complete
+batch only) and commits the snapshot, so readers always see a complete
 versioned graph.
 
-Implementation note: the streaming text source tracks ARRIVALS but ignores
-``wholetext`` (rows are per-line), so the stream is used purely as the
-file-arrival signal; ``index_batch`` re-reads the batch's paths wholetext
-in batch mode — idempotent on foreachBatch replay because content is read
-at process time, not enqueue time.
+Implementation notes:
+- The arrival stream is the ``binaryFile`` source: ONE ROW PER FILE
+  (a per-line text source would also multiply rows per file). The stream
+  is used purely as the arrival signal; ``index_batch`` re-reads the
+  batch's paths wholetext in batch mode — idempotent on foreachBatch
+  replay because content is read at process time, not enqueue time.
+  INHERENT LIMITATION (all Spark file sources): zero-byte files are
+  dropped at file-listing time and never fire an arrival. The event-bus
+  deployment path (explicit URI list into ``index_batch``) does not have
+  this hole — ``load_files`` restores empty files with empty content so
+  an empty ``__init__.py`` still becomes its module node.
+- All snapshot-existence probes go through the Hadoop FileSystem API, so
+  a remote ``snapshot_dir`` (hdfs://, s3a://) takes the update branch
+  like a local one (a driver-local os.path.exists would silently
+  full-rebuild from each batch alone, destroying prior versions).
+- The per-batch commit is STAGED: nodes/edges/facts are written to a
+  ``.stage`` directory and swapped in with three metadata renames, so
+  the long Spark writes never expose a mixed-version snapshot. The
+  rename sequence itself is not one atomic transaction — a crash between
+  renames can still mix versions for that window; a table format with
+  real transactions (Delta/Iceberg) is the production answer, this keeps
+  the exposure to milliseconds instead of the whole write.
 
 Semantics note (inherent to Spark file-stream sources): the source tracks
 files BY PATH and is append-only — a modified file with an unchanged path
@@ -33,13 +50,12 @@ regardless of backlog depth.
 from __future__ import annotations
 
 import os
-import re
-from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from codegraphdb_spark.engine import GraphEngine
+from codegraphdb_spark.sources.repo import relative_path_col, uri_to_relative
 
 FACTS_DIRNAME = "facts"
 
@@ -48,40 +64,102 @@ def _facts_path(snapshot_dir: str) -> str:
     return os.path.join(snapshot_dir, FACTS_DIRNAME)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence probe (os.path.exists is wrong for
+    any non-local snapshot_dir and would full-rebuild every batch)."""
+    fs, hpath = _hadoop_fs(spark, path)
+    return fs.exists(hpath)
+
+
+def _latest_cli_facts(spark: SparkSession, snapshot_dir: str) -> str | None:
+    """Newest ``facts_<version>`` directory (the batch CLI's layout,
+    __main__.py) — lets the stream take over a CLI-bootstrapped snapshot
+    instead of crashing on the missing streaming-layout ``facts`` dir."""
+    fs, base = _hadoop_fs(spark, snapshot_dir)
+    glob = spark._jvm.org.apache.hadoop.fs.Path(snapshot_dir + "/facts_*")
+    statuses = fs.globStatus(glob)
+    if not statuses:
+        return None
+    best = max(statuses, key=lambda st: st.getModificationTime())
+    return best.getPath().toString()
+
+
 def read_arrivals_stream(
     spark: SparkSession, watch_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """Newly arrived ``*.py`` files under ``watch_dir`` as a streaming
-    frame of source-file URIs (one row per LINE — the streaming text
-    source's granularity; consumers use the distinct ``uri`` only)."""
+    frame of file URIs — binaryFile source: one row per FILE (zero-byte
+    files never fire: Spark drops them at listing time; see module
+    docstring)."""
     reader = (
-        spark.readStream.option("recursiveFileLookup", "true")
+        spark.readStream.format("binaryFile")
+        # binaryFile's schema is FIXED by the format, but streaming
+        # sources require it stated explicitly
+        .schema(
+            "path STRING, modificationTime TIMESTAMP, "
+            "length BIGINT, content BINARY"
+        )
+        .option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.py")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.text(watch_dir).select(F.input_file_name().alias("uri"))
-
-
-def _relative(uri: str, watch_dir: str) -> str:
-    """file:// URI → watch-relative path, preserving literal '+'
-    (unquote leaves '+' intact — the form-decoding pitfall of ADVICE r2
-    does not apply here)."""
-    path = unquote(uri)
-    prefix = "file://" + (watch_dir if watch_dir.endswith("/") else watch_dir + "/")
-    return path[len(prefix):] if path.startswith(prefix) else path
+    return reader.load(watch_dir).select(F.col("path").alias("uri"))
 
 
 def load_files(spark: SparkSession, uris: list[str], watch_dir: str) -> DataFrame:
     """Batch wholetext read of specific file URIs → (path, content), the
-    same frame shape as sources/repo.scan_repo."""
-    df = spark.read.text(uris, wholetext=True)
-    prefix = "file://" + (watch_dir if watch_dir.endswith("/") else watch_dir + "/")
-    decoded = F.url_decode(F.regexp_replace(F.input_file_name(), r"\+", "%2B"))
-    return df.select(
-        F.regexp_replace(decoded, "^" + re.escape(prefix), "").alias("path"),
+    same frame shape — and the SAME path decoding — as
+    sources/repo.scan_repo (relative_path_col is the single definition of
+    that invariant). Zero-byte files produce NO row from the text reader
+    (verified) — they are restored with empty content so an empty
+    __init__.py still becomes a module node; the probe collect is bounded
+    by the micro-batch size."""
+    from codegraphdb_spark.sources.repo import files_from_pairs
+
+    df = spark.read.text(uris, wholetext=True).select(
+        relative_path_col(watch_dir).alias("path"),
         F.col("value").alias("content"),
     )
+    expected = [uri_to_relative(u, watch_dir) for u in uris]
+    found = {r["path"] for r in df.select("path").collect()}
+    missing = [(p, "") for p in expected if p not in found]
+    if missing:
+        df = df.unionByName(files_from_pairs(spark, missing))
+    return df
+
+
+def _staged_commit(
+    spark: SparkSession,
+    eng: GraphEngine,
+    nodes: DataFrame,
+    edges: DataFrame,
+    facts: DataFrame,
+    snapshot_dir: str,
+) -> None:
+    """Write the three snapshot tables to a .stage dir, then swap them in
+    with metadata renames — readers and replay never see a snapshot whose
+    nodes and edges come from different versions because a long write died
+    in the middle."""
+    stage = snapshot_dir.rstrip("/") + ".stage"
+    fs, stage_path = _hadoop_fs(spark, stage)
+    fs.delete(stage_path, True)
+    eng.write_snapshot(nodes, edges, stage)
+    facts.write.mode("overwrite").parquet(_facts_path(stage))
+    # rename requires the destination parent to exist on some filesystems
+    fs.mkdirs(spark._jvm.org.apache.hadoop.fs.Path(snapshot_dir))
+    for name in ("nodes", "edges", FACTS_DIRNAME):
+        src = spark._jvm.org.apache.hadoop.fs.Path(f"{stage}/{name}")
+        dst = spark._jvm.org.apache.hadoop.fs.Path(f"{snapshot_dir}/{name}")
+        fs.delete(dst, True)
+        fs.rename(src, dst)
+    fs.delete(stage_path, True)
 
 
 def index_batch(
@@ -91,28 +169,40 @@ def index_batch(
     snapshot_dir: str,
     version: str,
 ) -> None:
-    """One indexing step: build if no snapshot exists yet, else the
+    """One indexing step: build if no usable snapshot exists yet, else the
     incremental update (re-extract THIS batch only, carry everything else
     forward). Factored out of the stream so event-bus deployments and
-    tests drive it directly."""
+    tests drive it directly.
+
+    Recovery/bootstrap ladder for the carried-facts input: streaming
+    layout ``facts`` → the batch CLI's newest ``facts_<version>`` (a
+    CLI-bootstrapped snapshot) → full build (also covers a batch-0 crash
+    that died between the snapshot commit and nothing: replay rebuilds
+    from the same batch instead of wedging on a missing facts dir)."""
     if not change_list:
         return
     eng = GraphEngine(spark, small_repo=True)
     facts_dir = _facts_path(snapshot_dir)
-    if not os.path.exists(os.path.join(snapshot_dir, "nodes")):
+    old_facts = None
+    if _fs_exists(spark, os.path.join(snapshot_dir, "nodes")):
+        if _fs_exists(spark, facts_dir):
+            old_facts = spark.read.parquet(facts_dir)
+        else:
+            cli_facts = _latest_cli_facts(spark, snapshot_dir)
+            if cli_facts is not None:
+                old_facts = spark.read.parquet(cli_facts)
+    if old_facts is None:
         nodes, edges, facts = eng.build(files, version)
     else:
         old_nodes, old_edges = eng.read_snapshot(snapshot_dir)
-        old_facts = spark.read.parquet(facts_dir)
         nodes, edges, facts = eng.update_version(
             old_nodes, old_edges, old_facts, files, change_list, version
         )
-    # materialize BEFORE overwriting the inputs they were derived from
+    # materialize BEFORE the staged swap replaces the inputs they were
+    # derived from (facts is already checkpointed inside build/update)
     nodes = nodes.localCheckpoint(eager=True)
     edges = edges.localCheckpoint(eager=True)
-    facts = facts.localCheckpoint(eager=True)
-    eng.write_snapshot(nodes, edges, snapshot_dir)
-    facts.write.mode("overwrite").parquet(facts_dir)
+    _staged_commit(spark, eng, nodes, edges, facts, snapshot_dir)
 
 
 def start_repo_indexer(
@@ -135,7 +225,7 @@ def start_repo_indexer(
         if not uris:
             return
         files = load_files(spark, uris, watch_dir)
-        change_list = [_relative(u, watch_dir) for u in uris]
+        change_list = [uri_to_relative(u, watch_dir) for u in uris]
         index_batch(spark, files, change_list, snapshot_dir, f"{version_prefix}{batch_id}")
 
     writer = stream.writeStream.foreachBatch(per_batch).option(

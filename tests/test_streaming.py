@@ -337,3 +337,42 @@ def test_index_batch_event_bus_modified_file(spark, tmp_path):
         "versions"
     ]
     assert set(dog_versions) == {"s0", "s1"}
+
+
+def test_event_bus_batch_handles_empty_file(spark, tmp_path):
+    """Zero-byte files never fire a Spark FILE-source arrival (dropped at
+    listing time — inherent, documented). The event-bus path (explicit
+    URI list into index_batch) must handle them: load_files restores the
+    empty content and the empty __init__.py becomes its module node."""
+    from codegraphdb_spark.engine import GraphEngine
+    from codegraphdb_spark.sources.repo import uri_to_relative
+    from codegraphdb_spark.streaming.repo_index import index_batch, load_files
+
+    watch = tmp_path / "repo"
+    snap = tmp_path / "snap"
+    (watch / "pkg").mkdir(parents=True)
+    (watch / "pkg" / "__init__.py").write_text("")  # zero bytes
+    (watch / "pkg" / "mod.py").write_text("X = 1\n")
+
+    uris = [
+        f"file://{watch}/pkg/__init__.py",
+        f"file://{watch}/pkg/mod.py",
+    ]
+    files = load_files(spark, uris, str(watch))
+    change_list = [uri_to_relative(u, str(watch)) for u in uris]
+    index_batch(spark, files, change_list, str(snap), "s0")
+
+    nodes, _ = GraphEngine(spark).read_snapshot(str(snap))
+    names = {r["full_name"] for r in nodes.select("full_name").collect()}
+    assert "pkg" in names  # the empty __init__ became a module node
+    assert "pkg.mod" in names
+
+
+def test_load_files_restores_empty_files(spark, tmp_path):
+    from codegraphdb_spark.streaming.repo_index import load_files
+
+    (tmp_path / "empty.py").write_text("")
+    (tmp_path / "full.py").write_text("Y = 2\n")
+    uris = [f"file://{tmp_path}/empty.py", f"file://{tmp_path}/full.py"]
+    rows = {r["path"]: r["content"] for r in load_files(spark, uris, str(tmp_path)).collect()}
+    assert rows == {"empty.py": "", "full.py": "Y = 2\n"}
