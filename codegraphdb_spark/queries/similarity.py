@@ -227,10 +227,13 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"vec_a": [], "vec_b": [], "label": [], "cosine": []}
             ).astype({"vec_a": "int64", "vec_b": "int64", "label": "int32", "cosine": "float64"})
         # HALF_UP (away-from-zero) rounding, matching F.round/DuckDB ROUND —
-        # np.rint rounds half-to-even and would diverge on exact .5 products
-        # (same fix as operators/similarity.py's signature kernel)
+        # np.rint rounds half-to-even and would diverge on exact .5
+        # products. int64 truncation of x ± 0.5 is the cheapest equivalent
+        # (astype truncates toward zero; identical to floor(|x|+.5)·sign
+        # for every input, one temporary instead of three — this kernel's
+        # g²·D product matrix makes temporaries the cost driver)
         def _half_up(x):
-            return (np.floor(np.abs(x) + 0.5) * np.sign(x)).astype(np.int64)
+            return (x + np.copysign(0.5, x)).astype(np.int64)
 
         sq = _half_up(m * m * _SCALE).sum(axis=1) / _SCALE
         nrm = np.sqrt(sq)
