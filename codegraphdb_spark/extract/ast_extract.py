@@ -193,6 +193,8 @@ class _Extractor(ast.NodeVisitor):
             self.visit(child)
 
     def visit_ClassDef(self, node: ast.ClassDef) -> None:
+        for dec in node.decorator_list:
+            self.visit(dec)
         full = self.qualify(node.name)
         enclosing_class = self.class_stack[-1] if self.class_stack else None
         self.node_fact(full, "CLASS", node.name, node,
@@ -209,6 +211,16 @@ class _Extractor(ast.NodeVisitor):
         self.class_stack.pop()
 
     def _visit_def(self, node: ast.FunctionDef | ast.AsyncFunctionDef) -> None:
+        # decorators and parameter DEFAULTS evaluate in the enclosing
+        # scope at def time — visit them before entering the new scope so
+        # their CALL/USES refs are recorded (jedi records these;
+        # module-level ones stay suppressed by the usual scope gates)
+        for dec in node.decorator_list:
+            self.visit(dec)
+        for default in list(node.args.defaults) + [
+            d for d in node.args.kw_defaults if d is not None
+        ]:
+            self.visit(default)
         full = self.qualify(node.name)
         in_class = bool(self.class_stack) and not self.func_stack
         if in_class:
@@ -306,16 +318,53 @@ class _Extractor(ast.NodeVisitor):
             return _dotted(value.func)
         return None
 
+    @staticmethod
+    def _flatten_targets(targets: list[ast.expr]) -> list[ast.expr]:
+        """RECURSIVE flatten of tuple/list/starred binding structure —
+        `(a, (b, c)) = ...` binds all three names, not just the first
+        nesting level."""
+        flat: list[ast.expr] = []
+        stack = list(targets)
+        while stack:
+            t = stack.pop()
+            if isinstance(t, (ast.Tuple, ast.List)):
+                stack.extend(t.elts)
+            elif isinstance(t, ast.Starred):
+                stack.append(t.value)
+            else:
+                flat.append(t)
+        flat.reverse()
+        return flat
+
+    def _is_self_attr(self, t: ast.expr) -> bool:
+        return (
+            isinstance(t, ast.Attribute)
+            and isinstance(t.value, ast.Name)
+            and t.value.id == "self"
+            and bool(self.class_stack)
+        )
+
+    def _poison_names(self, target: ast.expr, lineno: int) -> None:
+        """Poison (type-less) binding facts for every name a non-Assign
+        binding form rebinds (for/with/except/walrus/augassign targets):
+        a local rebind must SHADOW any same-named module global in the
+        deep pass — without the poison row the module-global fallback
+        fabricates edges through the shadowed name (ADVICE r2)."""
+        for t in self._flatten_targets([target]):
+            if isinstance(t, ast.Name):
+                key = (
+                    f"{self.class_stack[-1]}.{t.id}"
+                    if self.class_stack and not self.func_stack
+                    else f"{self.scope}::{t.id}"
+                )
+                self.assign_fact(key, None, lineno)
+            elif self._is_self_attr(t):
+                self.assign_fact(f"{self.class_stack[-1]}.{t.attr}", None, lineno)
+
     def _handle_assign_targets(
         self, targets: list[ast.expr], node: ast.AST, type_expr: str | None = None
     ) -> None:
-        flat: list[ast.expr] = []
-        for t in targets:
-            if isinstance(t, (ast.Tuple, ast.List)):
-                flat.extend(t.elts)
-            else:
-                flat.append(t)
-        for t in flat:
+        for t in self._flatten_targets(targets):
             # emit a binding fact for EVERY target, even with no statically
             # visible type (type_expr None → poison row): an untyped rebind
             # shadows any earlier/global binding of the same name
@@ -323,43 +372,73 @@ class _Extractor(ast.NodeVisitor):
                 if self.class_stack and not self.func_stack:
                     # class-body attribute ('class C: x: Foo') — the field
                     # key self-references use (C.x), not the scope key
-                    key = f"{self.class_stack[-1]}.{t.id}"
-                else:
-                    key = f"{self.scope}::{t.id}"
-                self.assign_fact(key, type_expr, node.lineno)
-            elif (
-                isinstance(t, ast.Attribute)
-                and isinstance(t.value, ast.Name)
-                and t.value.id == "self"
-                and self.class_stack
-            ):
-                self.assign_fact(
-                    f"{self.class_stack[-1]}.{t.attr}", type_expr, node.lineno
-                )
-            if isinstance(t, ast.Name):
-                if self.in_module_scope:
-                    full = f"{self.module}.{t.id}"
-                    self.node_fact(full, "GLOBAL_VARIABLE", t.id, node)
-                    self.edge_fact(self.module, "CONTAINS", full, assoc="GLOBAL_VARIABLE")
-                elif self.class_stack and not self.func_stack:
+                    self.assign_fact(
+                        f"{self.class_stack[-1]}.{t.id}", type_expr, node.lineno
+                    )
                     cls = self.class_stack[-1]
                     full = f"{cls}.{t.id}"
                     if full not in self.seen_fields:
                         self.seen_fields.add(full)
                         self.node_fact(full, "FIELD", t.id, node, cls=cls)
                         self.edge_fact(cls, "HAS_FIELD", full)
-            elif (
-                isinstance(t, ast.Attribute)
-                and isinstance(t.value, ast.Name)
-                and t.value.id == "self"
-                and self.class_stack
-            ):
+                else:
+                    self.assign_fact(
+                        f"{self.scope}::{t.id}", type_expr, node.lineno
+                    )
+                    if self.in_module_scope:
+                        full = f"{self.module}.{t.id}"
+                        self.node_fact(full, "GLOBAL_VARIABLE", t.id, node)
+                        self.edge_fact(
+                            self.module, "CONTAINS", full, assoc="GLOBAL_VARIABLE"
+                        )
+            elif self._is_self_attr(t):
                 cls = self.class_stack[-1]
+                self.assign_fact(f"{cls}.{t.attr}", type_expr, node.lineno)
                 full = f"{cls}.{t.attr}"
                 if full not in self.seen_fields:
                     self.seen_fields.add(full)
                     self.node_fact(full, "FIELD", t.attr, node, cls=cls)
                     self.edge_fact(cls, "HAS_FIELD", full)
+            else:
+                # complex target (subscript/attribute-chain): no binding,
+                # but its subexpressions may contain refs — cache[k()] = v
+                self.visit(t)
+
+    # --- non-Assign binding forms: poison the rebinding (ADVICE r2) -------
+
+    def _visit_for(self, node: ast.For | ast.AsyncFor) -> None:
+        self._poison_names(node.target, node.lineno)
+        self.generic_visit(node)
+
+    visit_For = _visit_for
+    visit_AsyncFor = _visit_for
+
+    def _visit_with(self, node: ast.With | ast.AsyncWith) -> None:
+        for item in node.items:
+            if item.optional_vars is not None:
+                self._poison_names(item.optional_vars, node.lineno)
+        self.generic_visit(node)
+
+    visit_With = _visit_with
+    visit_AsyncWith = _visit_with
+
+    def visit_ExceptHandler(self, node: ast.ExceptHandler) -> None:
+        if node.name:
+            key = (
+                f"{self.class_stack[-1]}.{node.name}"
+                if self.class_stack and not self.func_stack
+                else f"{self.scope}::{node.name}"
+            )
+            self.assign_fact(key, None, node.lineno)
+        self.generic_visit(node)
+
+    def visit_AugAssign(self, node: ast.AugAssign) -> None:
+        self._poison_names(node.target, node.lineno)
+        self.visit(node.value)
+
+    def visit_NamedExpr(self, node: ast.NamedExpr) -> None:
+        self._poison_names(node.target, node.lineno)
+        self.visit(node.value)
 
     def visit_Call(self, node: ast.Call) -> None:
         # module-level calls suppressed (reference myClient.py:294)
@@ -371,10 +450,18 @@ class _Extractor(ast.NodeVisitor):
             self.visit(arg)
         for kw in node.keywords:
             self.visit(kw.value)
-        # nested calls in func expression (e.g. f()() ) — visit it too
-        if isinstance(node.func, (ast.Call, ast.Attribute)):
+        # nested calls in the func expression: dispatch an inner Call
+        # PROPERLY (visiting only its children loses its CALL fact —
+        # `get_handler()()` must record the call to get_handler), and
+        # dispatch non-trivial funcs (Subscript, Lambda, BoolOp) so their
+        # subtree refs are not silently dropped
+        if isinstance(node.func, ast.Call):
+            self.visit(node.func)
+        elif isinstance(node.func, ast.Attribute):
             for child in ast.iter_child_nodes(node.func):
                 self.visit(child)
+        elif not isinstance(node.func, ast.Name):
+            self.visit(node.func)
 
     def visit_Attribute(self, node: ast.Attribute) -> None:
         if isinstance(node.ctx, ast.Load) and self.func_stack:
@@ -426,7 +513,13 @@ class _Extractor(ast.NodeVisitor):
             is_init = self.path.endswith("__init__.py")
             base = pkg_parts if is_init else pkg_parts[:-1]
             if node.level > 1:
-                base = base[: len(base) - (node.level - 1)]
+                cut = len(base) - (node.level - 1)
+                if cut < 0:
+                    # more dots than package depth: invalid in Python —
+                    # emit nothing rather than resolving against a wrong
+                    # suffix of the package path
+                    return
+                base = base[:cut]
             target = ".".join(base + ([node.module] if node.module else []))
         else:
             target = node.module or ""
@@ -448,7 +541,20 @@ def _extract_one(path: str, content: str) -> list[dict[str, Any]]:
         f.update(fact="error", full_name=ex.module, file_path=path,
                  module=ex.module, name=f"SyntaxError: {e.msg} (line {e.lineno})")
         return [f]
-    ex.run(tree)
+    except (ValueError, RecursionError) as e:
+        # ast.parse also raises ValueError (NUL bytes) and RecursionError
+        # (pathological nesting) — one bad file must NEVER fail the job
+        f = ex._base()
+        f.update(fact="error", full_name=ex.module, file_path=path,
+                 module=ex.module, name=f"{type(e).__name__}: {e}")
+        return [f]
+    try:
+        ex.run(tree)
+    except RecursionError as e:  # visitor depth on hostile nesting
+        f = ex._base()
+        f.update(fact="error", full_name=ex.module, file_path=path,
+                 module=ex.module, name=f"RecursionError: {e}")
+        return [f]
     return ex.facts
 
 

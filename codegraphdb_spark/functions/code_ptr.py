@@ -71,20 +71,24 @@ def hydrate_code(
     files: DataFrame,
     out_col: str = "code",
     fold_over: int | None = None,
+    small: bool = True,
 ) -> DataFrame:
     """Expand code pointers on ``df`` (code_file/code_start/code_end columns)
     into source text by joining the files table (path, content).
 
     The reference re-opens files from disk per record (graphDB.py:208-226);
-    here the files table is a DataFrame — broadcast when small, shuffle
-    join on path otherwise — and slicing is columnar.
+    here the files table is a DataFrame — ``small=True`` (the default —
+    render-time hydration usually joins a handful of result rows against
+    a repo-sized table) broadcasts it; pass ``small=False`` when the
+    corpus exceeds broadcast limits and the join should hash-partition on
+    path instead — and slicing is columnar.
     """
     f = files.select(
         F.col("path").alias("__code_path"), F.col("content").alias("__content")
     )
-    joined = df.join(
-        F.broadcast(f), df["code_file"] == F.col("__code_path"), "left"
-    )
+    if small:
+        f = F.broadcast(f)
+    joined = df.join(f, df["code_file"] == F.col("__code_path"), "left")
     code = F.when(
         F.col("__content").isNotNull() & df["code_start"].isNotNull(),
         slice_dedent(F.col("__content"), df["code_start"], df["code_end"]),

@@ -60,6 +60,9 @@ def pagerank_int(edges: DataFrame, iterations: int = 10) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n = vertices.count()
+    if n == 0:
+        # empty graph: an empty ranks frame, not a ZeroDivisionError
+        return vertices.withColumn("rank", F.lit(0).cast("bigint"))
     init = SCALE // n
     base = (SCALE // n) * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
 

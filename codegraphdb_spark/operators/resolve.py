@@ -120,7 +120,17 @@ def _resolve_targets(
             F.instr("target", ".") > 0,
             F.expr("substring(target, instr(target, '.'))"),
         ).otherwise(F.lit("")),
-    ).withColumn("__rid", F.monotonically_increasing_id())
+    ).withColumn(
+        # CONTENT-derived row id, not monotonically_increasing_id: the
+        # monotonic id is assigned downstream of a nondeterministic
+        # shuffle, so partial stage recomputation (executor loss,
+        # speculation) could reassign ids and mix different refs'
+        # candidates inside one window partition. Identical logical rows
+        # collapse to one id — harmless, edges are set-semantics
+        # downstream.
+        "__rid",
+        F.md5(F.to_json(F.struct(*[F.col(c) for c in keep]))),
+    )
 
     # import-alias binding (NB: explicit F.col — `head`/`alias` collide
     # with DataFrame method names, so r.head / b.alias would be bound

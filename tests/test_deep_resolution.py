@@ -251,3 +251,89 @@ def test_inferred_return_edge_cases():
     assert _returns_of(
         "def f() -> Foo:\n    return Bar()\n"
     ) == {("m.f", "Foo")}
+
+
+# --- round-3 review: shadowing binding forms must poison the fallback ---------
+
+SHADOW_FILES = [
+    ("shmod/__init__.py", ""),
+    (
+        "shmod/app.py",
+        "from shmod.lib import Dog\n"
+        "dog = Dog()\n"
+        "def use_loop(dogs):\n"
+        "    for dog in dogs:\n"
+        "        dog.bark()\n"
+        "def use_with(ctx):\n"
+        "    with ctx as dog:\n"
+        "        dog.bark()\n"
+        "def use_except():\n"
+        "    try:\n"
+        "        pass\n"
+        "    except ValueError as dog:\n"
+        "        dog.bark()\n"
+        "def use_walrus(maybe):\n"
+        "    if (dog := maybe):\n"
+        "        dog.bark()\n"
+        "def use_aug(x):\n"
+        "    dog = 0\n"
+        "    dog += x\n"
+        "    dog.bark()\n"
+        "def use_global():\n"
+        "    dog.bark()\n",
+    ),
+    (
+        "shmod/lib.py",
+        "class Dog:\n    def bark(self):\n        return 1\n",
+    ),
+]
+
+
+def test_local_shadowing_binding_forms_poison_fallback(spark):
+    """for/with/except/walrus/augassign rebinds of a name matching a
+    ctor-bound module global must NOT resolve through the global (the
+    fabricated-edge class of ADVICE r2); an unshadowed use still does."""
+    from pyspark.sql import functions as F
+
+    from codegraphdb_spark.engine import GraphEngine
+    from codegraphdb_spark.sources.repo import files_from_pairs
+
+    eng = GraphEngine(spark, small_repo=True)
+    nodes, edges, _ = eng.build(files_from_pairs(spark, SHADOW_FILES), "v1")
+    calls = {
+        (r["src"], r["dst"])
+        for r in edges.filter(F.col("rel_type") == "CALL").collect()
+    }
+    bark = "shmod.lib.Dog.bark"
+    # the unshadowed module-global use resolves
+    assert ("shmod.app.use_global", bark) in calls
+    # every shadowing form must NOT fabricate the edge
+    for fn in ("use_loop", "use_with", "use_except", "use_walrus", "use_aug"):
+        assert (f"shmod.app.{fn}", bark) not in calls, fn
+
+
+def test_nested_tuple_targets_all_poison(spark):
+    from pyspark.sql import functions as F
+
+    from codegraphdb_spark.engine import GraphEngine
+    from codegraphdb_spark.sources.repo import files_from_pairs
+
+    files = [
+        ("nt/__init__.py", ""),
+        ("nt/lib.py", "class Dog:\n    def bark(self):\n        return 1\n"),
+        (
+            "nt/app.py",
+            "from nt.lib import Dog\n"
+            "dog = Dog()\n"
+            "def f(pairs):\n"
+            "    (a, (dog, c)) = pairs\n"
+            "    dog.bark()\n",
+        ),
+    ]
+    eng = GraphEngine(spark, small_repo=True)
+    _, edges, _ = eng.build(files_from_pairs(spark, files), "v1")
+    calls = {
+        (r["src"], r["dst"])
+        for r in edges.filter(F.col("rel_type") == "CALL").collect()
+    }
+    assert ("nt.app.f", "nt.lib.Dog.bark") not in calls
