@@ -38,15 +38,31 @@ def asof_join(
 ) -> DataFrame:
     """Backward as-of join: left rows + latest right payload at or before
     the left row's timestamp. Right-side payload columns are suffixed."""
+    if not payload_cols:
+        raise ValueError("payload_cols must be non-empty")
     l_cols = list(left.columns)
+    # backtick-quote field names: unquoted DDL rejects spaces/hyphens/dots
     left_struct_type = (
-        "struct<" + ",".join(f"{c}:{left.schema[c].dataType.simpleString()}" for c in l_cols) + ">"
+        "struct<"
+        + ",".join(f"`{c}`:{left.schema[c].dataType.simpleString()}" for c in l_cols)
+        + ">"
     )
     right_struct_type = (
         "struct<"
-        + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in payload_cols)
+        + ",".join(
+            f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in payload_cols
+        )
         + ">"
     )
+
+    # NULL timestamps carry no ordering information: a NULL-ts right row
+    # must never be "the latest prior event" (ascending nulls-first would
+    # make it earlier than everything), and a NULL-ts left row has no
+    # as-of point — both match DuckDB/kdb ASOF semantics (comparisons
+    # with NULL are never true).
+    null_left = left.filter(F.col(ts).isNull())
+    left = left.filter(F.col(ts).isNotNull())
+    right = right.filter(F.col(ts).isNotNull())
 
     union = left.select(
         F.col(key).alias("__key"),
@@ -79,7 +95,18 @@ def asof_join(
         "__left",
         F.last("__rp", ignorenulls=True).over(w).alias("__rp"),
     )
-    return filled.filter(F.col("__side") == 1).select(
+    out = filled.filter(F.col("__side") == 1).select(
         *[F.col(f"__left.{c}").alias(c) for c in l_cols],
         *[F.col(f"__rp.{c}").alias(f"{c}{suffix}") for c in payload_cols],
     )
+    # NULL-ts left rows survive with a NULL payload (no as-of point)
+    null_out = null_left.select(
+        *[F.col(c) for c in l_cols],
+        *[
+            F.lit(None)
+            .cast(right.schema[c].dataType)
+            .alias(f"{c}{suffix}")
+            for c in payload_cols
+        ],
+    )
+    return out.unionByName(null_out)

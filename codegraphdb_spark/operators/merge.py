@@ -31,6 +31,21 @@ _NODE_COLS = [f.name for f in NODES_SCHEMA.fields]
 _EDGE_COLS = [f.name for f in EDGES_SCHEMA.fields]
 
 
+def _node_priority_window():
+    """THE node-merge priority window: explicit kind over 'none' (label
+    promotion B3), then deterministic definition-site tie-breaks — never
+    arrival order. One definition shared by merge_node_facts and
+    sym_table_from_facts: the resolver's symbol table is only valid
+    because its winning kind per full_name matches the merged node
+    table's, so the two orderings must be THE SAME expression."""
+    return Window.partitionBy("full_name").orderBy(
+        F.when(F.col("kind") == "none", 1).otherwise(0),
+        F.col("code_start").asc_nulls_last(),
+        F.col("file_path").asc_nulls_last(),
+        F.col("kind"),
+    )
+
+
 def merge_node_facts(node_facts: DataFrame, version: str) -> DataFrame:
     """B1: collapse raw node facts into one row per full_name.
 
@@ -38,14 +53,8 @@ def merge_node_facts(node_facts: DataFrame, version: str) -> DataFrame:
     deterministic tie-breaks (definition site) — never arrival order,
     which is what the reference implicitly relies on.
     """
-    w = Window.partitionBy("full_name").orderBy(
-        F.when(F.col("kind") == "none", 1).otherwise(0),
-        F.col("code_start").asc_nulls_last(),
-        F.col("file_path").asc_nulls_last(),
-        F.col("kind"),
-    )
     return (
-        node_facts.withColumn("__rn", F.row_number().over(w))
+        node_facts.withColumn("__rn", F.row_number().over(_node_priority_window()))
         .filter(F.col("__rn") == 1)
         .withColumn("versions", F.array(F.lit(version)))
         .select(*_NODE_COLS)
@@ -61,14 +70,8 @@ def sym_table_from_facts(node_facts: DataFrame) -> DataFrame:
     surface base_resolution needs — and deriving it here breaks the
     checkpoint dependency between the merged node table and the resolution
     pass, letting the two materialize concurrently."""
-    w = Window.partitionBy("full_name").orderBy(
-        F.when(F.col("kind") == "none", 1).otherwise(0),
-        F.col("code_start").asc_nulls_last(),
-        F.col("file_path").asc_nulls_last(),
-        F.col("kind"),
-    )
     return (
-        node_facts.withColumn("__rn", F.row_number().over(w))
+        node_facts.withColumn("__rn", F.row_number().over(_node_priority_window()))
         .filter(F.col("__rn") == 1)
         .select("full_name", "kind")
     )
@@ -205,6 +208,15 @@ def normalize_file_prefix(nodes: DataFrame, root: str) -> DataFrame:
     import re
 
     pre = root if root.endswith("/") else root + "/"
-    return nodes.withColumn(
+    out = nodes.withColumn(
         "file_path", F.regexp_replace("file_path", "^" + re.escape(pre), "")
     )
+    if "code_file" in nodes.columns:
+        # the extractor sets code_file to the SAME path — leaving it
+        # un-stripped would break code hydration (hydrate_code joins
+        # code_file against the repo-relative files.path) and diverge
+        # from change-list matching on file_path
+        out = out.withColumn(
+            "code_file", F.regexp_replace("code_file", "^" + re.escape(pre), "")
+        )
+    return out

@@ -41,8 +41,14 @@ def salted_aggregate(
             {"n": F.count(F.lit(1)), "s": F.sum("x")},
             {"n": F.sum("n"), "s": F.sum("s")})
     """
+    # CONTENT-derived salt, not rand(): rand is only deterministic for a
+    # fixed (partition, row order) — under partial stage recomputation
+    # (fetch failure, speculation) re-executed map tasks can assign rows
+    # different salts than the blocks already fetched, silently losing or
+    # double-counting rows in phase 1 (the SPARK-23207 class of bug). A
+    # hash of the row is stable under any recomputation.
     salted = df.withColumn(
-        "__salt", (F.rand(seed=42) * n_salts).cast("int")
+        "__salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).cast("int")
     )
     phase1 = salted.groupBy(*key_cols, "__salt").agg(
         *[expr.alias(name) for name, expr in partial_aggs.items()]
@@ -59,4 +65,12 @@ def salted_broadcast_left(
     the fact side: broadcast the dimension. (The salt-and-replicate variant
     for two big sides is subsumed by AQE skew-join; when the build side
     fits in memory this is strictly better — zero shuffle.)"""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "cross"):
+        # Spark silently DROPS the broadcast hint for right/full outer
+        # joins (the broadcast side cannot be the preserved side) and
+        # shuffles the fact table anyway — refuse loudly instead of
+        # quietly breaking the function's zero-shuffle contract
+        raise ValueError(
+            f"salted_broadcast_left cannot keep its no-shuffle contract for how={how!r}"
+        )
     return skewed.join(F.broadcast(small), on, how)

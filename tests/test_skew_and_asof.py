@@ -104,3 +104,66 @@ def test_asof_join_duplicate_right_ts_deterministic(spark):
         ).collect()
         outs.add(out[0]["rid_asof"])
     assert outs == {11}  # deterministic: greatest payload struct
+
+
+def test_asof_join_null_timestamps_never_match(spark):
+    """NULL timestamps carry no ordering: a NULL-ts right row must never be
+    'the latest prior event', and a NULL-ts left row keeps a NULL payload
+    (DuckDB/kdb ASOF semantics)."""
+    from codegraphdb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, None, "b")],
+        "k int, ts int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, 5, 1.5)],
+        "k int, ts int, payload double",
+    )
+    out = {
+        (r["tag"]): r["payload_asof"]
+        for r in asof_join(left, right, "k", "ts", ["payload"]).collect()
+    }
+    assert out["a"] == 1.5      # matches the real prior event, not the NULL-ts row
+    assert out["b"] is None     # no as-of point for a NULL-ts left row
+
+
+def test_asof_join_quotes_awkward_column_names(spark):
+    from codegraphdb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, ts int").withColumnRenamed(
+        "ts", "event ts"
+    ).withColumnRenamed("k", "the-key")
+    right = spark.createDataFrame([(1, 5, 2.0)], "k int, ts int, `click rate` double")
+    out = asof_join(
+        left.withColumnRenamed("event ts", "ts").withColumnRenamed("the-key", "k"),
+        right,
+        "k",
+        "ts",
+        ["click rate"],
+    ).collect()
+    assert out[0]["click rate_asof"] == 2.0
+
+
+def test_salted_broadcast_rejects_unbroadcastable_how(spark):
+    import pytest
+
+    from codegraphdb_spark.operators.skew import salted_broadcast_left
+
+    df = spark.createDataFrame([(1, "x")], "k int, v string")
+    with pytest.raises(ValueError):
+        salted_broadcast_left(df, df, "k", how="right")
+
+
+def test_normalize_file_prefix_strips_code_file_too(spark):
+    from pyspark.sql import functions as F
+
+    from codegraphdb_spark.operators.merge import normalize_file_prefix
+
+    nodes = spark.createDataFrame(
+        [("m", "/root/repo/pkg/a.py", "/root/repo/pkg/a.py")],
+        "full_name string, file_path string, code_file string",
+    )
+    out = normalize_file_prefix(nodes, "/root/repo").collect()[0]
+    assert out["file_path"] == "pkg/a.py"
+    assert out["code_file"] == "pkg/a.py"
