@@ -15,6 +15,7 @@ Cypher-subset compiler; anything else is Spark SQL over the registered
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -68,7 +69,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "build":
         from codegraphdb_spark.sources.repo import scan_repo
 
-        files = scan_repo(spark, args.repo_dir)
+        # absolute path REQUIRED for path relativization: input_file_name
+        # returns fully-qualified URIs, so a relative repo_dir would strip
+        # nothing and module names would be derived from absolute paths
+        files = scan_repo(spark, os.path.abspath(args.repo_dir))
         nodes, edges, facts = eng.build(files, args.version)
         eng.write_snapshot(nodes, edges, args.snapshot_dir)
         facts.write.mode("overwrite").parquet(
@@ -85,9 +89,28 @@ def main(argv: list[str] | None = None) -> int:
 
         old_nodes, old_edges = eng.read_snapshot(args.snapshot_dir)
         old_facts = spark.read.parquet(f"{args.snapshot_dir}/facts_{args.old}")
-        changed_files = scan_repo(spark, args.repo_dir).filter(
+        changed_files = scan_repo(spark, os.path.abspath(args.repo_dir)).filter(
             F.col("path").isin(args.changed)
         )
+        # every --changed path must be on disk (a change) or in the old
+        # facts (a deletion) — anything else is a typo/path-form mismatch
+        # that would otherwise SILENTLY misindex (no fresh facts, and the
+        # old ones dropped or left stale)
+        on_disk = {r["path"] for r in changed_files.select("path").collect()}
+        known_old = {
+            r["file_path"]
+            for r in old_facts.filter(F.col("file_path").isin(args.changed))
+            .select("file_path")
+            .distinct()
+            .collect()
+        }
+        unknown = [c for c in args.changed if c not in on_disk and c not in known_old]
+        if unknown:
+            print(
+                "error: --changed paths matched neither the scanned repo nor "
+                f"the old snapshot (typo or non-repo-relative form?): {unknown}"
+            )
+            return 2
         # the dependency-pruned path: recompiles only the changed files +
         # their import-graph dependents (result-equal to a full recompile,
         # tests/test_incremental_pruned.py)
@@ -107,7 +130,7 @@ def main(argv: list[str] | None = None) -> int:
 
         query = start_repo_indexer(
             spark,
-            args.watch_dir,
+            os.path.abspath(args.watch_dir),
             args.snapshot_dir,
             args.checkpoint_dir,
             version_prefix=args.prefix,

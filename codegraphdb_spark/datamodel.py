@@ -15,7 +15,7 @@ The lazy ``<CODE>`` body pointer (myClient.py:46-48) is a first-class
 struct (code_file, code_start, code_end) hydrated at render time
 (functions/code_ptr.py).
 
-Scale layout: snapshots are written partitioned by ``kind`` (6 values →
+Scale layout: snapshots are written partitioned by ``kind`` (7 values →
 stable partition pruning for label-filtered queries, the reference's C2
 shape) and sorted by ``full_name`` within files so point lookups prune row
 groups via min/max stats.
@@ -61,7 +61,7 @@ EDGES_SCHEMA = T.StructType(
 # Raw extraction facts (one unioned schema; split by `fact` downstream).
 FACTS_SCHEMA = T.StructType(
     [
-        T.StructField("fact", T.StringType(), False),  # node|edge|import|ref|error
+        T.StructField("fact", T.StringType(), False),  # node|edge|import|ref|assign|returns|error
         T.StructField("full_name", T.StringType(), True),
         T.StructField("kind", T.StringType(), True),
         T.StructField("name", T.StringType(), True),

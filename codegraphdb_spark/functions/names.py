@@ -14,12 +14,16 @@ from pyspark.sql import functions as F
 
 
 def module_name_from_path(path: Column | str) -> Column:
-    """'pkg/sub/mod.py' → 'pkg.sub.mod'; 'pkg/__init__.py' → 'pkg'."""
+    """'pkg/sub/mod.py' → 'pkg.sub.mod'; 'pkg/__init__.py' → 'pkg'.
+
+    Column twin of the extractor's ``_module_name`` (D4) — empty path
+    segments are FILTERED like the Python version ('a//b.py' → 'a.b',
+    never 'a..b'); asserted equivalent in tests/test_functions.py."""
     p = F.col(path) if isinstance(path, str) else path
     no_ext = F.regexp_replace(p, r"\.py$", "")
     no_init = F.regexp_replace(no_ext, r"(^|/)__init__$", "")
-    dotted = F.regexp_replace(no_init, "/", ".")
-    return F.regexp_replace(dotted, r"\.$", "")
+    parts = F.filter(F.split(no_init, "/"), lambda x: x != "")
+    return F.array_join(parts, ".")
 
 
 def module_name_to_path(module: Column | str, root: str = "") -> Column:

@@ -10,6 +10,7 @@ column pruning for free (verify with ``df.explain``: ``PushedFilters`` /
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,11 +32,18 @@ TABLES = (
 # nation are fixed-size in TPC-H-like schemas; supplier stays tiny here).
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
+_EVENTS_CONF_LOCK = threading.Lock()
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name in BROADCAST_TABLES:
+        # fixed-size dims at any scale factor: hint them broadcast at load
+        # so every consumer's dim join plans broadcast-hash without each
+        # query restating the hint
+        return F.broadcast(spark.read.parquet(path))
     if name == "events":
         # events.parquet's ts physical type has varied across fixture
         # generations: TIMESTAMP(NANOS) (vectorized reader rejects it —
@@ -49,24 +57,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # set session-wide would silently turn every later nanos-parquet
         # read into bigint columns far from the cause
         _K = "spark.sql.legacy.parquet.nanosAsLong"
-        try:
-            prev: str | None = spark.conf.get(_K)
-        except Exception:  # noqa: BLE001 — unset has no default in 4.x
-            prev = None
-        spark.conf.set(_K, "true")
-        try:
-            df = spark.read.parquet(path)
-            ts_type = dict(df.dtypes).get("ts")
-            if ts_type == "bigint":
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            elif ts_type == "timestamp_ntz":
-                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-            return df
-        finally:
-            if prev is None:
-                spark.conf.unset(_K)
-            else:
-                spark.conf.set(_K, prev)
+        # lock: the conf window must not overlap another driver thread's
+        # parquet schema resolution (the engine does run driver threads)
+        with _EVENTS_CONF_LOCK:
+            try:
+                prev: str | None = spark.conf.get(_K)
+            except Exception:  # noqa: BLE001 — unset has no default in 4.x
+                prev = None
+            spark.conf.set(_K, "true")
+            try:
+                df = spark.read.parquet(path)
+                ts_type = dict(df.dtypes).get("ts")
+                if ts_type == "bigint":
+                    # FLOOR division (ts - pmod keeps exact int64): `div`
+                    # truncates toward zero and would round pre-epoch
+                    # nanos the wrong way
+                    df = df.withColumn(
+                        "ts",
+                        F.timestamp_micros(
+                            F.expr("(ts - pmod(ts, 1000)) div 1000")
+                        ),
+                    )
+                elif ts_type == "timestamp_ntz":
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+                return df
+            finally:
+                if prev is None:
+                    spark.conf.unset(_K)
+                else:
+                    spark.conf.set(_K, prev)
     return spark.read.parquet(path)
 
 

@@ -54,3 +54,29 @@ def test_strip_prefix(spark):
     df = spark.createDataFrame([("/repo/root/pkg/mod.py",)], "p STRING")
     got = df.select(strip_prefix(F.col("p"), "/repo/root").alias("s")).first()["s"]
     assert got == "pkg/mod.py"
+
+
+def test_module_name_column_matches_extractor(spark):
+    """ONE definition of the D4 path->module invariant: the Column twin
+    must agree with the extractor's Python _module_name on every shape,
+    including empty segments and nested __init__."""
+    from pyspark.sql import functions as F
+
+    from codegraphdb_spark.extract.ast_extract import _module_name
+    from codegraphdb_spark.functions.names import module_name_from_path
+
+    paths = [
+        "pkg/sub/mod.py",
+        "pkg/__init__.py",
+        "pkg/sub/__init__.py",
+        "mod.py",
+        "a//b.py",
+        "__init__.py",
+    ]
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    got = {
+        r["path"]: r["m"]
+        for r in df.select("path", module_name_from_path("path").alias("m")).collect()
+    }
+    for p in paths:
+        assert got[p] == _module_name(p), p
