@@ -376,3 +376,49 @@ def test_load_files_restores_empty_files(spark, tmp_path):
     uris = [f"file://{tmp_path}/empty.py", f"file://{tmp_path}/full.py"]
     rows = {r["path"]: r["content"] for r in load_files(spark, uris, str(tmp_path)).collect()}
     assert rows == {"empty.py": "", "full.py": "Y = 2\n"}
+
+
+def test_index_batch_takes_over_cli_bootstrapped_snapshot(spark, tmp_path):
+    """A snapshot built by the batch CLI (facts_<version> layout) must be
+    UPDATED by the streaming index_batch, not clobbered by a full rebuild
+    of just the arriving batch; the staged commit leaves no .stage dir."""
+    from pyspark.sql import functions as F
+
+    from codegraphdb_spark.engine import GraphEngine
+    from codegraphdb_spark.sources.repo import files_from_pairs, uri_to_relative
+    from codegraphdb_spark.streaming.repo_index import index_batch, load_files
+
+    snap = str(tmp_path / "snap")
+    watch = tmp_path / "repo"
+    (watch / "pkg").mkdir(parents=True)
+    (watch / "pkg" / "__init__.py").write_text("")
+    (watch / "pkg" / "a.py").write_text("A = 1\n")
+
+    # CLI-style bootstrap: write_snapshot + facts_<version> (no 'facts' dir)
+    eng = GraphEngine(spark, small_repo=True)
+    v1_files = [("pkg/__init__.py", ""), ("pkg/a.py", "A = 1\n")]
+    nodes, edges, facts = eng.build(files_from_pairs(spark, v1_files), "v1")
+    nodes, edges = nodes.localCheckpoint(), edges.localCheckpoint()
+    eng.write_snapshot(nodes, edges, snap)
+    facts.write.mode("overwrite").parquet(f"{snap}/facts_v1")
+
+    # a new file arrives through the streaming/event-bus path
+    (watch / "pkg" / "b.py").write_text("B = 2\n")
+    uris = [f"file://{watch}/pkg/b.py"]
+    index_batch(
+        spark,
+        load_files(spark, uris, str(watch)),
+        [uri_to_relative(u, str(watch)) for u in uris],
+        snap,
+        "s0",
+    )
+
+    n2, _ = GraphEngine(spark).read_snapshot(snap)
+    names = {r["full_name"] for r in n2.select("full_name").collect()}
+    # v1 content carried forward (an update, NOT a batch-only rebuild)
+    assert "pkg.a.A" in names and "pkg.b.B" in names
+    carried = n2.filter(F.col("full_name") == "pkg.a.A").collect()[0]
+    assert set(carried["versions"]) == {"v1", "s0"}
+    import os
+
+    assert not os.path.exists(snap + ".stage")  # staged commit cleaned up
