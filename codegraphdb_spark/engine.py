@@ -112,7 +112,14 @@ class GraphEngine:
         E1/E2 closures) is post-processing on those checkpointed results,
         so no later action re-optimizes or re-executes the deep resolution
         plan — which measured at 20-30 s of driver planning PER ACTION on
-        even a toy repo when left lazy."""
+        even a toy repo when left lazy.
+
+        Side effect: compile cache()s and then unpersist()s ``facts``.
+        Spark's cache manager keys on the canonicalized plan, so a caller
+        that cached the SAME facts frame for its own reuse loses that cache
+        when compile returns (recompute cost only, never wrong results).
+        Callers that need facts afterwards should localCheckpoint it first
+        — every in-repo caller (build, update_version*) already does."""
         facts = facts.cache()
         node_facts = facts.filter(F.col("fact") == "node")
         local_edges = merge_edge_facts(facts.filter(F.col("fact") == "edge"), version)

@@ -29,6 +29,7 @@ def salted_aggregate(
     partial_aggs: dict[str, Column],
     merge_aggs: dict[str, Column],
     n_salts: int = 16,
+    row_discriminator: Column | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation.
 
@@ -40,6 +41,17 @@ def salted_aggregate(
         salted_aggregate(df, ["k"],
             {"n": F.count(F.lit(1)), "s": F.sum("x")},
             {"n": F.sum("n"), "s": F.sum("s")})
+
+    Limitation of the content-derived salt: fully-IDENTICAL rows hash to
+    the same salt bucket, so a hot key whose rows are exact duplicates (a
+    common skew shape in raw logs) re-concentrates on one reducer —
+    results stay correct, only the mitigation degenerates. For
+    duplicate-heavy inputs pass ``row_discriminator``: any column that is
+    stable under task re-execution and varies within duplicate groups. A
+    monotonic id over a CHECKPOINTED input qualifies (the checkpoint
+    freezes partition contents, making monotonically_increasing_id
+    recomputation-stable); a raw monotonically_increasing_id over a lazy
+    plan does NOT.
     """
     # CONTENT-derived salt, not rand(): rand is only deterministic for a
     # fixed (partition, row order) — under partial stage recomputation
@@ -47,8 +59,11 @@ def salted_aggregate(
     # different salts than the blocks already fetched, silently losing or
     # double-counting rows in phase 1 (the SPARK-23207 class of bug). A
     # hash of the row is stable under any recomputation.
+    salt_inputs: list[Column] = [F.col(c) for c in df.columns]
+    if row_discriminator is not None:
+        salt_inputs.append(row_discriminator)
     salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).cast("int")
+        "__salt", F.pmod(F.xxhash64(*salt_inputs), F.lit(n_salts)).cast("int")
     )
     phase1 = salted.groupBy(*key_cols, "__salt").agg(
         *[expr.alias(name) for name, expr in partial_aggs.items()]

@@ -165,29 +165,51 @@ def _labels_col(prefix: str):
 def _varlen_pairs(
     edges: DataFrame, rel: str, lo: int, hi: int, undirected: bool = False
 ) -> DataFrame:
-    """(src, dst) pairs connected by a directed path of lo..hi ``rel``
-    edges. Bounded iterated self-join with per-hop dedup — same shape as
-    the E1 closure (operators/closure.py), kept inline because LIMIT-less
-    reachability here is hop-bounded by construction."""
+    """(src, dst) pairs connected by a path of lo..hi ``rel`` edges with
+    openCypher RELATIONSHIP UNIQUENESS: no path traverses the same
+    relationship twice (Neo4j excludes e.g. the undirected 2-path that
+    goes forward then straight back over one edge). Each expansion state
+    carries its visited-relationship set, canonicalized with array_sort so
+    permutations of the same set dedup together; a hop that would reuse a
+    relationship is filtered before the union step. State count is bounded
+    by paths-not-walks plus the MAX_VARLEN_HOPS cap — the same cost class
+    as Neo4j's own var-length expand. Same bounded-self-join shape as the
+    E1 closure (operators/closure.py), kept inline because reachability
+    here is hop-bounded by construction."""
     base = edges.filter(F.col("rel_type") == rel).select("src", "dst").dropDuplicates()
     if undirected:
-        # symmetrize BEFORE expanding so multi-hop paths may mix edge
-        # orientations (a->b, c->b: the undirected 2-path a-b-c exists)
+        # relationship key is orientation-INDEPENDENT so forward-then-back
+        # over one edge counts as a reuse; symmetrize before expanding so
+        # multi-hop paths may mix edge orientations (a->b, c->b: the
+        # undirected 2-path a-b-c exists)
+        key = F.concat_ws("\x00", F.least("src", "dst"), F.greatest("src", "dst"))
         base = base.unionByName(
             base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).dropDuplicates()
-    step = base.select(F.col("src").alias("mid"), F.col("dst").alias("dst"))
-    hop = base
-    out = hop if lo <= 1 else None
+    else:
+        key = F.concat_ws("\x00", F.col("src"), F.col("dst"))
+    step = base.select(
+        F.col("src").alias("mid"), F.col("dst").alias("dst"), key.alias("__k")
+    )
+    hop = base.select("src", "dst", F.array(key).alias("__seen"))
+    out = hop.select("src", "dst") if lo <= 1 else None
     for depth in range(2, hi + 1):
         hop = (
-            hop.select("src", F.col("dst").alias("mid"))
+            hop.select("src", F.col("dst").alias("mid"), "__seen")
             .join(step, "mid")
-            .select("src", "dst")
+            .filter(~F.array_contains(F.col("__seen"), F.col("__k")))
+            .select(
+                "src",
+                "dst",
+                F.array_sort(
+                    F.array_union(F.col("__seen"), F.array(F.col("__k")))
+                ).alias("__seen"),
+            )
             .dropDuplicates()
         )
         if depth >= lo:
-            out = hop if out is None else out.unionByName(hop)
+            pairs = hop.select("src", "dst")
+            out = pairs if out is None else out.unionByName(pairs)
     if out is None:
         raise CypherError(f"empty hop range *{lo}..{hi}")
     return out.dropDuplicates()
@@ -421,6 +443,8 @@ def _compile_pattern(
     intra_eq: list[tuple[str, str]] = []
     df = None
     for chain_text in _split_chains(pattern):
+        pre_intra = len(intra_eq)
+        pre_cross = len(cross_pairs)
         tokens = _parse_pattern(chain_text)
         chain_df = None
         prev_alias = None
@@ -503,7 +527,21 @@ def _compile_pattern(
                 pending_edge = (ealias, end_col)
         # comma-separated chains combine by product; Catalyst rewrites the
         # product into an equi-join when shared-variable equality (below)
-        # or WHERE predicates connect them
+        # or carried-scope joins connect them. A chain that shares NO
+        # variable with any earlier chain or the outer scope plans a true
+        # N×M cartesian product — refuse loudly (the refuse-loudly stance
+        # MAX_VARLEN_HOPS takes; Neo4j merely warns) unless the caller
+        # opted in via allow_cartesian. WHERE-connected products
+        # (`MATCH (a),(b) WHERE a.x=b.y`) also need the opt-in: the WHERE
+        # is not visible at pattern-compile time.
+        if df is not None:
+            connected = len(intra_eq) > pre_intra or len(cross_pairs) > pre_cross
+            if not connected and not state.get("allow_cartesian"):
+                raise CypherError(
+                    f"disconnected MATCH chain {chain_text.strip()!r} would plan "
+                    "a cartesian product; share a variable with an earlier "
+                    "chain, or opt in with run_cypher(..., allow_cartesian=True)"
+                )
         df = chain_df if df is None else df.crossJoin(chain_df)
     for a, b in intra_eq:
         df = df.filter(F.col(f"{a}__full_name") == F.col(f"{b}__full_name"))
@@ -732,7 +770,12 @@ def _agg_expr(func: str, arg: str, alias: str | None, binds, plain):
     return agg.alias(name), name
 
 
-def run_cypher(cypher: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
+def run_cypher(
+    cypher: str,
+    nodes: DataFrame,
+    edges: DataFrame,
+    allow_cartesian: bool = False,
+) -> DataFrame:
     """Compile + run a Cypher-subset query against (nodes, edges).
 
     Grammar: ``MATCH p [WHERE w] (OPTIONAL MATCH p_i [WHERE w_i])*
@@ -741,7 +784,11 @@ def run_cypher(cypher: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
     Cypher semantics, a WHERE following an OPTIONAL MATCH filters THAT
     optional pattern before the left join; a WHERE after WITH filters the
     projected/aggregated scope (HAVING); unmatched optional rows surface
-    as NULLs."""
+    as NULLs.
+
+    Disconnected MATCH chains (``MATCH (a), (b)`` with no shared
+    variable) raise CypherError unless ``allow_cartesian=True`` — a typo
+    there silently plans an N² join at scale, so the product is opt-in."""
     text = cypher.strip()
     m = _RETURN_RX.match(text)
     if not m:
@@ -752,7 +799,7 @@ def run_cypher(cypher: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
         )
     with_parts = _split_on_with(m.group("head"))
 
-    state = {"node_i": 0, "anon": 0}
+    state = {"node_i": 0, "anon": 0, "allow_cartesian": allow_cartesian}
     binds: dict[str, str] = {}  # var -> dataframe alias (first binding wins)
     plain: set[str] = set()  # bare columns introduced by WITH aliases
 

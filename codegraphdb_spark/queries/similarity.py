@@ -231,7 +231,14 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # products. int64 truncation of x ± 0.5 is the cheapest equivalent
         # (astype truncates toward zero; identical to floor(|x|+.5)·sign
         # for every input, one temporary instead of three — this kernel's
-        # g²·D product matrix makes temporaries the cost driver)
+        # g²·D product matrix makes temporaries the cost driver).
+        # Residual boundary class: x + 0.5 is itself a float64 add, so a
+        # product whose double sits just below k+.5 (e.g. 2.4999999999999996)
+        # can carry up across the boundary, which differs from BigDecimal
+        # HALF_UP on the printed decimal. F.round has the same double-add
+        # shape only for HALF_UP on the *decimal string*; no fixture value
+        # lands within 1 ulp of a .5 boundary (scaled products are exact
+        # integers + small error ≪ 0.5), so the class is unreachable here.
         def _half_up(x):
             return (x + np.copysign(0.5, x)).astype(np.int64)
 

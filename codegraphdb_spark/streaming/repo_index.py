@@ -129,6 +129,18 @@ def load_files(spark: SparkSession, uris: list[str], watch_dir: str) -> DataFram
     )
     expected = [uri_to_relative(u, watch_dir) for u in uris]
     found = {r["path"] for r in df.select("path").collect()}
+    # Any path the reader produced that we did NOT expect means the
+    # executor-side decode (relative_path_col) and the driver-side decode
+    # (uri_to_relative) diverged on some URI — restoring the "missing"
+    # driver-decoded twin below would then silently index the same file
+    # twice (once real, once empty). Fail loudly instead.
+    extra = found - set(expected)
+    if extra:
+        raise RuntimeError(
+            "load_files path-decoder divergence: reader produced "
+            f"unexpected paths {sorted(extra)[:5]} not in the expected set "
+            "(relative_path_col vs uri_to_relative disagree)"
+        )
     missing = [(p, "") for p in expected if p not in found]
     if missing:
         df = df.unionByName(files_from_pairs(spark, missing))

@@ -211,14 +211,17 @@ def test_comma_chains_shared_variable(graph):
 
 
 def test_comma_chains_disjoint_product(graph):
-    """Disjoint chains with no shared variable form a product (1x1 here)."""
+    """Disjoint chains with no shared variable form a product — but ONLY
+    with the explicit opt-in; by default a disconnected chain refuses
+    loudly (a typo there silently plans an N² join at scale)."""
     nodes, edges = graph
-    out = run_cypher(
+    q = (
         "MATCH (a:CLASS {name: 'Dog'}), (m:MODULE {full_name: 'pkga.base'}) "
-        "RETURN a.full_name AS cls, m.full_name AS mod",
-        nodes,
-        edges,
-    ).collect()
+        "RETURN a.full_name AS cls, m.full_name AS mod"
+    )
+    with pytest.raises(CypherError, match="cartesian"):
+        run_cypher(q, nodes, edges)
+    out = run_cypher(q, nodes, edges, allow_cartesian=True).collect()
     assert [(r["cls"], r["mod"]) for r in out] == [("pkgb.dog.Dog", "pkga.base")]
 
 
@@ -575,9 +578,10 @@ def test_undirected_varlen_mixes_orientations(graph):
         nodes,
         edges,
     ).collect()
-    assert sorted(r["nm"] for r in out) == ["Animal", "Dog", "Puppy"]
-    # ('Animal' itself: Dog->Animal then back Animal<-Dog... excluded?
-    # reaching a node via fwd+back IS a valid undirected walk of length 2)
+    # openCypher relationship uniqueness: 'Animal' itself is NOT in the
+    # result — the only length-2 route back (Dog->Animal forward then the
+    # SAME edge backward) reuses one relationship, which Neo4j excludes
+    assert sorted(r["nm"] for r in out) == ["Dog", "Puppy"]
 
 
 def test_null_code_pointer_renders_null(graph):
