@@ -208,6 +208,18 @@ class GraphEngine:
             ),
             bases=bases,
         )
+        if getattr(self, "capture", None) is not None:
+            # oracle-dump hook (tools/dump_graph_oracle.py): expose the
+            # raw node facts and the PRE-closure resolved edge set so an
+            # independent engine (DuckDB) can recompute merge → E1 closure
+            # → version stamping from them — the differential boundary for
+            # the recomputing g_* oracles. Zero cost when unset.
+            self.capture[version] = {
+                "node_facts": node_facts,
+                "pre_closure_edges": _priority_merge(
+                    local_edges, reexports, resolved, local_edges.limit(0)
+                ),
+            }
         edges = _priority_merge(
             local_edges, reexports, resolved, closure_new
         ).localCheckpoint(eager=True)
