@@ -608,6 +608,77 @@ class GraphEngine:
             self.spark.read.parquet(f"{path}/edges"),
         )
 
+    def write_snapshot_bucketed(
+        self,
+        nodes: DataFrame,
+        edges: DataFrame,
+        table_prefix: str,
+        n_buckets: int = 8,
+        edges_by_dst: bool = False,
+    ) -> None:
+        """Managed BUCKETED snapshot (SURVEY §7.2 step 7) — the layout the
+        path-style snapshot should take at cluster scale:
+
+        - ``{prefix}_nodes``: partitioned by kind (C2 label pruning),
+          bucketed+sorted by full_name;
+        - ``{prefix}_edges``: partitioned by rel_type, bucketed by src,
+          sorted by (src, dst).
+
+        nodes.full_name and edges.src share hash and bucket count, so every
+        forward expansion (C3–C6 ``nodes ⋈ edges ON full_name = src``) and
+        the pagerank contribution join read both sides pre-hashed — ZERO
+        Exchange on the scans (asserted in tests/test_bucketing.py). The
+        one shuffle bucketing costs is paid at write time, once, instead of
+        per query.
+
+        ``edges_by_dst=True`` writes a second copy ``{prefix}_edges_by_dst``
+        bucketed on dst for REVERSE expansions (who-points-at-me, the C5
+        method→class walk, closing the dst-side join of 2-hop chains) — the
+        classic adjacency-list duplication: double edge storage, minus the
+        per-query edge shuffle. At 100 TB edges are the big table, so this
+        is opt-in per workload.
+
+        Bucket-count sizing at scale: target 128–512 MB per bucket file
+        per partition (module docstring of operators/bucketing.py)."""
+        from codegraphdb_spark.operators.bucketing import write_bucketed
+
+        write_bucketed(
+            nodes,
+            f"{table_prefix}_nodes",
+            ["full_name"],
+            n_buckets,
+            sort_cols=["full_name"],
+            partition_cols=["kind"],
+        )
+        write_bucketed(
+            edges,
+            f"{table_prefix}_edges",
+            ["src"],
+            n_buckets,
+            sort_cols=["src", "dst"],
+            partition_cols=["rel_type"],
+        )
+        if edges_by_dst:
+            write_bucketed(
+                edges,
+                f"{table_prefix}_edges_by_dst",
+                ["dst"],
+                n_buckets,
+                sort_cols=["dst", "src"],
+                partition_cols=["rel_type"],
+            )
+
+    def read_snapshot_bucketed(
+        self, table_prefix: str, edges_by_dst: bool = False
+    ) -> tuple[DataFrame, DataFrame]:
+        """(nodes, edges) from a bucketed snapshot. With ``edges_by_dst``,
+        edges come from the dst-bucketed copy (reverse-expansion joins)."""
+        suffix = "_edges_by_dst" if edges_by_dst else "_edges"
+        return (
+            self.spark.table(f"{table_prefix}_nodes"),
+            self.spark.table(f"{table_prefix}{suffix}"),
+        )
+
     def register_views(self, nodes: DataFrame, edges: DataFrame) -> None:
         """SQL surface over the graph (replaces arbitrary-Cypher passthrough
         C8, graphDB.py:106-112): spark.sql over nodes/edges views."""

@@ -29,6 +29,7 @@ def write_bucketed(
     n_buckets: int,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    partition_cols: list[str] | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (and bucket-sorted) managed table.
 
@@ -36,10 +37,17 @@ def write_bucketed(
     the Sort step and row-group min/max pruning on the sort key. The
     pre-write ``repartition(n_buckets, cols)`` uses the same hash as the
     bucket spec, so every bucket lands in exactly ONE file — Spark only
-    elides the join-side Sort when per-bucket order is file-global."""
-    writer = df.repartition(n_buckets, *bucket_cols).write.bucketBy(
-        n_buckets, *bucket_cols
-    )
+    elides the join-side Sort when per-bucket order is file-global.
+
+    ``partition_cols`` combines Hive partitioning with bucketing: the
+    table directory splits by partition value (partition pruning on label
+    filters) and each partition holds one file per bucket (one per task ×
+    partition value) — joins on the bucket key stay Exchange-free, though
+    the Sort elision no longer applies across partitions."""
+    writer = df.repartition(n_buckets, *bucket_cols).write
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer = writer.bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.mode(mode).format("parquet").saveAsTable(table)

@@ -281,6 +281,78 @@ def g_module_children(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C4 over the BUCKETED snapshot layout ---------------------------------------
+
+# managed-table snapshot written once per session (the layout SURVEY §7.2
+# step 7 prescribes for cluster scale; engine.write_snapshot_bucketed)
+_BUCKETED_DONE: dict[SparkSession, str] = {}
+
+
+def _bucketed_snapshot(spark: SparkSession) -> str:
+    with _BUILD_LOCK:
+        if spark not in _BUCKETED_DONE:
+            from codegraphdb_spark.engine import GraphEngine
+
+            nodes, edges, _ = _graph(spark)
+            GraphEngine(spark).write_snapshot_bucketed(
+                nodes, edges, "g_bucketed_snap", n_buckets=4
+            )
+            _BUCKETED_DONE[spark] = "g_bucketed_snap"
+            _evict_old(_BUCKETED_DONE, keep=2)
+    return _BUCKETED_DONE[spark]
+
+
+@query(
+    "g_bucketed_children",
+    oracle=f"""
+    WITH
+    ea AS (
+      SELECT DISTINCT src, dst, association_type FROM (
+        SELECT * FROM read_csv('{_FIX}/pre_closure_edges_v1.csv', header=true)
+        UNION ALL
+        SELECT * FROM read_csv('{_FIX}/pre_closure_edges_v2.csv', header=true))
+      WHERE rel_type = 'CONTAINS' AND src = 'pkga.base'
+    ),
+    m1 AS ({_merged_nodes_cte('v1')}),
+    m2 AS ({_merged_nodes_cte('v2')}),
+    nd AS (
+      SELECT coalesce(m2.full_name, m1.full_name) AS full_name,
+             coalesce(m2.kind, m1.kind) AS kind
+      FROM m1 FULL OUTER JOIN m2 ON m1.full_name = m2.full_name
+    )
+    SELECT e.dst AS child_full_name, n.kind AS child_kind, e.association_type
+    FROM ea e JOIN nd n ON n.full_name = e.dst
+    ORDER BY child_full_name
+    """,
+)
+def g_bucketed_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 on the BUCKETED snapshot (engine.write_snapshot_bucketed):
+    nodes bucketed by full_name, edges by src, same bucket count — the
+    forward-expansion join reads both sides pre-hashed with ZERO Exchange
+    (plan asserted in tests/test_bucketing.py; this query keeps the
+    layout + result parity under the driver's value-hash gate, with a
+    recomputing oracle). Physical layout is the ONLY difference from
+    g_module_children — identical rows prove the bucketed write/read
+    round-trips the snapshot."""
+    from codegraphdb_spark.engine import GraphEngine
+
+    prefix = _bucketed_snapshot(spark)
+    bn, be = GraphEngine(spark).read_snapshot_bucketed(prefix)
+    e = be.filter(
+        (F.col("rel_type") == "CONTAINS") & (F.col("src") == "pkga.base")
+    )
+    c = bn.select(
+        F.col("full_name").alias("dst"), F.col("kind").alias("child_kind")
+    )
+    return (
+        e.join(c, "dst")
+        .select(
+            F.col("dst").alias("child_full_name"), "child_kind", "association_type"
+        )
+        .orderBy("child_full_name")
+    )
+
+
 # --- C5 + E1: methods of class incl. inherited closure ----------------------------
 
 @query(

@@ -81,11 +81,14 @@ def dump_tables(spark) -> dict[str, "object"]:
         ).reset_index(drop=True)
         pe = (
             cap["pre_closure_edges"]
-            .select("src", "dst", "rel_type")
+            .select("src", "dst", "rel_type", "association_type")
             .toPandas()
         )
-        if pe.isna().any().any():
-            raise AssertionError("pre-closure edges contain NULLs")
+        # association_type is legitimately NULL on resolved edges — it is
+        # written as the empty field and read back with nullstr='' in the
+        # oracles; the key columns must stay NULL-free
+        if pe[["src", "dst", "rel_type"]].isna().any().any():
+            raise AssertionError("pre-closure edge key columns contain NULLs")
         out[f"pre_closure_edges_{ver}.csv"] = pe.sort_values(
             list(pe.columns), kind="mergesort"
         ).reset_index(drop=True)
