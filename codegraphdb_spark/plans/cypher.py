@@ -44,6 +44,7 @@ WHERE/ORDER BY/LIMIT → filter/orderBy/limit. ``labels(x)`` returns
 from __future__ import annotations
 
 import re
+import threading
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -59,7 +60,7 @@ _EDGE = re.compile(
     r"(?:\*\s*(?P<lo>\d+)?\s*(?:\.\.\s*(?P<hi>\d+)?)?)?\s*"
     r"(?:\{(?P<props>[^}]*)\})?\s*\]\s*-(?P<right>>)?"
 )
-_PROP = re.compile(r"(\w+)\s*:\s*(?:'([^']*)'|\"([^\"]*)\"|(\d+))")
+_PROP = re.compile(r"(\w+)\s*:\s*(?:'([^']*)'|\"([^\"]*)\"|(\d+)|\$(\w+))")
 _ITEM = re.compile(
     r"^\s*(?:(?P<func>labels|count|collect|min|max)\s*\(\s*"
     r"(?P<farg>\*|\w+(?:\.\w+)?)\s*\)"
@@ -70,7 +71,7 @@ _ITEM = re.compile(
 _EXISTS_RX = re.compile(r"(?i)^\s*exists\s*\(\s*(?P<var>\w+)\.(?P<prop>\w+)\s*\)\s*$")
 _PLAIN_PRED = re.compile(
     r"^\s*(?P<name>\w+)\s*"
-    r"(?P<op><>|!=|<=|>=|=|<|>|STARTS\s+WITH|ENDS\s+WITH|CONTAINS|IN)\s*"
+    r"(?P<op>=~|<>|!=|<=|>=|=|<|>|STARTS\s+WITH|ENDS\s+WITH|CONTAINS|IN)\s*"
     r"(?P<val>.+?)\s*$",
     re.IGNORECASE,
 )
@@ -79,7 +80,7 @@ _IS_NULL_RX = re.compile(
 )
 _PRED = re.compile(
     r"^\s*(?P<var>\w+)\.(?P<prop>\w+)\s*"
-    r"(?P<op><>|!=|<=|>=|=|<|>|STARTS\s+WITH|ENDS\s+WITH|CONTAINS|IN)\s*"
+    r"(?P<op>=~|<>|!=|<=|>=|=|<|>|STARTS\s+WITH|ENDS\s+WITH|CONTAINS|IN)\s*"
     r"(?P<val>.+?)\s*$",
     re.IGNORECASE,
 )
@@ -99,6 +100,31 @@ MAX_VARLEN_HOPS = 10
 
 class CypherError(ValueError):
     pass
+
+
+# query parameters for the active run_cypher call (Neo4j's $param surface,
+# graphDB.py passes literal-interpolated strings instead — parameters are
+# the safe spelling). Thread-local because fixture builds/queries run from
+# concurrent driver threads; set/reset by run_cypher around compilation.
+_PARAMS = threading.local()
+
+
+def _param_value(name: str):
+    d = getattr(_PARAMS, "d", None)
+    if d is None or name not in d:
+        raise CypherError(
+            f"missing query parameter ${name} (pass params={{'{name}': ...}})"
+        )
+    v = d[name]
+    if isinstance(v, bool) or not isinstance(v, (str, int, list)):
+        raise CypherError(
+            f"parameter ${name} must be a str, int, or list (got {type(v).__name__})"
+        )
+    if isinstance(v, list) and not all(
+        isinstance(x, (str, int)) and not isinstance(x, bool) for x in v
+    ):
+        raise CypherError(f"parameter ${name}: list items must be str or int")
+    return v
 
 
 def _parse_labels(raw: str) -> tuple[str | None, list[str]]:
@@ -121,8 +147,8 @@ def _parse_labels(raw: str) -> tuple[str | None, list[str]]:
 
 def _parse_props(raw: str | None) -> dict[str, object]:
     """Parse a {k: v, ...} property map STRICTLY: every comma-separated
-    entry must be `name: 'str'|\"str\"|int` — an unparseable entry (bare
-    identifier, boolean, negative number) raises instead of silently
+    entry must be `name: 'str'|\"str\"|int|$param` — an unparseable entry
+    (bare identifier, boolean, negative number) raises instead of silently
     dropping the filter and over-matching."""
     if not raw or not raw.strip():
         return {}
@@ -131,9 +157,12 @@ def _parse_props(raw: str | None) -> dict[str, object]:
         m = _PROP.fullmatch(part.strip())
         if not m:
             raise CypherError(f"cannot parse property entry {part.strip()!r}")
-        props[m.group(1)] = int(m.group(4)) if m.group(4) is not None else (
-            m.group(2) if m.group(2) is not None else m.group(3)
-        )
+        if m.group(5) is not None:
+            props[m.group(1)] = _param_value(m.group(5))
+        else:
+            props[m.group(1)] = int(m.group(4)) if m.group(4) is not None else (
+                m.group(2) if m.group(2) is not None else m.group(3)
+            )
     return props
 
 
@@ -270,6 +299,8 @@ def _parse_pattern(pattern: str):
 
 def _literal(raw: str):
     raw = raw.strip()
+    if re.fullmatch(r"\$\w+", raw):
+        return _param_value(raw[1:])
     if re.fullmatch(r"'[^']*'", raw) or re.fullmatch(r'"[^"]*"', raw):
         return raw[1:-1]
     if raw.startswith("[") and raw.endswith("]"):
@@ -408,6 +439,10 @@ def _apply_op(col, op: str, val):
         return col > val
     if op == ">=":
         return col >= val
+    if op == "=~":
+        # openCypher: the regex must match the WHOLE string (Neo4j
+        # semantics); Spark's rlike is a substring search, so anchor it
+        return col.rlike("^(?:" + str(val) + ")$")
     if op == "STARTS WITH":
         return col.startswith(str(val))
     if op == "ENDS WITH":
@@ -775,6 +810,7 @@ def run_cypher(
     nodes: DataFrame,
     edges: DataFrame,
     allow_cartesian: bool = False,
+    params: dict[str, object] | None = None,
 ) -> DataFrame:
     """Compile + run a Cypher-subset query against (nodes, edges).
 
@@ -788,7 +824,24 @@ def run_cypher(
 
     Disconnected MATCH chains (``MATCH (a), (b)`` with no shared
     variable) raise CypherError unless ``allow_cartesian=True`` — a typo
-    there silently plans an N² join at scale, so the product is opt-in."""
+    there silently plans an N² join at scale, so the product is opt-in.
+
+    ``params`` supplies query parameters (``$name`` in property maps and
+    WHERE values — Neo4j's parameter surface): str/int/list values only,
+    resolved at compile time; a missing or unusable parameter raises."""
+    _PARAMS.d = params or {}
+    try:
+        return _run_cypher_inner(cypher, nodes, edges, allow_cartesian)
+    finally:
+        _PARAMS.d = None
+
+
+def _run_cypher_inner(
+    cypher: str,
+    nodes: DataFrame,
+    edges: DataFrame,
+    allow_cartesian: bool,
+) -> DataFrame:
     text = cypher.strip()
     m = _RETURN_RX.match(text)
     if not m:

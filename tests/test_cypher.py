@@ -154,13 +154,48 @@ def test_varlen_cap_is_loud(graph):
         run_cypher(
             "MATCH (a)-[:INHERITS*1..99]->(b) RETURN a.name", nodes, edges
         )
-    # OR is supported since round 3; an unparseable predicate still raises
+    # an unparseable predicate still raises
     with pytest.raises(CypherError):
         run_cypher(
-            "MATCH (c) WHERE c.name =~ 'D.*' RETURN c",
+            "MATCH (c) WHERE c.name ~~~ 'D.*' RETURN c",
             nodes,
             edges,
         )
+
+
+def test_regex_operator_whole_string(graph):
+    """=~ matches the WHOLE string (Neo4j semantics), not a substring:
+    'og' alone must match nothing even though two names contain it."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS) WHERE c.name =~ 'D.*' RETURN c.name AS nm", nodes, edges
+    ).collect()
+    assert [r["nm"] for r in out] == ["Dog"]
+    out = run_cypher(
+        "MATCH (c:CLASS) WHERE c.name =~ 'og' RETURN c.name AS nm", nodes, edges
+    ).collect()
+    assert out == []
+
+
+def test_query_parameters(graph):
+    """$param in property maps and WHERE values (Neo4j parameter surface)."""
+    nodes, edges = graph
+    q = "MATCH (c:CLASS {name: $who}) RETURN c.full_name AS fn"
+    out = run_cypher(q, nodes, edges, params={"who": "Dog"}).collect()
+    assert [r["fn"] for r in out] == ["pkgb.dog.Dog"]
+    out = run_cypher(
+        "MATCH (c:CLASS) WHERE c.name IN $names RETURN c.name AS nm "
+        "ORDER BY nm",
+        nodes,
+        edges,
+        params={"names": ["Dog", "Puppy"]},
+    ).collect()
+    assert [r["nm"] for r in out] == ["Dog", "Puppy"]
+    # missing / unusable parameters raise instead of silently matching
+    with pytest.raises(CypherError, match="missing query parameter"):
+        run_cypher(q, nodes, edges)
+    with pytest.raises(CypherError, match="must be a str"):
+        run_cypher(q, nodes, edges, params={"who": object()})
 
 
 # --- round-3 breadth: reverse/undirected edges, comma chains, boolean WHERE ---
