@@ -121,7 +121,9 @@ class _Extractor(ast.NodeVisitor):
         f["class"] = bind_key
         self.facts.append(f)
 
-    def assign_fact(self, bind_key: str, type_expr: str | None, lineno: int) -> None:
+    def assign_fact(
+        self, bind_key: str, type_expr: str | None, lineno: int, alias: bool = False
+    ) -> None:
         """A4 type-propagation fact: ``bind_key`` (scope::var for locals,
         Class.attr for class/instance fields) was (re)bound — to an
         instance of ``type_expr`` (textual ctor / annotation target,
@@ -133,7 +135,12 @@ class _Extractor(ast.NodeVisitor):
         a binding that Python shadowing has invalidated."""
         f = self._base()
         f.update(fact="assign", full_name=bind_key, dst=type_expr,
-                 module=self.module, file_path=self.path, code_start=lineno)
+                 module=self.module, file_path=self.path, code_start=lineno,
+                 # ALIAS marks a bare Name/Attribute RHS (a = Foo): the
+                 # name holds the SYMBOL, not an instance — the deep pass
+                 # may rewrite a ref equal to the bare name (a call through
+                 # the alias), which is wrong for instance bindings
+                 association_type="ALIAS" if alias else None)
         self.facts.append(f)
 
     def returns_fact(self, func_full_name: str, type_expr: str, lineno: int) -> None:
@@ -270,13 +277,18 @@ class _Extractor(ast.NodeVisitor):
     visit_AsyncFunctionDef = _visit_def
 
     def visit_Assign(self, node: ast.Assign) -> None:
-        self._handle_assign_targets(node.targets, node, self._type_expr(node.value))
+        expr, alias = self._type_expr(node.value)
+        self._handle_assign_targets(node.targets, node, expr, alias)
         self.visit(node.value)
 
     def visit_AnnAssign(self, node: ast.AnnAssign) -> None:
         # an annotation is a stronger type signal than the value expression
-        type_expr = _dotted(node.annotation) or self._type_expr(node.value)
-        self._handle_assign_targets([node.target], node, type_expr)
+        ann = _dotted(node.annotation)
+        if ann is not None:
+            expr, alias = ann, False
+        else:
+            expr, alias = self._type_expr(node.value)
+        self._handle_assign_targets([node.target], node, expr, alias)
         if node.value is not None:
             self.visit(node.value)
 
@@ -310,13 +322,23 @@ class _Extractor(ast.NodeVisitor):
         return names.pop() if len(names) == 1 else None
 
     @staticmethod
-    def _type_expr(value: ast.AST | None) -> str | None:
-        """Textual type source of an assigned value: ``Foo(...)`` ⇒ 'Foo'.
-        Anything non-constructor-shaped yields no type fact (the documented
+    def _type_expr(value: ast.AST | None) -> tuple[str | None, bool]:
+        """(textual type source, is_alias) of an assigned value:
+        ``Foo(...)`` ⇒ ('Foo', False) — the name binds an INSTANCE of Foo;
+        a bare Name/Attribute RHS (``a = Foo`` / ``a = mod.Foo``) ⇒
+        (dotted, True) — the name ALIASES the symbol itself (reference
+        capability: jedi resolves through such aliases,
+        indexer_visitor.py:655-662). Alias bindings let ``a(...)`` resolve
+        to the aliased callable and ``a.attr`` to the aliased symbol's
+        attribute. Anything else yields no type fact (the documented
         dynamic-inference gap vs jedi)."""
         if isinstance(value, ast.Call):
-            return _dotted(value.func)
-        return None
+            return _dotted(value.func), False
+        if isinstance(value, (ast.Name, ast.Attribute)):
+            d = _dotted(value)
+            if d is not None and d != "self" and not d.startswith("self."):
+                return d, True
+        return None, False
 
     @staticmethod
     def _flatten_targets(targets: list[ast.expr]) -> list[ast.expr]:
@@ -362,7 +384,11 @@ class _Extractor(ast.NodeVisitor):
                 self.assign_fact(f"{self.class_stack[-1]}.{t.attr}", None, lineno)
 
     def _handle_assign_targets(
-        self, targets: list[ast.expr], node: ast.AST, type_expr: str | None = None
+        self,
+        targets: list[ast.expr],
+        node: ast.AST,
+        type_expr: str | None = None,
+        alias: bool = False,
     ) -> None:
         for t in self._flatten_targets(targets):
             # emit a binding fact for EVERY target, even with no statically
@@ -373,7 +399,8 @@ class _Extractor(ast.NodeVisitor):
                     # class-body attribute ('class C: x: Foo') — the field
                     # key self-references use (C.x), not the scope key
                     self.assign_fact(
-                        f"{self.class_stack[-1]}.{t.id}", type_expr, node.lineno
+                        f"{self.class_stack[-1]}.{t.id}", type_expr, node.lineno,
+                        alias=alias,
                     )
                     cls = self.class_stack[-1]
                     full = f"{cls}.{t.id}"
@@ -383,7 +410,7 @@ class _Extractor(ast.NodeVisitor):
                         self.edge_fact(cls, "HAS_FIELD", full)
                 else:
                     self.assign_fact(
-                        f"{self.scope}::{t.id}", type_expr, node.lineno
+                        f"{self.scope}::{t.id}", type_expr, node.lineno, alias=alias
                     )
                     if self.in_module_scope:
                         full = f"{self.module}.{t.id}"
@@ -393,7 +420,7 @@ class _Extractor(ast.NodeVisitor):
                         )
             elif self._is_self_attr(t):
                 cls = self.class_stack[-1]
-                self.assign_fact(f"{cls}.{t.attr}", type_expr, node.lineno)
+                self.assign_fact(f"{cls}.{t.attr}", type_expr, node.lineno, alias=alias)
                 full = f"{cls}.{t.attr}"
                 if full not in self.seen_fields:
                     self.seen_fields.add(full)
@@ -492,9 +519,12 @@ class _Extractor(ast.NodeVisitor):
             parts = dotted.split(".")
             key = f"{cls}.{parts[1]}" if len(parts) >= 3 else None
             return f"{cls}.{dotted[5:]}", key
-        key = None
-        if "." in dotted:
-            key = f"{self.scope}::{dotted.split('.')[0]}"
+        # bare names get a binding key too: a call THROUGH an alias
+        # (``Beast = Animal; Beast(...)``) needs the deep pass to look up
+        # scope::Beast. Harmless for non-alias bindings — the overlay's
+        # equality rewrite is gated on the ALIAS flag, so ``pet = Animal();
+        # pet`` never rewrites the bare instance name to its class.
+        key = f"{self.scope}::{dotted.split('.')[0]}"
         return dotted, key
 
     def visit_Import(self, node: ast.Import) -> None:

@@ -110,6 +110,7 @@ class Trainer:
 """
 
 DEEP_APP = """\
+import zoo.animals as za
 from zoo.animals import Animal, Trainer
 
 class Puppy(Animal):
@@ -154,6 +155,34 @@ class Keeper:
     def tend(self):
         self.coach.train(self.buddy)
         return self.buddy.speak()
+
+
+class Shelter:
+    def setup(self):
+        self.vet = Trainer()
+
+    def checkup(self):
+        return self.vet.train(None)
+
+
+def deliver():
+    Beast = Animal
+    return Beast("al")
+
+
+def coach_session():
+    coach = Trainer
+    return coach.train(None)
+
+
+def stock():
+    factory = make_animal
+    return factory()
+
+
+def enroll():
+    trainer_cls = za.Trainer
+    return trainer_cls.train(None)
 """
 
 DEEP_V1 = [

@@ -22,6 +22,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _clear_stale_location(spark: SparkSession, table: str) -> None:
+    """The session catalog is in-memory but the warehouse DIRECTORY is
+    not: a table written by a previous session leaves its location behind
+    with no catalog entry, and saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS even in overwrite mode. Drop any catalog
+    entry, then remove the orphan directory (same Hadoop-FS pattern as
+    streaming/repo_index's snapshot probes)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{table.lower()}")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -44,6 +60,8 @@ def write_bucketed(
     filters) and each partition holds one file per bucket (one per task ×
     partition value) — joins on the bucket key stay Exchange-free, though
     the Sort elision no longer applies across partitions."""
+    if mode == "overwrite":
+        _clear_stale_location(df.sparkSession, table)
     writer = df.repartition(n_buckets, *bucket_cols).write
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)

@@ -235,7 +235,9 @@ def base_resolution(
     r_asg = assigns.select(
         F.lit("assign").alias("__tag"),
         null_s.alias("src"),
-        null_s.alias("rel_type"),
+        # the rel_type slot carries the binding MODE for assign rows:
+        # 'ALIAS' (a = Foo — name holds the symbol) vs NULL (instance)
+        F.col("association_type").alias("rel_type"),
         F.col("dst").alias("target"),
         F.col("module").alias("ref_module"),
         F.col("full_name").alias("bind_key"),
@@ -284,8 +286,14 @@ def class_bindings_post(
 
     A type expr resolving to a FUNCTION/METHOD consults the return-type
     table — ``x = make_animal()`` binds x to the annotated return class,
-    like jedi. Last assignment per key wins, by statement ordinal; a
-    known type beats a poison row on the same ordinal."""
+    like jedi. ALIAS bindings (``a = Foo`` / ``a = mod.Foo``, marked by
+    the extractor) bind the name to the SYMBOL itself: an aliased
+    FUNCTION/METHOD stays itself (calling the alias is calling the
+    function, not its return type) and the output flag ``bound_alias``
+    lets the overlay rewrite a bare-name ref equal to the binding key —
+    valid only for aliases, never for instance bindings. Last assignment
+    per key wins, by statement ordinal; a known type beats a poison row
+    on the same ordinal."""
     resolved = base.filter(F.col("__tag") == "assign")
     ret = return_types_post(base)
     resolved = resolved.join(
@@ -299,8 +307,14 @@ def class_bindings_post(
         F.col("resolved") == F.col("__rt_fn"),
         "left",
     )
-    bound = F.when(F.col("resolved_kind") == "CLASS", F.col("resolved")).when(
-        F.col("resolved_kind").isin("FUNCTION", "METHOD"), F.col("__rt_cls")
+    is_alias = F.col("rel_type") == "ALIAS"
+    bound = (
+        F.when(F.col("resolved_kind") == "CLASS", F.col("resolved"))
+        .when(
+            is_alias & F.col("resolved_kind").isin("FUNCTION", "METHOD"),
+            F.col("resolved"),
+        )
+        .when(F.col("resolved_kind").isin("FUNCTION", "METHOD"), F.col("__rt_cls"))
     )
     resolved = resolved.withColumn("__bound", bound)
     w = Window.partitionBy("bind_key").orderBy(
@@ -309,7 +323,13 @@ def class_bindings_post(
     return (
         resolved.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select("bind_key", F.col("__bound").alias("bound_cls"))
+        .select(
+            "bind_key",
+            F.col("__bound").alias("bound_cls"),
+            (F.coalesce(is_alias, F.lit(False)) & F.col("__bound").isNotNull()).alias(
+                "bound_alias"
+            ),
+        )
     )
 
 
@@ -344,7 +364,9 @@ def _deep_overlay(
     r = r.join(
         _maybe_b(
             bnd.select(
-                F.col("bind_key").alias("__k1"), F.col("bound_cls").alias("__cls1")
+                F.col("bind_key").alias("__k1"),
+                F.col("bound_cls").alias("__cls1"),
+                F.col("bound_alias").alias("__al1"),
             ),
             small,
         ),
@@ -353,7 +375,9 @@ def _deep_overlay(
     ).join(
         _maybe_b(
             bnd.select(
-                F.col("bind_key").alias("__k2"), F.col("bound_cls").alias("__cls2")
+                F.col("bind_key").alias("__k2"),
+                F.col("bound_cls").alias("__cls2"),
+                F.col("bound_alias").alias("__al2"),
             ),
             small,
         ),
@@ -364,15 +388,27 @@ def _deep_overlay(
     bound = F.when(F.col("__k1").isNotNull(), F.col("__cls1")).otherwise(
         F.col("__cls2")
     )
+    alias_flag = F.coalesce(
+        F.when(F.col("__k1").isNotNull(), F.col("__al1")).otherwise(F.col("__al2")),
+        F.lit(False),
+    )
     # the prefix the binding replaces: 'head' for scope::head keys, the
     # full Class.attr name for field keys
     prefix = F.when(
         F.col("bind_key").contains("::"), F.substring_index("bind_key", "::", -1)
     ).otherwise(F.col("bind_key"))
+    # a target EQUAL to the prefix (a call through the bare name) rewrites
+    # only for ALIAS bindings — ``Beast = Animal; Beast(...)`` resolves to
+    # the class; for instance bindings the bare name is the instance, not
+    # its class, so equality stays un-rewritten
     r = r.withColumn("__prefix", prefix).withColumn(
         "__deep_target",
         F.when(
-            bound.isNotNull() & (F.length("target") > F.length("__prefix")),
+            bound.isNotNull()
+            & (
+                (F.length("target") > F.length("__prefix"))
+                | (alias_flag & (F.col("target") == F.col("__prefix")))
+            ),
             F.concat(bound, F.expr("substring(target, length(__prefix) + 1)")),
         ),
     )

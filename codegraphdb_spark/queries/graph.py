@@ -785,11 +785,15 @@ def _deep_graph(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
       ('zoo.animals.Trainer.train', 'unsolved symbol'),
       ('zoo.app.Keeper.tend', 'zoo.animals.Animal.speak'),
       ('zoo.app.Keeper.tend', 'zoo.animals.Trainer.train'),
+      ('zoo.app.Shelter.checkup', 'zoo.animals.Trainer.train'),
       ('zoo.app.adopt', 'zoo.animals.Animal.describe'),
       ('zoo.app.adopt', 'zoo.app.Puppy.lick'),
+      ('zoo.app.coach_session', 'zoo.animals.Trainer.train'),
+      ('zoo.app.enroll', 'zoo.animals.Trainer.train'),
       ('zoo.app.rehome', 'zoo.app.Puppy.lick'),
       ('zoo.app.rehome', 'zoo.app.breed'),
       ('zoo.app.run', 'zoo.animals.Animal.speak'),
+      ('zoo.app.stock', 'zoo.app.make_animal'),
       ('zoo.app.visit', 'zoo.animals.Animal.describe'),
       ('zoo.app.visit', 'zoo.app.make_animal')
     ) t(src, dst) ORDER BY src, dst
@@ -807,9 +811,16 @@ def g_call_edges_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return types (operators/resolve.return_types), and UNANNOTATED
     factories (``def breed(): return Puppy(...)``) via static single-shape
     return inference (ast_extract._inferred_return — the conservative
-    slice of jedi's body inference). ``a.speak()`` on an untyped parameter
-    stays unsolved — jedi infers from call sites; the join-based pass
-    deliberately does not."""
+    slice of jedi's body inference). Since round 4 it also covers ALIAS
+    bindings (``coach = Trainer; coach.train()``, ``trainer_cls =
+    za.Trainer; trainer_cls.train()``, ``factory = make_animal;
+    factory()``) and instance-field ctor bindings OUTSIDE __init__
+    (``Shelter.setup: self.vet = Trainer()`` → ``checkup:
+    self.vet.train()``); the alias ctor call ``Beast = Animal;
+    Beast(...)`` resolves to the class and is dropped by the CALL gate
+    exactly like a direct constructor call — no unsolved edge. ``a.speak()``
+    on an untyped parameter stays unsolved — jedi infers from call sites;
+    the join-based pass deliberately does not."""
     _, edges = _deep_graph(spark)
     return (
         edges.filter(F.col("rel_type") == "CALL")

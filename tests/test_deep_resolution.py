@@ -42,6 +42,26 @@ def test_assign_facts_emitted():
         ("zoo.app.Keeper.__init__::self", None),
         ("zoo.app.Keeper.tend::self", None),
         ("zoo.app.Puppy.lick::self", None),
+        ("zoo.app.Shelter.setup::self", None),
+        ("zoo.app.Shelter.checkup::self", None),
+        # field ctor binding OUTSIDE __init__
+        ("zoo.app.Shelter.vet", "Trainer"),
+        # ALIAS bindings (bare Name / Attribute RHS)
+        ("zoo.app.deliver::Beast", "Animal"),
+        ("zoo.app.coach_session::coach", "Trainer"),
+        ("zoo.app.stock::factory", "make_animal"),
+        ("zoo.app.enroll::trainer_cls", "za.Trainer"),
+    }
+    alias_keys = {
+        f["full_name"]
+        for f in facts
+        if f["fact"] == "assign" and f["association_type"] == "ALIAS"
+    }
+    assert alias_keys == {
+        "zoo.app.deliver::Beast",
+        "zoo.app.coach_session::coach",
+        "zoo.app.stock::factory",
+        "zoo.app.enroll::trainer_cls",
     }
     returns = {
         (f["full_name"], f["dst"]) for f in facts if f["fact"] == "returns"
@@ -50,6 +70,10 @@ def test_assign_facts_emitted():
         ("zoo.app.make_animal", "Animal"),
         # static inference of the unannotated `return Puppy(...)` shape
         ("zoo.app.breed", "Puppy"),
+        # inferred single-ctor-shape returns through local names; they
+        # resolve to nothing class-like and stay inert downstream
+        ("zoo.app.deliver", "Beast"),
+        ("zoo.app.stock", "factory"),
     }
 
 
@@ -93,6 +117,17 @@ def test_deep_call_edges(deep_graph):
         # unannotated factory: same shape through the INFERRED return type
         ("zoo.app.rehome", "zoo.app.breed"),
         ("zoo.app.rehome", "zoo.app.Puppy.lick"),
+        # field ctor binding outside __init__ (r4)
+        ("zoo.app.Shelter.checkup", "zoo.animals.Trainer.train"),
+        # class alias: method call through the alias (r4)
+        ("zoo.app.coach_session", "zoo.animals.Trainer.train"),
+        # attribute-RHS class alias (za.Trainer) (r4)
+        ("zoo.app.enroll", "zoo.animals.Trainer.train"),
+        # function alias: bare-name call resolves to the aliased function
+        ("zoo.app.stock", "zoo.app.make_animal"),
+        # NOTE deliver (Beast = Animal; Beast("al")) is absent by design:
+        # the alias ctor call resolves to the CLASS and the CALL gate
+        # drops it like any direct constructor call — no unsolved edge
     }
 
 
