@@ -24,6 +24,95 @@ from codegraphdb_spark import registry  # noqa: E402
 from codegraphdb_spark.session import get_spark  # noqa: E402
 
 
+def _pruned_update_bench(spark, n_pkgs: int) -> dict:
+    """Scale validation of the dependency-pruned incremental update
+    (VERDICT r3 item 5): build a synthetic ~3·n_pkgs-file monorepo
+    (tools/stress_graph.synth_repo — mini-repo shape × N with
+    cross-package inheritance), apply a 10-file change, run the FULL
+    recompile update and the PRUNED update, ASSERT result-equality
+    (exceptAll in both directions on nodes and edges), and report wall
+    times + the affected-set size. Reference lifecycle being beaten:
+    update_version.py:58-73 (full re-walk per update)."""
+    from codegraphdb_spark.engine import GraphEngine
+    from codegraphdb_spark.operators.incremental import affected_files
+    from codegraphdb_spark.sources.repo import files_from_pairs
+    from tools.stress_graph import synth_repo
+
+    pairs = synth_repo(n_pkgs)
+    eng = GraphEngine(spark)
+    t0 = time.time()
+    nodes, edges, facts = eng.build(files_from_pairs(spark, pairs), "v1")
+    nodes = nodes.localCheckpoint()
+    edges = edges.localCheckpoint()
+    nodes.count()
+    edges.count()
+    build_sec = round(time.time() - t0, 3)
+
+    step = max(1, n_pkgs // 10)
+    idxs = [i * step for i in range(10) if i * step < n_pkgs]
+    change_list = [f"pkg{i:05d}/core.py" for i in idxs]
+    changed_pairs = [
+        (
+            f"pkg{i:05d}/core.py",
+            f"LIMIT_{i} = {i + 1000}\n\n"
+            f"class Base{i}:\n"
+            f"    kind = 'changed'\n"
+            f"    def __init__(self):\n        self.state = 9\n"
+            f"    def step(self):\n        return LIMIT_{i} + 1\n"
+            f"    def reset(self):\n        self.state = 9\n"
+            f"    def audit(self):\n        return self.step()\n",
+        )
+        for i in idxs
+    ]
+    changed_files = files_from_pairs(spark, changed_pairs)
+
+    t0 = time.time()
+    fn, fe, _ = eng.update_version(
+        nodes, edges, facts, changed_files, change_list, "v2"
+    )
+    fn = fn.localCheckpoint()
+    fe = fe.localCheckpoint()
+    fn.count()
+    fe.count()
+    full_sec = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    pn, pe, facts2 = eng.update_version_pruned(
+        nodes, edges, facts, changed_files, change_list, "v2"
+    )
+    pn = pn.localCheckpoint()
+    pe = pe.localCheckpoint()
+    pn.count()
+    pe.count()
+    pruned_sec = round(time.time() - t0, 3)
+
+    n_affected = affected_files(facts2, facts, change_list).count()
+
+    # correctness gate, not just a timing: the pruned path must be
+    # result-equal to the full recompile AT THIS SCALE
+    for label, a, b in (
+        ("nodes", fn, pn),
+        ("nodes", pn, fn),
+        ("edges", fe, pe),
+        ("edges", pe, fe),
+    ):
+        diff = a.exceptAll(b)
+        if not diff.isEmpty():
+            raise AssertionError(
+                f"pruned != full on {label}: {diff.limit(3).collect()}"
+            )
+
+    return {
+        "files": len(pairs),
+        "changed_files": len(change_list),
+        "affected_files": n_affected,
+        "build_sec": build_sec,
+        "full_update_sec": full_sec,
+        "pruned_update_sec": pruned_sec,
+        "result_equal": True,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -64,6 +153,13 @@ def main() -> None:
         fn(spark, sf_dir).collect()
         warm[name] = round(time.time() - t0, 3)
 
+    # pruned-update scale validation (~2k files, 10-file change) — set
+    # SPARK_GRAFT_PRUNED_PKGS=0 to skip while iterating locally
+    pruned_pkgs = int(os.environ.get("SPARK_GRAFT_PRUNED_PKGS", "667"))
+    pruned_rec = (
+        _pruned_update_bench(spark, pruned_pkgs) if pruned_pkgs > 0 else None
+    )
+
     total = round(sum(timings.values()), 3)
     record = {
         "metric": "total_query_wall_sec",
@@ -75,6 +171,7 @@ def main() -> None:
         "cold": True,  # "queries" are first-run-in-session times
         "queries_warm": warm,
         "warm_total_sec": round(sum(warm.values()), 3),
+        "pruned_update": pruned_rec,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_local.json"), "w") as fh:
@@ -90,6 +187,7 @@ def main() -> None:
         "cold": True,
         "graph_build_sec": graph_build_sec,
         "bench_file": "BENCH_local.json",
+        "pruned_update": pruned_rec,
         "queries": {k: round(v, 2) for k, v in timings.items()},
     }
     print(json.dumps(slim, separators=(",", ":")))

@@ -27,6 +27,8 @@ queries run verbatim:
     MATCH (c:CLASS) OPTIONAL MATCH (c)-[:INHERITS]->(b) RETURN c.name, b.name
     MATCH (c:CLASS {name: 'Dog'})-[:HAS_METHOD]->(m:METHOD)
         RETURN m.name, m.signature, m.code   -- code = lazy <CODE> pointer
+    MATCH (c:CLASS {name: $who}) WHERE c.name =~ 'D.*' RETURN c  -- params/regex
+    UNWIND $names AS nm MATCH (c:CLASS) WHERE c.name = nm RETURN nm, c.full_name
 
 Label semantics mirror the reference: a label that is a known KIND filters
 ``kind``; any other label is a version tag and filters
@@ -423,7 +425,16 @@ def _predicate(raw: str, binds: dict[str, str], plain: set[str] | None = None):
         raise CypherError(f"unbound variable {var!r} in WHERE")
     col = F.col(f"{binds[var]}__{m.group('prop')}")
     op = re.sub(r"\s+", " ", m.group("op").upper())
-    return _apply_op(col, op, _literal(m.group("val")))
+    val_raw = m.group("val").strip()
+    if plain and re.fullmatch(r"\w+", val_raw) and val_raw in plain:
+        # RHS is a bare projected column (UNWIND variable / WITH alias):
+        # compare column-to-column, e.g. `WHERE n.name = x` after UNWIND
+        if op in ("STARTS WITH", "ENDS WITH", "CONTAINS", "=~", "IN"):
+            raise CypherError(
+                f"operator {op} does not accept a column RHS ({val_raw!r})"
+            )
+        return _apply_op(col, op, F.col(val_raw))
+    return _apply_op(col, op, _literal(val_raw))
 
 
 def _apply_op(col, op: str, val):
@@ -607,11 +618,16 @@ def _compile_chain(
     state: dict[str, int],
     df: DataFrame | None = None,
     plain: set[str] | None = None,
+    carried_product: bool = False,
 ):
     """Compile a ``MATCH p [WHERE w] (OPTIONAL MATCH p_i [WHERE w_i])*``
     clause chain. With a carried ``df`` (post-WITH), the first MATCH inner-
     joins on its shared variables; per Cypher, a WHERE after an OPTIONAL
-    MATCH filters THAT pattern before the left join."""
+    MATCH filters THAT pattern before the left join. ``carried_product``
+    marks a carried frame with NO pattern variables (an UNWIND literal
+    row set): the MATCH combines with it by product — per Cypher, UNWIND
+    multiplies the incoming rows — which is safe because the unwound side
+    is a bounded literal list, never a table."""
     segments = re.split(r"\bOPTIONAL\s+MATCH\b", head, flags=re.IGNORECASE)
     head_m = re.match(r"^\s*MATCH\b(?P<rest>.*)$", segments[0], re.IGNORECASE | re.DOTALL)
     if not head_m:
@@ -621,6 +637,9 @@ def _compile_chain(
     mdf, local_binds, cross = _compile_pattern(pattern, nodes, edges, binds, state)
     if df is None:
         df = mdf
+    elif not cross and carried_product:
+        # UNWIND rows × pattern rows (Cypher row-multiplication semantics)
+        df = df.crossJoin(mdf)
     else:
         # MATCH after WITH: inner join on the variables shared with the
         # carried scope (requiring one keeps products explicit)
@@ -843,6 +862,34 @@ def _run_cypher_inner(
     allow_cartesian: bool,
 ) -> DataFrame:
     text = cypher.strip()
+    # leading UNWIND clauses: a bounded literal (or $param) list becomes a
+    # row set whose column is usable as a bare name in WHERE/RETURN; per
+    # Cypher, a following MATCH multiplies rows against it
+    udf: DataFrame | None = None
+    unwind_plain: set[str] = set()
+    while True:
+        mu = re.match(
+            r"(?is)^\s*UNWIND\s+(?P<expr>\[[^\]]*\]|\$\w+)\s+AS\s+(?P<var>\w+)\s+"
+            r"(?P<rest>.*)$",
+            text,
+        )
+        if not mu:
+            break
+        values = _literal(mu.group("expr"))
+        if not isinstance(values, list) or not values:
+            raise CypherError(
+                "UNWIND needs a non-empty [list] literal or a $param list"
+            )
+        head_is_str = isinstance(values[0], str)
+        if not all(isinstance(v, str) == head_is_str for v in values):
+            raise CypherError("UNWIND list items must be all-string or all-int")
+        var = mu.group("var")
+        vdf = nodes.sparkSession.createDataFrame(
+            [(v,) for v in values], f"{var} {'string' if head_is_str else 'bigint'}"
+        )
+        udf = vdf if udf is None else udf.crossJoin(vdf)
+        unwind_plain.add(var)
+        text = mu.group("rest")
     m = _RETURN_RX.match(text)
     if not m:
         raise CypherError(
@@ -854,9 +901,23 @@ def _run_cypher_inner(
 
     state = {"node_i": 0, "anon": 0, "allow_cartesian": allow_cartesian}
     binds: dict[str, str] = {}  # var -> dataframe alias (first binding wins)
-    plain: set[str] = set()  # bare columns introduced by WITH aliases
+    # bare columns introduced by WITH aliases or UNWIND
+    plain: set[str] = set(unwind_plain)
 
-    df = _compile_chain(with_parts[0], nodes, edges, binds, state)
+    if udf is not None and not with_parts[0].strip():
+        # pure UNWIND ... RETURN — no pattern at all
+        df = udf
+    else:
+        df = _compile_chain(
+            with_parts[0],
+            nodes,
+            edges,
+            binds,
+            state,
+            udf,
+            plain,
+            carried_product=udf is not None,
+        )
     for wp in with_parts[1:]:
         df, plain = _apply_with(df, wp, nodes, edges, binds, plain, state)
 

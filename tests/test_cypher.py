@@ -680,3 +680,46 @@ def test_with_rebinds_node_variable(graph):
     ).collect()
     assert whole[0]["x_full_name"] == "pkgb.dog.Dog"
     assert whole[0]["x_kind"] == "CLASS"
+
+
+def test_unwind_match_where(graph):
+    """UNWIND rows multiply against the MATCH and the unwound column is
+    usable in WHERE (column-to-column compare) and RETURN."""
+    nodes, edges = graph
+    out = run_cypher(
+        "UNWIND ['Dog', 'Puppy', 'Nope'] AS nm "
+        "MATCH (c:CLASS) WHERE c.name = nm "
+        "RETURN c.full_name AS fn ORDER BY fn",
+        nodes,
+        edges,
+    ).collect()
+    assert [r["fn"] for r in out] == ["pkgb.dog.Dog", "pkgb.puppy.Puppy"]
+
+
+def test_unwind_pure_return(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "UNWIND [3, 1, 2] AS x RETURN x ORDER BY x", nodes, edges
+    ).collect()
+    assert [r["x"] for r in out] == [1, 2, 3]
+
+
+def test_unwind_param_list(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "UNWIND $names AS nm MATCH (c:CLASS) WHERE c.name = nm "
+        "RETURN nm, c.file_path AS fp ORDER BY nm",
+        nodes,
+        edges,
+        params={"names": ["Animal", "Dog"]},
+    ).collect()
+    assert [(r["nm"], r["fp"]) for r in out] == [
+        ("Animal", "pkga/base.py"),
+        ("Dog", "pkgb/dog.py"),
+    ]
+
+
+def test_unwind_rejects_heterogeneous(graph):
+    nodes, edges = graph
+    with pytest.raises(CypherError):
+        run_cypher("UNWIND [1, 'a'] AS x RETURN x", nodes, edges)
