@@ -74,7 +74,7 @@ def main(argv: list[str] | None = None) -> int:
         # nothing and module names would be derived from absolute paths
         files = scan_repo(spark, os.path.abspath(args.repo_dir))
         nodes, edges, facts = eng.build(files, args.version)
-        eng.write_snapshot(nodes, edges, args.snapshot_dir)
+        eng.write_snapshot(nodes, edges, args.snapshot_dir, atomic=True)
         facts.write.mode("overwrite").parquet(
             f"{args.snapshot_dir}/facts_{args.version}"
         )
@@ -120,7 +120,7 @@ def main(argv: list[str] | None = None) -> int:
         # materialize before overwriting the snapshot dirs we read from
         nodes = nodes.localCheckpoint(eager=True)
         edges = edges.localCheckpoint(eager=True)
-        eng.write_snapshot(nodes, edges, args.snapshot_dir)
+        eng.write_snapshot(nodes, edges, args.snapshot_dir, atomic=True)
         facts.write.mode("overwrite").parquet(f"{args.snapshot_dir}/facts_{args.new}")
         print(f"updated {args.old} -> {args.new}: {nodes.count()} nodes")
         return 0

@@ -582,11 +582,39 @@ class GraphEngine:
 
     # -- persistence -----------------------------------------------------------
 
-    def write_snapshot(self, nodes: DataFrame, edges: DataFrame, path: str) -> None:
+    def write_snapshot(
+        self, nodes: DataFrame, edges: DataFrame, path: str, atomic: bool = False
+    ) -> None:
         """Parquet snapshot partitioned by kind/rel_type (partition pruning
         for label-filtered queries — the reference's C2 shape) and sorted
         within partitions by key for row-group min/max pruning on point
-        lookups (C1)."""
+        lookups (C1).
+
+        ``atomic=True`` generalizes the streaming indexer's staged-commit
+        pattern (streaming/repo_index._staged_commit) to every snapshot
+        write: both tables land in a ``.stage`` sibling first, then swap
+        in with per-table metadata renames — a reader never observes a
+        snapshot whose nodes and edges come from different writes because
+        a long overwrite died in the middle. Single-writer semantics (the
+        design replaces the reference's global write lock with
+        deterministic merge jobs); concurrent WRITERS would need a
+        log-structured table format (Delta/Iceberg) on top."""
+        if atomic:
+            from codegraphdb_spark.streaming.repo_index import _hadoop_fs
+
+            stage = path.rstrip("/") + ".stage"
+            fs, stage_path = _hadoop_fs(self.spark, stage)
+            fs.delete(stage_path, True)
+            self.write_snapshot(nodes, edges, stage, atomic=False)
+            jvm = self.spark._jvm
+            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(path))
+            for name in ("nodes", "edges"):
+                src = jvm.org.apache.hadoop.fs.Path(f"{stage}/{name}")
+                dst = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{name}")
+                fs.delete(dst, True)
+                fs.rename(src, dst)
+            fs.delete(stage_path, True)
+            return
         (
             nodes.repartition("kind")
             .sortWithinPartitions("full_name")

@@ -64,3 +64,30 @@ def test_kind_filter_prunes_partitions(built, tmp_path, spark):
     )
     # partition filter present (pruning), not a post-scan filter on kind
     assert "PartitionFilters" in plan and "kind" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_atomic_snapshot_swap(spark, tmp_path):
+    """atomic=True stages both tables then swaps: overwriting an existing
+    snapshot leaves no .stage residue, the new content is fully visible,
+    and a leftover .stage dir from a crashed writer is cleared."""
+    import os
+
+    from codegraphdb_spark.engine import GraphEngine
+    from codegraphdb_spark.sources.repo import files_from_pairs
+    from tests.fixtures import mini_repo
+
+    eng = GraphEngine(spark)
+    nodes, edges, _ = eng.build(files_from_pairs(spark, mini_repo.V1), "v1")
+    path = str(tmp_path / "snap")
+    eng.write_snapshot(nodes, edges, path, atomic=True)
+    n1, e1 = eng.read_snapshot(path)
+    assert n1.count() == nodes.count() and e1.count() == edges.count()
+
+    # simulate a crashed writer's residue, then overwrite atomically
+    os.makedirs(path + ".stage/nodes", exist_ok=True)
+    with open(path + ".stage/nodes/garbage", "w") as fh:
+        fh.write("junk")
+    eng.write_snapshot(nodes, edges, path, atomic=True)
+    assert not os.path.exists(path + ".stage")
+    n2, e2 = eng.read_snapshot(path)
+    assert n2.count() == nodes.count() and e2.count() == edges.count()
