@@ -44,6 +44,7 @@ from codegraphdb_spark.operators.resolve import (
     _deep_overlay,
     base_resolution,
     class_bindings_post,
+    deepen_bindings,
     gate_edges,
     reexport_contains,
 )
@@ -180,6 +181,9 @@ class GraphEngine:
         bases = transitive_bases(resolved_inh)
         method_map = inherited_method_map(bases, local_edges)
         bnd = class_bindings_post(base, small=self.small_repo)
+        # second-level bindings: x = t.recruit() through t's own binding
+        # and recruit's annotated return (one extra level, no fixpoint)
+        bnd = deepen_bindings(base, bnd, sym, method_map, small=self.small_repo)
         deep = _deep_overlay(
             ref_rows.filter(F.col("rel_type") != "INHERITS"),
             bnd,
@@ -480,6 +484,7 @@ class GraphEngine:
         )
         method_map = inherited_method_map(bases, direct_comb)
         bnd = class_bindings_post(base, small=self.small_repo)
+        bnd = deepen_bindings(base, bnd, sym, method_map, small=self.small_repo)
         deep = _deep_overlay(
             ref_rows.filter(F.col("rel_type") != "INHERITS"),
             bnd,

@@ -107,6 +107,9 @@ class Animal:
 class Trainer:
     def train(self, a):
         return a.speak()
+
+    def recruit(self) -> Animal:
+        return Animal("recruit")
 """
 
 DEEP_APP = """\
@@ -183,6 +186,12 @@ def stock():
 def enroll():
     trainer_cls = za.Trainer
     return trainer_cls.train(None)
+
+
+def chain():
+    t = Trainer()
+    pet = t.recruit()
+    return pet.describe()
 """
 
 DEEP_V1 = [

@@ -333,6 +333,124 @@ def class_bindings_post(
     )
 
 
+def deepen_bindings(
+    base: DataFrame,
+    bnd: DataFrame,
+    sym: DataFrame,
+    method_map: DataFrame | None = None,
+    small: bool = False,
+) -> DataFrame:
+    """ONE extra level of binding inference (jedi-parity notch, reference
+    indexer_visitor.py:655-662): ``t = Trainer(); pet = t.recruit()``
+    binds ``pet`` to recruit's ANNOTATED return class — the first pass
+    leaves pet unresolved because its type expr ('t.recruit') heads at a
+    local name only the binding table knows.
+
+    Scope of the slice (conservative, false bindings are worse than
+    missed ones): only keys the FIRST pass left null; only dotted targets
+    whose head is a plain local/global name (scope::head — ``self.…``
+    chains and field keys stay first-pass-only); resolution through the
+    head's bound class, validated against the symbol table or the
+    inherited-method map, then through the annotated-return table for
+    callables. Keys that still fail REMAIN poison rows (shadowing intact).
+    Not a fixpoint: exactly one extra level, no iteration."""
+    ret = return_types_post(base)
+    asg = base.filter(F.col("__tag") == "assign")
+    w = Window.partitionBy("bind_key").orderBy(
+        F.col("__ord").desc_nulls_last(), F.col("target").asc_nulls_last()
+    )
+    winners = asg.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    unresolved = bnd.filter(F.col("bound_cls").isNull()).select("bind_key")
+    cand = (
+        winners.join(unresolved, "bind_key", "left_semi")
+        .filter(
+            F.col("bind_key").contains("::")
+            & F.col("target").isNotNull()
+            & F.col("target").contains(".")
+            & ~F.col("target").startswith("self.")
+        )
+        .withColumn("__head", F.substring_index("target", ".", 1))
+        .withColumn(
+            "__lk",
+            F.concat(
+                F.substring_index("bind_key", "::", 1),
+                F.lit("::"),
+                F.col("__head"),
+            ),
+        )
+    )
+    heads = bnd.filter(F.col("bound_cls").isNotNull()).select(
+        F.col("bind_key").alias("__lk"), F.col("bound_cls").alias("__hcls")
+    )
+    cand = cand.join(_maybe_b(heads, small), "__lk").withColumn(
+        "__t2",
+        F.concat(F.col("__hcls"), F.expr("substring(target, length(__head) + 1)")),
+    )
+    cand = cand.join(
+        _maybe_b(
+            sym.select(
+                F.col("sym_name").alias("__t2"), F.col("sym_kind").alias("__k2")
+            ),
+            small,
+        ),
+        "__t2",
+        "left",
+    )
+    if method_map is not None:
+        cand = cand.join(
+            _maybe_b(
+                method_map.select(
+                    F.col("derived_name").alias("__t2"),
+                    F.col("method_name").alias("__mm"),
+                ),
+                small,
+            ),
+            "__t2",
+            "left",
+        )
+    else:
+        cand = cand.withColumn("__mm", F.lit(None).cast("string"))
+    resolved2 = F.when(F.col("__k2").isNotNull(), F.col("__t2")).otherwise(
+        F.col("__mm")
+    )
+    kind2 = F.when(F.col("__k2").isNotNull(), F.col("__k2")).when(
+        F.col("__mm").isNotNull(), F.lit("METHOD")
+    )
+    cand = cand.withColumn("__r2", resolved2).withColumn("__kk2", kind2)
+    cand = cand.join(
+        _maybe_b(
+            ret.select(F.col("fn_name").alias("__r2"), F.col("ret_cls").alias("__rc")),
+            small,
+        ),
+        "__r2",
+        "left",
+    )
+    is_alias = F.col("rel_type") == "ALIAS"
+    bound2 = (
+        F.when(F.col("__kk2") == "CLASS", F.col("__r2"))
+        .when(is_alias & F.col("__kk2").isin("FUNCTION", "METHOD"), F.col("__r2"))
+        .when(F.col("__kk2").isin("FUNCTION", "METHOD"), F.col("__rc"))
+    )
+    extra = (
+        cand.select(
+            "bind_key",
+            bound2.alias("__b2"),
+            (F.coalesce(is_alias, F.lit(False)) & bound2.isNotNull()).alias("__a2"),
+        )
+        .filter(F.col("__b2").isNotNull())
+        .dropDuplicates(["bind_key"])
+    )
+    return bnd.join(extra, "bind_key", "left").select(
+        "bind_key",
+        F.coalesce("bound_cls", "__b2").alias("bound_cls"),
+        (
+            F.coalesce("bound_alias", F.lit(False)) | F.coalesce("__a2", F.lit(False))
+        ).alias("bound_alias"),
+    )
+
+
 def _deep_overlay(
     r: DataFrame,
     bnd: DataFrame,

@@ -788,6 +788,8 @@ def _deep_graph(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
       ('zoo.app.Shelter.checkup', 'zoo.animals.Trainer.train'),
       ('zoo.app.adopt', 'zoo.animals.Animal.describe'),
       ('zoo.app.adopt', 'zoo.app.Puppy.lick'),
+      ('zoo.app.chain', 'zoo.animals.Animal.describe'),
+      ('zoo.app.chain', 'zoo.animals.Trainer.recruit'),
       ('zoo.app.coach_session', 'zoo.animals.Trainer.train'),
       ('zoo.app.enroll', 'zoo.animals.Trainer.train'),
       ('zoo.app.rehome', 'zoo.app.Puppy.lick'),
@@ -818,9 +820,12 @@ def g_call_edges_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``Shelter.setup: self.vet = Trainer()`` → ``checkup:
     self.vet.train()``); the alias ctor call ``Beast = Animal;
     Beast(...)`` resolves to the class and is dropped by the CALL gate
-    exactly like a direct constructor call — no unsolved edge. ``a.speak()``
-    on an untyped parameter stays unsolved — jedi infers from call sites;
-    the join-based pass deliberately does not."""
+    exactly like a direct constructor call — no unsolved edge; and
+    SECOND-LEVEL bindings (``t = Trainer(); pet = t.recruit()`` binds pet
+    through t's binding and recruit's annotated return —
+    operators/resolve.deepen_bindings, one extra level, no fixpoint).
+    ``a.speak()`` on an untyped parameter stays unsolved — jedi infers
+    from call sites; the join-based pass deliberately does not."""
     _, edges = _deep_graph(spark)
     return (
         edges.filter(F.col("rel_type") == "CALL")

@@ -51,6 +51,10 @@ def test_assign_facts_emitted():
         ("zoo.app.coach_session::coach", "Trainer"),
         ("zoo.app.stock::factory", "make_animal"),
         ("zoo.app.enroll::trainer_cls", "za.Trainer"),
+        # second-level chain: pet binds through t's binding + recruit's
+        # annotated return (deepen_bindings)
+        ("zoo.app.chain::t", "Trainer"),
+        ("zoo.app.chain::pet", "t.recruit"),
     }
     alias_keys = {
         f["full_name"]
@@ -125,6 +129,9 @@ def test_deep_call_edges(deep_graph):
         ("zoo.app.enroll", "zoo.animals.Trainer.train"),
         # function alias: bare-name call resolves to the aliased function
         ("zoo.app.stock", "zoo.app.make_animal"),
+        # second-level binding: pet = t.recruit() -> pet.describe() (r4)
+        ("zoo.app.chain", "zoo.animals.Trainer.recruit"),
+        ("zoo.app.chain", "zoo.animals.Animal.describe"),
         # NOTE deliver (Beast = Animal; Beast("al")) is absent by design:
         # the alias ctor call resolves to the CLASS and the CALL gate
         # drops it like any direct constructor call — no unsolved edge
