@@ -724,6 +724,36 @@ def g_cypher_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g_cypher_unwind_params",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('Animal', 'pkga.base.Animal'),
+      ('Dog', 'pkgb.dog.Dog')
+    ) t(nm, cls) ORDER BY nm
+    """,
+)
+def g_cypher_unwind_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 breadth (round 4): query parameters + UNWIND + whole-string
+    regex in one query — ``UNWIND $names AS nm`` multiplies a bounded
+    literal row set against the MATCH, the unwound column joins in WHERE
+    (column-to-column compare), and ``=~`` filters with Neo4j's
+    whole-string regex semantics: 'D.g|Animal' keeps Dog and Animal but
+    drops Puppy (and would NOT match 'Dog' as a substring of a longer
+    name)."""
+    from codegraphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges, _ = _graph(spark)
+    return run_cypher(
+        "UNWIND $names AS nm "
+        "MATCH (c:CLASS) WHERE c.name = nm AND c.name =~ 'D.g|Animal' "
+        "RETURN nm, c.full_name AS cls ORDER BY nm",
+        nodes,
+        edges,
+        params={"names": ["Animal", "Dog", "Puppy"]},
+    )
+
+
+@query(
     "g_cypher_extended",
     oracle="""
     SELECT * FROM (VALUES

@@ -51,6 +51,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _DRIVER_PRIORITY: list[str] = [
     # -- round 4: new or behavior-adjacent to this round's changes -------
     "g_bucketed_children",     # NEW: C4 on the bucketed snapshot layout
+    "g_cypher_unwind_params",  # NEW: UNWIND + $params + =~ regex
     "g_call_edges_deep",       # new goldens: alias bindings + non-__init__ field ctor
     "g_call_edges",            # resolver change (bare-name bind keys) touches all refs
     "g_uses_edges",            # same resolver surface
