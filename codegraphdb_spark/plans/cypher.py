@@ -63,8 +63,11 @@ _EDGE = re.compile(
     r"(?:\{(?P<props>[^}]*)\})?\s*\]\s*-(?P<right>>)?"
 )
 _PROP = re.compile(r"(\w+)\s*:\s*(?:'([^']*)'|\"([^\"]*)\"|(\d+)|\$(\w+))")
+_SHORTEST_RX = re.compile(
+    r"(?is)^\s*(?P<pvar>\w+)\s*=\s*shortestPath\s*\(\s*(?P<inner>.*)\s*\)\s*$"
+)
 _ITEM = re.compile(
-    r"^\s*(?:(?P<func>labels|count|collect|min|max)\s*\(\s*"
+    r"^\s*(?:(?P<func>labels|count|collect|min|max|length)\s*\(\s*"
     r"(?P<farg>\*|\w+(?:\.\w+)?)\s*\)"
     r"|(?P<var>\w+)(?:\.(?P<prop>\w+))?)"
     r"(?:\s+AS\s+(?P<alias>\w+))?\s*$",
@@ -194,7 +197,12 @@ def _labels_col(prefix: str):
 
 
 def _varlen_pairs(
-    edges: DataFrame, rel: str, lo: int, hi: int, undirected: bool = False
+    edges: DataFrame,
+    rel: str,
+    lo: int,
+    hi: int,
+    undirected: bool = False,
+    with_dist: bool = False,
 ) -> DataFrame:
     """(src, dst) pairs connected by a path of lo..hi ``rel`` edges with
     openCypher RELATIONSHIP UNIQUENESS: no path traverses the same
@@ -223,7 +231,9 @@ def _varlen_pairs(
         F.col("src").alias("mid"), F.col("dst").alias("dst"), key.alias("__k")
     )
     hop = base.select("src", "dst", F.array(key).alias("__seen"))
-    out = hop.select("src", "dst") if lo <= 1 else None
+    out = (
+        hop.select("src", "dst", F.lit(1).alias("dist")) if lo <= 1 else None
+    )
     for depth in range(2, hi + 1):
         hop = (
             hop.select("src", F.col("dst").alias("mid"), "__seen")
@@ -239,11 +249,14 @@ def _varlen_pairs(
             .dropDuplicates()
         )
         if depth >= lo:
-            pairs = hop.select("src", "dst")
+            pairs = hop.select("src", "dst", F.lit(depth).alias("dist"))
             out = pairs if out is None else out.unionByName(pairs)
     if out is None:
         raise CypherError(f"empty hop range *{lo}..{hi}")
-    return out.dropDuplicates()
+    if with_dist:
+        # shortestPath(): minimal hop count per reachable pair
+        return out.groupBy("src", "dst").agg(F.min("dist").alias("dist"))
+    return out.select("src", "dst").dropDuplicates()
 
 
 def _split_chains(pattern: str) -> list[str]:
@@ -491,7 +504,20 @@ def _compile_pattern(
     for chain_text in _split_chains(pattern):
         pre_intra = len(intra_eq)
         pre_cross = len(cross_pairs)
+        # p = shortestPath((a)-[:REL*..n]->(b)): compile the inner chain
+        # with a DIST-carrying var-length expansion (min hops per pair —
+        # min-dist is what Neo4j's one-shortest-path-per-pair projects to
+        # for length(p)); the path variable binds to the dist column
+        sp_pvar = None
+        spm = _SHORTEST_RX.match(chain_text)
+        if spm:
+            sp_pvar = spm.group("pvar")
+            chain_text = spm.group("inner")
         tokens = _parse_pattern(chain_text)
+        if sp_pvar is not None and len(tokens) != 3:
+            raise CypherError(
+                "shortestPath supports exactly (a)-[:REL*lo..hi]->(b)"
+            )
         chain_df = None
         prev_alias = None
         pending_edge: tuple[str, str] | None = None  # (ealias, end_col)
@@ -555,8 +581,16 @@ def _compile_pattern(
                     # undirected expansion symmetrizes the BASE edge set
                     # inside _varlen_pairs (paths may mix orientations)
                     e = _varlen_pairs(
-                        edges, rel, lo, hi, undirected=not left and not right
+                        edges,
+                        rel,
+                        lo,
+                        hi,
+                        undirected=not left and not right,
+                        with_dist=sp_pvar is not None,
                     )
+                    if sp_pvar is not None:
+                        state.setdefault("paths", {})[sp_pvar] = f"{ealias}__dist"
+                        sp_pvar = None  # consumed by this var-length hop
                 if (lo, hi) == (1, 1) and not left and not right:
                     # undirected single hop: symmetrize the (src, dst) pair
                     # set, then treat as forward — matches the edge in
@@ -571,6 +605,11 @@ def _compile_pattern(
                     F.col(f"{prev_alias}__full_name") == F.col(f"{ealias}__{start_col}"),
                 )
                 pending_edge = (ealias, end_col)
+        if sp_pvar is not None:
+            raise CypherError(
+                "shortestPath requires a var-length relationship, "
+                "e.g. [:INHERITS*] or [:CALL*1..5]"
+            )
         # comma-separated chains combine by product; Catalyst rewrites the
         # product into an equi-join when shared-variable equality (below)
         # or carried-scope joins connect them. A chain that shares NO
@@ -938,6 +977,15 @@ def _run_cypher_inner(
             if var not in binds:
                 raise CypherError(f"unbound variable {var!r}")
             cols.append(_labels_col(binds[var]).alias(alias or f"labels_{var}"))
+        elif func == "length":
+            var = it.group("farg")
+            paths = state.get("paths", {})
+            if var not in paths:
+                raise CypherError(
+                    f"length() needs a path variable bound by shortestPath "
+                    f"(unknown: {var!r})"
+                )
+            cols.append(F.col(paths[var]).alias(alias or f"length_{var}"))
         else:
             var, prop = it.group("var"), it.group("prop")
             if prop is None and var in plain:

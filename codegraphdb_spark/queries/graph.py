@@ -724,6 +724,35 @@ def g_cypher_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g_cypher_shortest",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('Dog', 'Animal', 1),
+      ('Puppy', 'Animal', 2),
+      ('Puppy', 'Dog', 1)
+    ) t(src, dst, hops) ORDER BY src, dst
+    """,
+)
+def g_cypher_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 breadth (round 4): ``p = shortestPath((a)-[:R*lo..hi]->(b))`` +
+    ``length(p)`` — compiles to the relationship-unique var-length
+    expansion with a min-hop aggregation per (a, b) pair (exactly what
+    Neo4j's one-shortest-path-per-pair projects to under length());
+    Puppy reaches Animal in 2 hops even though the *1..5 expansion also
+    admits the hierarchy's longer walks."""
+    from codegraphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges, _ = _graph(spark)
+    return run_cypher(
+        "MATCH p = shortestPath((a:CLASS)-[:INHERITS*1..5]->(b:CLASS)) "
+        "RETURN a.name AS src, b.name AS dst, length(p) AS hops "
+        "ORDER BY src, dst",
+        nodes,
+        edges,
+    )
+
+
+@query(
     "g_cypher_unwind_params",
     oracle="""
     SELECT * FROM (VALUES

@@ -52,6 +52,7 @@ _DRIVER_PRIORITY: list[str] = [
     # -- round 4: new or behavior-adjacent to this round's changes -------
     "g_bucketed_children",     # NEW: C4 on the bucketed snapshot layout
     "g_cypher_unwind_params",  # NEW: UNWIND + $params + =~ regex
+    "g_cypher_shortest",       # NEW: shortestPath() + length(p)
     "g_call_edges_deep",       # new goldens: alias bindings + non-__init__ field ctor
     "g_call_edges",            # resolver change (bare-name bind keys) touches all refs
     "g_uses_edges",            # same resolver surface

@@ -723,3 +723,30 @@ def test_unwind_rejects_heterogeneous(graph):
     nodes, edges = graph
     with pytest.raises(CypherError):
         run_cypher("UNWIND [1, 'a'] AS x RETURN x", nodes, edges)
+
+
+def test_shortest_path_length(graph):
+    """p = shortestPath((a)-[:R*]->(b)) + length(p): min-hop distances
+    (Puppy -> Dog is 1 hop, Puppy -> Animal is 2, even though *1..5 would
+    also admit longer walks if the graph had them)."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH p = shortestPath((a:CLASS {name: 'Puppy'})-[:INHERITS*1..5]->(b)) "
+        "RETURN b.name AS base, length(p) AS hops ORDER BY hops",
+        nodes,
+        edges,
+    ).collect()
+    assert [(r["base"], r["hops"]) for r in out] == [("Dog", 1), ("Animal", 2)]
+
+
+def test_shortest_path_requires_varlen(graph):
+    nodes, edges = graph
+    with pytest.raises(CypherError, match="var-length"):
+        run_cypher(
+            "MATCH p = shortestPath((a:CLASS)-[:INHERITS]->(b)) "
+            "RETURN length(p)",
+            nodes,
+            edges,
+        )
+    with pytest.raises(CypherError, match="path variable"):
+        run_cypher("MATCH (a:CLASS) RETURN length(a)", nodes, edges)
