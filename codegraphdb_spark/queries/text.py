@@ -464,6 +464,78 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_JACCARD_PAIRS_CTES},
+    undirected AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc_id, lbl) AS (
+      SELECT a, a FROM undirected
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN undirected e ON e.a = r.doc_id
+    ),
+    comp AS (
+      SELECT doc_id, MIN(lbl) AS component FROM reach GROUP BY doc_id
+    ),
+    allc AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+             CAST(len(list_distinct({SQL_TOKS})) AS INT) AS quality
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY quality DESC, doc_id ASC) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+      FROM allc
+    )
+    SELECT component, doc_id AS kept_doc_id, quality, n_members
+    FROM ranked WHERE rn = 1 ORDER BY component
+    """,
+)
+def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SURVIVOR-selection step a real dedup pipeline runs after
+    clustering: one representative per duplicate component — the member
+    with the highest quality key (distinct-token count; doc_id
+    tie-break), singletons keeping themselves. The cluster set is the
+    SAME cached Jaccard pair graph + union-find the cluster query uses;
+    the oracle recomputes components with WITH RECURSIVE and the argmax
+    with a window, so survivor choice is value-checked end to end. At
+    scale this is one window over (docs ⋈ broadcast components) — the
+    corpus is touched once, no extra shuffle beyond the component key."""
+    from codegraphdb_spark.operators.dedup import duplicate_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comps = duplicate_components(pairs)
+    docs = d.select(
+        "doc_id", F.size(F.array_distinct(_tokens())).alias("quality")
+    )
+    withc = docs.join(comps, "doc_id", "left").withColumn(
+        "component", F.coalesce("component", "doc_id")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    ranked = withc.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_members", F.count(F.lit(1)).over(Window.partitionBy("component"))
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc_id"),
+            "quality",
+            "n_members",
+        )
+        .orderBy("component")
+    )
+
+
 def _perm_hash(a: int, b: int):
     """Closure factory: PySpark inspects lambda arity, so default-arg
     closures (lambda h, a=a: ...) would be mis-read as 3-arg lambdas."""
@@ -837,6 +909,44 @@ def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
         .orderBy("split")
+    )
+
+
+@query(
+    "doc_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS strat_rank,
+             COUNT(*) OVER (PARTITION BY source) AS n_src
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(strat_rank AS BIGINT) AS strat_rank
+    FROM ranked WHERE strat_rank <= (n_src + 4) // 5
+    ORDER BY source, strat_rank
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sampling: ceil(20%) of each source, chosen by
+    md5(doc_id) order — per-stratum quotas hit EXACTLY (sample()'s
+    Bernoulli draw only hits them in expectation) and the choice is
+    content-addressed, so reprocessing the corpus reproduces the sample
+    bit-for-bit with no seed coordination across executors. One window
+    per stratum; quota arithmetic stays integer ((n+4) div 5 = ceil(n/5))
+    so the cut-off is cross-engine exact."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("strat_rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("__quota", F.expr("(count(1) OVER (PARTITION BY source) + 4) div 5"))
+        .filter(F.col("strat_rank") <= F.col("__quota"))
+        .select("doc_id", "source", "strat_rank")
+        .orderBy("source", "strat_rank")
     )
 
 

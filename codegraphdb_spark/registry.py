@@ -53,6 +53,8 @@ _DRIVER_PRIORITY: list[str] = [
     "g_bucketed_children",     # NEW: C4 on the bucketed snapshot layout
     "g_cypher_unwind_params",  # NEW: UNWIND + $params + =~ regex
     "g_cypher_shortest",       # NEW: shortestPath() + length(p)
+    "doc_dedup_keep_best",     # NEW: survivor selection per dup cluster
+    "doc_stratified_sample",   # NEW: exact per-stratum quota sampling
     "g_call_edges_deep",       # new goldens: alias bindings + non-__init__ field ctor
     "g_call_edges",            # resolver change (bare-name bind keys) touches all refs
     "g_uses_edges",            # same resolver surface
