@@ -182,8 +182,14 @@ class GraphEngine:
         method_map = inherited_method_map(bases, local_edges)
         bnd = class_bindings_post(base, small=self.small_repo)
         # second-level bindings: x = t.recruit() through t's own binding
-        # and recruit's annotated return (one extra level, no fixpoint)
-        bnd = deepen_bindings(base, bnd, sym, method_map, small=self.small_repo)
+        # and recruit's annotated return (one extra level, no fixpoint).
+        # Checkpoint: the overlay references bnd TWICE (local + fallback
+        # key joins), which would duplicate the deepen join subtree into
+        # both branches of every downstream plan — the binding table is
+        # tiny (one row per assign key), so materializing it is cheap
+        bnd = deepen_bindings(
+            base, bnd, sym, method_map, small=self.small_repo
+        ).localCheckpoint(eager=True)
         deep = _deep_overlay(
             ref_rows.filter(F.col("rel_type") != "INHERITS"),
             bnd,
@@ -484,7 +490,9 @@ class GraphEngine:
         )
         method_map = inherited_method_map(bases, direct_comb)
         bnd = class_bindings_post(base, small=self.small_repo)
-        bnd = deepen_bindings(base, bnd, sym, method_map, small=self.small_repo)
+        bnd = deepen_bindings(
+            base, bnd, sym, method_map, small=self.small_repo
+        ).localCheckpoint(eager=True)
         deep = _deep_overlay(
             ref_rows.filter(F.col("rel_type") != "INHERITS"),
             bnd,

@@ -318,7 +318,9 @@ def class_bindings_post(
     )
     resolved = resolved.withColumn("__bound", bound)
     w = Window.partitionBy("bind_key").orderBy(
-        F.col("__ord").desc_nulls_last(), F.col("__bound").asc_nulls_last()
+        F.col("__ord").desc_nulls_last(),
+        F.col("__bound").asc_nulls_last(),
+        F.col("target").asc_nulls_last(),
     )
     return (
         resolved.withColumn("__rn", F.row_number().over(w))
@@ -329,6 +331,11 @@ def class_bindings_post(
             (F.coalesce(is_alias, F.lit(False)) & F.col("__bound").isNotNull()).alias(
                 "bound_alias"
             ),
+            # the winning row's raw type expr + binding mode, consumed by
+            # deepen_bindings (second-level pass) — carrying them here
+            # avoids a second window over the assign rows
+            F.col("target").alias("win_target"),
+            F.coalesce(is_alias, F.lit(False)).alias("win_alias"),
         )
     )
 
@@ -355,22 +362,18 @@ def deepen_bindings(
     callables. Keys that still fail REMAIN poison rows (shadowing intact).
     Not a fixpoint: exactly one extra level, no iteration."""
     ret = return_types_post(base)
-    asg = base.filter(F.col("__tag") == "assign")
-    w = Window.partitionBy("bind_key").orderBy(
-        F.col("__ord").desc_nulls_last(), F.col("target").asc_nulls_last()
-    )
-    winners = asg.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") == 1
-    )
-    unresolved = bnd.filter(F.col("bound_cls").isNull()).select("bind_key")
+    # the candidate set is read straight off class_bindings_post's output
+    # (win_target/win_alias are the WINNING row's type expr and mode) —
+    # no second window over the assign rows
     cand = (
-        winners.join(unresolved, "bind_key", "left_semi")
-        .filter(
-            F.col("bind_key").contains("::")
-            & F.col("target").isNotNull()
-            & F.col("target").contains(".")
-            & ~F.col("target").startswith("self.")
+        bnd.filter(
+            F.col("bound_cls").isNull()
+            & F.col("bind_key").contains("::")
+            & F.col("win_target").isNotNull()
+            & F.col("win_target").contains(".")
+            & ~F.col("win_target").startswith("self.")
         )
+        .withColumnRenamed("win_target", "target")
         .withColumn("__head", F.substring_index("target", ".", 1))
         .withColumn(
             "__lk",
@@ -427,7 +430,7 @@ def deepen_bindings(
         "__r2",
         "left",
     )
-    is_alias = F.col("rel_type") == "ALIAS"
+    is_alias = F.col("win_alias")
     bound2 = (
         F.when(F.col("__kk2") == "CLASS", F.col("__r2"))
         .when(is_alias & F.col("__kk2").isin("FUNCTION", "METHOD"), F.col("__r2"))
@@ -437,7 +440,7 @@ def deepen_bindings(
         cand.select(
             "bind_key",
             bound2.alias("__b2"),
-            (F.coalesce(is_alias, F.lit(False)) & bound2.isNotNull()).alias("__a2"),
+            (is_alias & bound2.isNotNull()).alias("__a2"),
         )
         .filter(F.col("__b2").isNotNull())
         .dropDuplicates(["bind_key"])
