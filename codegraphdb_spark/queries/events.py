@@ -269,6 +269,45 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_pivot_daily",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+           CAST(COUNT(*) AS BIGINT) AS total
+    FROM events GROUP BY 1 ORDER BY day
+    """,
+)
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily activity cross-tab: ``pivot`` with an EXPLICIT value list —
+    at scale the list matters because pivot without one runs a separate
+    distinct-values job over the corpus before the real aggregation; with
+    it the plan is ONE hash aggregate whose map side emits a fixed-width
+    count vector per day (the conditional-aggregation shape the oracle
+    spells out). NULL-safe: count of an absent type is 0, not NULL."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    day = F.to_date("ts").alias("day")
+    pv = (
+        e.select(day, "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+    )
+    out_cols = [F.col("day")]
+    total = None
+    for t in types:
+        c = F.coalesce(F.col(t), F.lit(0)).cast("bigint")
+        out_cols.append(c.alias(t))
+        total = c if total is None else total + c
+    out_cols.append(total.cast("bigint").alias("total"))
+    return pv.select(*out_cols).orderBy("day")
+
+
+@query(
     "events_rollup_report",
     oracle=f"""
     SELECT event_type,

@@ -1053,6 +1053,75 @@ def g_inherit_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g_triangle_count",
+    oracle=f"""
+    WITH und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM (
+        SELECT src, dst FROM read_csv('{_FIX}/pre_closure_edges_v1.csv', header=true)
+        WHERE rel_type IN ('CONTAINS', 'INHERITS')
+          AND NOT (src LIKE 'zoo.%' OR src = 'zoo')
+        UNION ALL
+        SELECT src, dst FROM read_csv('{_FIX}/pre_closure_edges_v2.csv', header=true)
+        WHERE rel_type IN ('CONTAINS', 'INHERITS')
+          AND NOT (src LIKE 'zoo.%' OR src = 'zoo'))
+      WHERE src <> dst
+    ),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    member AS (
+      SELECT a AS full_name FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT full_name, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM member GROUP BY full_name ORDER BY full_name
+    """,
+)
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the undirected
+    CONTAINS+INHERITS graph — the classic cohesion analytic (a module
+    that CONTAINS both a class and its re-exported base closes a
+    triangle with the INHERITS edge). Canonical-orientation join
+    (a<b<c): each triangle is enumerated exactly once, so the heavy
+    self-join runs on the deduped half-edge set — the standard
+    distributed triangle algorithm; at scale the first join keys on the
+    shared vertex and the closing edge is a semi-shaped equi-join, never
+    an all-pairs product. RECOMPUTING oracle: DuckDB re-derives the
+    triangles from the committed pre-closure edge facts."""
+    _, edges, _ = _graph(spark)
+    e = (
+        edges.filter(F.col("rel_type").isin("CONTAINS", "INHERITS"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+    e1 = e.select(F.col("a"), F.col("b"))
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+        .select("a", "b", "c")
+    )
+    member = (
+        tri.select(F.col("a").alias("full_name"))
+        .unionAll(tri.select(F.col("b").alias("full_name")))
+        .unionAll(tri.select(F.col("c").alias("full_name")))
+    )
+    return (
+        member.groupBy("full_name")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("full_name")
+    )
+
+
+@query(
     "g_call_closure",
     oracle=f"""
     WITH RECURSIVE

@@ -804,6 +804,79 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "emb_whiten",
+    oracle=f"""
+    WITH x AS (
+      SELECT i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, (SELECT UNNEST(generate_series(1, {DIM})) AS i)
+    ), st AS (
+      SELECT dim,
+             CAST(SUM(CAST(ROUND(val * {_DSCALE}) AS BIGINT)) AS DOUBLE)
+               / {_DSCALE} / COUNT(*) AS m,
+             sqrt((CAST(SUM(CAST(ROUND(val * {_DSCALE}) AS BIGINT)
+                            * CAST(ROUND(val * {_DSCALE}) AS BIGINT)) AS DOUBLE)
+                    / {_DSCALE} / {_DSCALE} / COUNT(*)
+                   - (CAST(SUM(CAST(ROUND(val * {_DSCALE}) AS BIGINT)) AS DOUBLE)
+                      / {_DSCALE} / COUNT(*))
+                     * (CAST(SUM(CAST(ROUND(val * {_DSCALE}) AS BIGINT)) AS DOUBLE)
+                        / {_DSCALE} / COUNT(*))) + 1e-9) AS sd
+      FROM x GROUP BY dim
+    ), params AS (
+      SELECT list(m ORDER BY dim) AS means, list(sd ORDER BY dim) AS sds FROM st
+    )
+    SELECT e.vec_id,
+           list_transform(range(1, {DIM + 1}),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - p.means[i]) / p.sds[i])
+             AS whitened
+    FROM embeddings e CROSS JOIN params p
+    ORDER BY e.vec_id
+    """,
+)
+def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the whitening transform emb_dim_stats calibrates: per-dim
+    standardization (x − mean)/sqrt(var + 1e-9). The stats aggregate is
+    the same 64-key map-side-combined pass; the 64-entry parameter arrays
+    broadcast as ONE row and the transform is map-side over the corpus —
+    at 100 TB the corpus is touched once, nothing corpus-sized shuffles.
+    Bit-exact across engines: moments accumulate in scaled-int space and
+    every remaining op (−, /, sqrt, + 1e-9) is IEEE correctly-rounded, so
+    identical inputs give identical doubles."""
+    d = load_table(spark, sf_dir, "embeddings")
+    x = d.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    sv = F.round(F.col("val") * _DSCALE).cast("bigint")
+    s1 = F.sum(sv).cast("double")
+    s2 = F.sum(sv * sv).cast("double")
+    n = F.count(F.lit(1))
+    mean = (s1 / _DSCALE / n).cast("double")
+    st = x.groupBy(F.col("pos").alias("dim")).agg(
+        mean.alias("m"),
+        (s2 / _DSCALE / _DSCALE / n - mean * mean).cast("double").alias("v"),
+    )
+    params = st.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "m", "v"))).alias("a")
+    ).select(
+        F.transform(F.col("a"), lambda s: s["m"]).alias("means"),
+        F.transform(F.col("a"), lambda s: F.sqrt(s["v"] + F.lit(1e-9))).alias("sds"),
+    )
+    emb = F.col("embedding").cast("array<double>")
+    return (
+        d.crossJoin(F.broadcast(params))
+        .select(
+            "vec_id",
+            F.transform(
+                emb,
+                lambda xv, i: (xv - F.element_at("means", i + 1))
+                / F.element_at("sds", i + 1),
+            ).alias("whitened"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # --- product quantization: encode + ADC top-k (fourth ANN tier) ---------------
 
 PQ_M = 8     # subspaces (DIM/PQ_M dims each)

@@ -55,6 +55,9 @@ _DRIVER_PRIORITY: list[str] = [
     "g_cypher_shortest",       # NEW: shortestPath() + length(p)
     "doc_dedup_keep_best",     # NEW: survivor selection per dup cluster
     "doc_stratified_sample",   # NEW: exact per-stratum quota sampling
+    "events_pivot_daily",      # NEW: explicit-value-list pivot cross-tab
+    "emb_whiten",              # NEW: bit-exact whitening apply
+    "g_triangle_count",        # NEW: recomputing-oracle triangle analytic
     "g_call_edges_deep",       # new goldens: alias bindings + non-__init__ field ctor
     "g_call_edges",            # resolver change (bare-name bind keys) touches all refs
     "g_uses_edges",            # same resolver surface
