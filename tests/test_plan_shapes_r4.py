@@ -1,0 +1,74 @@
+"""Plan-shape guards for the round-4 query paths: the properties that make
+them scale are asserted on the physical plan, not just implied by the code.
+"""
+
+from __future__ import annotations
+
+from codegraphdb_spark import registry
+
+
+def _plan(spark, sf_dir, name):
+    registry.load_all()
+    df = registry.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pivot_single_scan_no_distinct_job(spark, sf_dir):
+    """The explicit pivot value list means ONE events scan and ONE
+    aggregation pipeline — no separate distinct-values pass over the
+    corpus (pivot without a list runs one before the real aggregate)."""
+    plan = _plan(spark, sf_dir, "events_pivot_daily")
+    assert plan.count("Scan parquet") == 1, plan
+    # partial+final pivot aggregate (one hash exchange) + output ordering
+    assert plan.count("Exchange") <= 3, plan
+    assert "pivotfirst" in plan, plan
+
+
+def test_whiten_broadcasts_params_and_scans_twice(spark, sf_dir):
+    """The 64-entry parameter row reaches the corpus via a broadcast
+    product (one row — never a shuffle); the corpus is scanned once for
+    calibration and once for the apply, and the whitening itself is
+    map-side (no corpus-keyed join)."""
+    plan = _plan(spark, sf_dir, "emb_whiten")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert plan.count("Scan parquet") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_stratified_sample_one_window_pass(spark, sf_dir):
+    """Per-stratum quota sampling: one source-keyed shuffle feeding the
+    window; quota arithmetic rides the same window pass (no join back)."""
+    plan = _plan(spark, sf_dir, "doc_stratified_sample")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    """Triangle enumeration joins on the shared vertex / closing edge —
+    never a nested-loop product of the edge set with itself."""
+    plan = _plan(spark, sf_dir, "g_triangle_count")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_keep_best_reuses_cached_pairs(spark, sf_dir):
+    """Survivor selection runs over the session-cached Jaccard pair graph:
+    the expensive shingle inverted-index does NOT reappear in this plan
+    (no Python stage; the pair set enters as a checkpointed RDD scan)."""
+    # warm the shared cache the way a pipeline would (clusters first)
+    registry.load_all()
+    registry.QUERIES["doc_dup_clusters"](spark, sf_dir).collect()
+    plan = _plan(spark, sf_dir, "doc_dedup_keep_best")
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_bucketed_children_partition_pruned(spark, sf_dir):
+    """The bucketed-snapshot query reads the managed tables with the
+    rel_type=CONTAINS PARTITION filter pruned at the scan and the src
+    point filter pushed to parquet. (The planner rightly disables the
+    bucketed read here — the bound side broadcasts, so bucket co-location
+    adds nothing; the zero-Exchange shuffle-join property is asserted in
+    tests/test_bucketing.py with broadcast off.)"""
+    plan = _plan(spark, sf_dir, "g_bucketed_children")
+    assert "rel_type#" in plan and "= CONTAINS" in plan.replace(")", ") "), plan
+    assert "EqualTo(src,pkga.base)" in plan, plan
