@@ -5,15 +5,19 @@ The graph is built from the embedded deterministic mini-repo
 (codegraphdb_spark/mini_repo.py, FIXTURES.md §2) through the full pipeline:
 v1 build → v1→v2 incremental update. Two oracle tiers:
 
-- RECOMPUTING oracles (g_version_stamping, g_methods_of_class,
-  g_call_closure, g_inherit_components): DuckDB independently re-derives
-  merge windows, WITH RECURSIVE closures, connected components, and
-  version stamping from committed raw-fact CSVs
+- RECOMPUTING oracles (most of the catalog: point lookup, filters,
+  children, edge projections, census, version stamping/diff, methods
+  closure, call closure, components, triangles, bucketed children):
+  DuckDB independently re-derives merge windows, B4 endpoint synthesis,
+  WITH RECURSIVE closures, connected components, and version
+  stamping/membership from committed raw-fact CSVs
   (tools/dump_graph_oracle.py) — a true differential check of everything
   downstream of resolution, the same standard events_asof_join meets.
-- literal-VALUES pins for the remaining point lookups/scans, where the
-  query IS a direct projection of hand-verified rows (also asserted in
-  tests/test_graph_build.py) — a REAL hash check, not rows-only.
+- literal-VALUES pins remain only where the checked value IS the
+  resolution/extraction outcome itself (deep-resolution goldens
+  g_call_edges_deep, pagerank/degree/closure analytics pins, Cypher
+  result shapes) — those stay covered by hand-verified rows plus
+  property/idempotency tests (also asserted in tests/test_graph_build.py).
 
 Arrays (versions) are rendered as comma-joined strings for hashability.
 
@@ -50,11 +54,52 @@ def _merged_nodes_cte(ver: str) -> str:
     (operators/merge.py::_node_priority_window) over the raw node facts of
     one version — THE same ordering expression, re-expressed in SQL."""
     return f"""
-  SELECT full_name, kind, file_path FROM (
+  SELECT full_name, kind, name, file_path FROM (
     SELECT *, row_number() OVER (PARTITION BY full_name ORDER BY
         CASE WHEN kind = 'none' THEN 1 ELSE 0 END,
         code_start ASC NULLS LAST, file_path ASC NULLS LAST, kind) AS rn
     FROM read_csv('{_FIX}/node_facts_{ver}.csv', header=true)) WHERE rn = 1
+"""
+
+
+# merged node table (v1 ⊕ v2: new props win, versions = membership string)
+# — the shared recomputation all node-side oracles build on
+_MERGED_NODES_SQL = """
+    m1 AS ({m1}),
+    m2 AS ({m2}),
+    merged AS (
+      SELECT coalesce(m2.full_name, m1.full_name) AS full_name,
+             coalesce(m2.kind, m1.kind) AS kind,
+             coalesce(m2.name, m1.name) AS name,
+             coalesce(m2.file_path, m1.file_path) AS file_path,
+             m1.full_name IS NOT NULL AS in_v1,
+             m2.full_name IS NOT NULL AS in_v2,
+             concat_ws(',', CASE WHEN m1.full_name IS NOT NULL THEN 'v1' END,
+                            CASE WHEN m2.full_name IS NOT NULL THEN 'v2' END)
+               AS versions
+      FROM m1 FULL OUTER JOIN m2 ON m1.full_name = m2.full_name
+    )
+"""
+
+
+def _merged_nodes_sql() -> str:
+    return _MERGED_NODES_SQL.format(
+        m1=_merged_nodes_cte("v1"), m2=_merged_nodes_cte("v2")
+    )
+
+
+# union of the two versions' pre-closure edges, zoo-side excluded (the g_*
+# catalog is the pkga/pkgb side of the combined fixture build)
+_EDGES_UNION_SQL = f"""
+    e_all AS (
+      SELECT src, dst, rel_type, association_type
+      FROM read_csv('{_FIX}/pre_closure_edges_v1.csv', header=true)
+      WHERE NOT (src LIKE 'zoo.%' OR src = 'zoo')
+      UNION
+      SELECT src, dst, rel_type, association_type
+      FROM read_csv('{_FIX}/pre_closure_edges_v2.csv', header=true)
+      WHERE NOT (src LIKE 'zoo.%' OR src = 'zoo')
+    )
 """
 
 _CACHE: dict[SparkSession, tuple[DataFrame, DataFrame, DataFrame]] = {}
@@ -212,15 +257,16 @@ def _vjoin(col: str = "versions"):
 
 @query(
     "g_point_lookup",
-    oracle="""
-    SELECT * FROM (VALUES
-      ('pkga.base.Animal', 'CLASS', 'Animal', 'pkga/base.py', 'v1,v2')
-    ) t(full_name, kind, name, file_path, versions)
+    oracle=f"""
+    WITH {_merged_nodes_sql()}
+    SELECT full_name, kind, name, file_path, versions FROM merged
+    WHERE full_name = 'pkga.base.Animal'
     """,
 )
 def g_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1: first node by full_name (graphDB.py:65-70). On the partitioned
-    snapshot this prunes to one kind partition + row-group stats."""
+    snapshot this prunes to one kind partition + row-group stats.
+    RECOMPUTING oracle: merge window + version membership from raw facts."""
     nodes, _, _ = _graph(spark)
     return nodes.filter(F.col("full_name") == "pkga.base.Animal").select(
         "full_name", "kind", "name", "file_path", _vjoin()
@@ -231,14 +277,16 @@ def g_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_filter_kind_name",
-    oracle="""
-    SELECT * FROM (VALUES ('pkgb.dog.Dog', 'CLASS', 'pkgb/dog.py'))
-    t(full_name, kind, file_path)
+    oracle=f"""
+    WITH {_merged_nodes_sql()}
+    SELECT full_name, kind, file_path FROM merged
+    WHERE kind = 'CLASS' AND name = 'Dog' AND in_v1
     """,
 )
 def g_filter_kind_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2: MATCH (c:`v1`:CLASS {name:'Dog'}) (graphDB.py:269-272) as a
-    kind+name+version filter."""
+    kind+name+version filter. RECOMPUTING oracle: the v1-membership flag
+    comes from the per-version merge windows, not a pinned row."""
     nodes, _, _ = _graph(spark)
     return (
         nodes.filter(
@@ -254,11 +302,13 @@ def g_filter_kind_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_module_children",
-    oracle="""
-    SELECT * FROM (VALUES
-      ('pkga.base.Animal', 'CLASS', 'CLASS'),
-      ('pkga.base.GREETING', 'GLOBAL_VARIABLE', 'GLOBAL_VARIABLE')
-    ) t(child_full_name, child_kind, association_type)
+    oracle=f"""
+    WITH {_merged_nodes_sql()},
+    {_EDGES_UNION_SQL}
+    SELECT e.dst AS child_full_name, n.kind AS child_kind, e.association_type
+    FROM (SELECT DISTINCT src, dst, association_type FROM e_all
+          WHERE rel_type = 'CONTAINS' AND src = 'pkga.base') e
+    JOIN merged n ON n.full_name = e.dst
     ORDER BY child_full_name
     """,
 )
@@ -423,11 +473,10 @@ def g_methods_of_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_inherits_edges",
-    oracle="""
-    SELECT * FROM (VALUES
-      ('pkgb.dog.Dog', 'pkga.base.Animal'),
-      ('pkgb.puppy.Puppy', 'pkgb.dog.Dog')
-    ) t(src, dst) ORDER BY src
+    oracle=f"""
+    WITH {_EDGES_UNION_SQL}
+    SELECT DISTINCT src, dst FROM e_all WHERE rel_type = 'INHERITS'
+    ORDER BY src
     """,
 )
 def g_inherits_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,12 +495,11 @@ def g_inherits_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_reexport_contains",
-    oracle="""
-    SELECT * FROM (VALUES
-      ('pkga.base.Animal', 'CLASS'),
-      ('pkga.util.helper', 'FUNCTION'),
-      ('pkga.util.shout', 'FUNCTION')
-    ) t(dst, association_type) ORDER BY dst
+    oracle=f"""
+    WITH {_EDGES_UNION_SQL}
+    SELECT DISTINCT dst, association_type FROM e_all
+    WHERE rel_type = 'CONTAINS' AND src = 'pkga'
+    ORDER BY dst
     """,
 )
 def g_reexport_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -470,13 +518,10 @@ def g_reexport_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_call_edges",
-    oracle="""
-    SELECT * FROM (VALUES
-      ('pkga.util.shout', 'pkga.util.helper'),
-      ('pkgb.dog.Dog.fetch', 'pkgb.dog.Dog.speak'),
-      ('pkgb.dog.Dog.roll', 'pkgb.dog.Dog.fetch'),
-      ('pkgb.puppy.Puppy.whine', 'unsolved symbol')
-    ) t(src, dst) ORDER BY src, dst
+    oracle=f"""
+    WITH {_EDGES_UNION_SQL}
+    SELECT DISTINCT src, dst FROM e_all WHERE rel_type = 'CALL'
+    ORDER BY src, dst
     """,
 )
 def g_call_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,12 +535,10 @@ def g_call_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_uses_edges",
-    oracle="""
-    SELECT * FROM (VALUES
-      ('pkga.base.Animal.describe', 'pkga.base.Animal.species'),
-      ('pkga.base.Animal.speak', 'pkga.base.GREETING'),
-      ('pkgb.dog.Dog.fetch', 'pkga.consts.MAX_DEPTH')
-    ) t(src, dst) ORDER BY src
+    oracle=f"""
+    WITH {_EDGES_UNION_SQL}
+    SELECT DISTINCT src, dst FROM e_all WHERE rel_type = 'USES'
+    ORDER BY src
     """,
 )
 def g_uses_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -549,19 +592,37 @@ def g_version_stamping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_kind_census",
-    oracle="""
-    SELECT * FROM (VALUES
-      ('CLASS', CAST(3 AS BIGINT)), ('FIELD', CAST(2 AS BIGINT)),
-      ('FUNCTION', CAST(2 AS BIGINT)), ('GLOBAL_VARIABLE', CAST(2 AS BIGINT)),
-      ('METHOD', CAST(7 AS BIGINT)), ('MODULE', CAST(7 AS BIGINT)),
-      ('none', CAST(1 AS BIGINT))
-    ) t(kind, n) ORDER BY kind
+    oracle=f"""
+    WITH {_merged_nodes_sql()},
+    {_EDGES_UNION_SQL},
+    nonzoo AS (
+      SELECT * FROM merged
+      WHERE NOT (full_name LIKE 'zoo.%' OR full_name = 'zoo')
+    ),
+    eps AS (
+      SELECT src AS full_name FROM e_all
+      UNION SELECT dst FROM e_all
+    ),
+    placeholders AS (
+      SELECT e.full_name, 'none' AS kind FROM eps e
+      LEFT JOIN merged n ON n.full_name = e.full_name
+      WHERE n.full_name IS NULL
+    ),
+    census_rows AS (
+      SELECT kind FROM nonzoo
+      UNION ALL
+      SELECT kind FROM placeholders
+    )
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n
+    FROM census_rows GROUP BY kind ORDER BY kind
     """,
 )
 def g_kind_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Node census by kind: proves label promotion (B3) — only the
     'unsolved symbol' placeholder remains 'none'; the syntax-error file
-    contributes nothing (error fact, not a module)."""
+    contributes nothing (error fact, not a module). RECOMPUTING oracle:
+    merge window + B4 endpoint synthesis (edge endpoints absent from the
+    merged node set become 'none' placeholders) from raw facts."""
     nodes, _, _ = _graph(spark)
     return nodes.groupBy("kind").agg(F.count(F.lit(1)).alias("n")).orderBy("kind")
 
@@ -954,11 +1015,41 @@ def g_cypher_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_version_diff",
-    oracle="""
-    SELECT * FROM (VALUES
-      ('added', CAST(1 AS BIGINT), 'pkgb.dog.Dog.roll'),
-      ('carried', CAST(23 AS BIGINT), 'pkga')
-    ) t(change, n, sample_symbol) ORDER BY change
+    oracle=f"""
+    WITH
+    m1 AS ({_merged_nodes_cte('v1')}),
+    m2 AS ({_merged_nodes_cte('v2')}),
+    e1 AS (SELECT src, dst FROM read_csv('{_FIX}/pre_closure_edges_v1.csv', header=true)
+           WHERE NOT (src LIKE 'zoo.%' OR src = 'zoo')),
+    e2 AS (SELECT src, dst FROM read_csv('{_FIX}/pre_closure_edges_v2.csv', header=true)
+           WHERE NOT (src LIKE 'zoo.%' OR src = 'zoo')),
+    mem1 AS (
+      SELECT full_name FROM m1
+      UNION
+      SELECT x.full_name FROM (SELECT src AS full_name FROM e1
+                               UNION SELECT dst FROM e1) x
+      LEFT JOIN m1 ON m1.full_name = x.full_name WHERE m1.full_name IS NULL
+    ),
+    mem2 AS (
+      SELECT full_name FROM m2
+      UNION
+      SELECT x.full_name FROM (SELECT src AS full_name FROM e2
+                               UNION SELECT dst FROM e2) x
+      LEFT JOIN m2 ON m2.full_name = x.full_name WHERE m2.full_name IS NULL
+    ),
+    alln AS (
+      SELECT coalesce(a.full_name, b.full_name) AS full_name,
+             CASE WHEN a.full_name IS NOT NULL AND b.full_name IS NOT NULL
+                  THEN 'carried'
+                  WHEN b.full_name IS NOT NULL THEN 'added'
+                  ELSE 'removed' END AS change
+      FROM mem1 a FULL OUTER JOIN mem2 b ON a.full_name = b.full_name
+      WHERE NOT (coalesce(a.full_name, b.full_name) LIKE 'zoo.%'
+                 OR coalesce(a.full_name, b.full_name) = 'zoo')
+    )
+    SELECT change, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(full_name) AS sample_symbol
+    FROM alln GROUP BY change ORDER BY change
     """,
 )
 def g_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:

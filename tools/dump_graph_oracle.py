@@ -67,7 +67,7 @@ def dump_tables(spark) -> dict[str, "object"]:
         cap = eng.capture[ver]
         nf = (
             cap["node_facts"]
-            .select("full_name", "kind", "file_path", "code_start")
+            .select("full_name", "kind", "name", "file_path", "code_start")
             .toPandas()
         )
         if nf.isna().any().any():
