@@ -426,18 +426,20 @@ def g_bucketed_children(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN e2 i ON i.rel_type = 'INHERITS' AND a.ancestor = i.src
     ),
     meth1 AS (
-      SELECT src, dst FROM e1 WHERE rel_type = 'HAS_METHOD'
-      UNION
-      SELECT a.cls, h.dst FROM anc1 a
-        JOIN e1 h ON h.rel_type = 'HAS_METHOD' AND h.src = a.ancestor
-      WHERE regexp_extract(h.dst, '[^.]*$') <> '__init__'
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e1 WHERE rel_type = 'HAS_METHOD'
+        UNION ALL
+        SELECT a.cls, h.dst FROM anc1 a
+          JOIN e1 h ON h.rel_type = 'HAS_METHOD' AND h.src = a.ancestor
+        WHERE regexp_extract(h.dst, '[^.]*$') <> '__init__')
     ),
     meth2 AS (
-      SELECT src, dst FROM e2 WHERE rel_type = 'HAS_METHOD'
-      UNION
-      SELECT a.cls, h.dst FROM anc2 a
-        JOIN e2 h ON h.rel_type = 'HAS_METHOD' AND h.src = a.ancestor
-      WHERE regexp_extract(h.dst, '[^.]*$') <> '__init__'
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e2 WHERE rel_type = 'HAS_METHOD'
+        UNION ALL
+        SELECT a.cls, h.dst FROM anc2 a
+          JOIN e2 h ON h.rel_type = 'HAS_METHOD' AND h.src = a.ancestor
+        WHERE regexp_extract(h.dst, '[^.]*$') <> '__init__')
     ),
     final AS (
       SELECT coalesce(m1.src, m2.src) AS src, coalesce(m1.dst, m2.dst) AS dst,
@@ -663,19 +665,64 @@ def g_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_degree_centrality",
-    oracle="""
-    SELECT * FROM (VALUES
-      ('pkgb.puppy.Puppy', CAST(6 AS BIGINT), CAST(0 AS BIGINT)),
-      ('pkgb.dog.Dog', CAST(5 AS BIGINT), CAST(0 AS BIGINT)),
-      ('pkga.base.Animal', CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
-      ('pkga.base.Animal.__init__', CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
-      ('pkga.base.Animal.describe', CAST(0 AS BIGINT), CAST(3 AS BIGINT))
-    ) t(vertex, out_degree, in_degree)
+    oracle=f"""
+    WITH RECURSIVE
+    e1 AS (SELECT DISTINCT src, dst, rel_type
+           FROM read_csv('{_FIX}/pre_closure_edges_v1.csv', header=true)
+           WHERE NOT (src LIKE 'zoo.%' OR src = 'zoo')),
+    e2 AS (SELECT DISTINCT src, dst, rel_type
+           FROM read_csv('{_FIX}/pre_closure_edges_v2.csv', header=true)
+           WHERE NOT (src LIKE 'zoo.%' OR src = 'zoo')),
+    anc1(cls, ancestor) AS (
+      SELECT src, dst FROM e1 WHERE rel_type = 'INHERITS'
+      UNION
+      SELECT a.cls, i.dst FROM anc1 a
+        JOIN e1 i ON i.rel_type = 'INHERITS' AND a.ancestor = i.src
+    ),
+    anc2(cls, ancestor) AS (
+      SELECT src, dst FROM e2 WHERE rel_type = 'INHERITS'
+      UNION
+      SELECT a.cls, i.dst FROM anc2 a
+        JOIN e2 i ON i.rel_type = 'INHERITS' AND a.ancestor = i.src
+    ),
+    meth1 AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e1 WHERE rel_type = 'HAS_METHOD'
+        UNION ALL
+        SELECT a.cls, h.dst FROM anc1 a
+          JOIN e1 h ON h.rel_type = 'HAS_METHOD' AND h.src = a.ancestor
+        WHERE regexp_extract(h.dst, '[^.]*$') <> '__init__')
+    ),
+    meth2 AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e2 WHERE rel_type = 'HAS_METHOD'
+        UNION ALL
+        SELECT a.cls, h.dst FROM anc2 a
+          JOIN e2 h ON h.rel_type = 'HAS_METHOD' AND h.src = a.ancestor
+        WHERE regexp_extract(h.dst, '[^.]*$') <> '__init__')
+    ),
+    -- DuckDB 1.0 treats a plain UNION here as UNION ALL when the
+    -- branches reference recursive CTEs (observed; minimal repro in
+    -- round-4 notes) — dedupe explicitly
+    hm AS (SELECT DISTINCT src, dst FROM
+             (SELECT src, dst FROM meth1 UNION ALL SELECT src, dst FROM meth2)),
+    outd AS (SELECT src AS vertex, COUNT(*) AS n FROM hm GROUP BY 1),
+    ind AS (SELECT dst AS vertex, COUNT(*) AS n FROM hm GROUP BY 1),
+    deg AS (
+      SELECT coalesce(o.vertex, i.vertex) AS vertex,
+             CAST(coalesce(o.n, 0) AS BIGINT) AS out_degree,
+             CAST(coalesce(i.n, 0) AS BIGINT) AS in_degree
+      FROM outd o FULL OUTER JOIN ind i ON o.vertex = i.vertex
+    )
+    SELECT vertex, out_degree, in_degree FROM deg
+    ORDER BY out_degree DESC, vertex LIMIT 5
     """,
 )
 def g_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree centrality over HAS_METHOD (method-surface size / reuse):
-    full-outer merge of per-vertex in/out degree aggregations."""
+    full-outer merge of per-vertex in/out degree aggregations.
+    RECOMPUTING oracle: the per-version E1 closures, their cross-version
+    union, and both degree aggregations re-derived from raw edge facts."""
     from codegraphdb_spark.operators.analytics import degree_stats
 
     _, edges, _ = _graph(spark)
@@ -692,9 +739,25 @@ def g_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_override_edges",
-    oracle="""
-    SELECT * FROM (VALUES ('pkgb.dog.Dog.speak', 'pkga.base.Animal.speak'))
-    t(src, dst)
+    oracle=f"""
+    WITH RECURSIVE {_merged_nodes_sql()},
+    {_EDGES_UNION_SQL},
+    anc(cls, ancestor) AS (
+      SELECT src, dst FROM e_all WHERE rel_type = 'INHERITS'
+      UNION
+      SELECT a.cls, i.dst FROM anc a
+        JOIN e_all i ON i.rel_type = 'INHERITS' AND a.ancestor = i.src
+    ),
+    meths AS (
+      SELECT full_name, name,
+             regexp_replace(full_name, '\\.[^.]*$', '') AS cls
+      FROM merged WHERE kind = 'METHOD'
+        AND NOT (full_name LIKE 'zoo.%' OR full_name = 'zoo')
+    )
+    SELECT DISTINCT sub.full_name AS src, sup.full_name AS dst
+    FROM meths sub
+    JOIN anc ON anc.cls = sub.cls
+    JOIN meths sup ON sup.cls = anc.ancestor AND sup.name = sub.name
     """,
 )
 def g_override_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
