@@ -631,28 +631,94 @@ def g_kind_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- graph analytics (the GraphX-for-analytics role) -------------------------------
 
+
+def _pagerank_oracle_sql(iterations: int = 10, top: int = 8) -> str:
+    """RECOMPUTING oracle for g_pagerank_top: DuckDB replays the exact
+    integer-PageRank semantics of operators/analytics.py::pagerank_int
+    (init = SCALE//N; pr' = base + 85·Σ(rank//outdeg) // 100) over the
+    SAME edge set the snapshot holds — pre-closure edges of both versions
+    plus the per-version E1 closure's inherited HAS_METHOD rows, deduped
+    on (src, dst). Iterations are unrolled as chained CTEs (pr0..prK);
+    every operation is int64 floor division on non-negative values, so
+    the replay is bit-exact across engines."""
+    steps = []
+    prev = "pr0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+    pr{i} AS (
+      SELECT v.vertex,
+             CAST(c.base + 85 * coalesce(s.inflow, 0) // 100 AS BIGINT) AS rank
+      FROM verts v CROSS JOIN consts c LEFT JOIN (
+        SELECT l.dst, SUM(r.rank // l.od) AS inflow
+        FROM {prev} r JOIN links l ON l.src = r.vertex
+        GROUP BY l.dst) s ON s.dst = v.vertex
+    )""")
+        prev = f"pr{i}"
+    return f"""
+    WITH RECURSIVE
+    e1 AS (SELECT DISTINCT src, dst, rel_type
+           FROM read_csv('{_FIX}/pre_closure_edges_v1.csv', header=true)
+           WHERE NOT (src LIKE 'zoo.%' OR src = 'zoo')),
+    e2 AS (SELECT DISTINCT src, dst, rel_type
+           FROM read_csv('{_FIX}/pre_closure_edges_v2.csv', header=true)
+           WHERE NOT (src LIKE 'zoo.%' OR src = 'zoo')),
+    anc1(cls, ancestor) AS (
+      SELECT src, dst FROM e1 WHERE rel_type = 'INHERITS'
+      UNION
+      SELECT a.cls, i.dst FROM anc1 a
+        JOIN e1 i ON i.rel_type = 'INHERITS' AND a.ancestor = i.src
+    ),
+    anc2(cls, ancestor) AS (
+      SELECT src, dst FROM e2 WHERE rel_type = 'INHERITS'
+      UNION
+      SELECT a.cls, i.dst FROM anc2 a
+        JOIN e2 i ON i.rel_type = 'INHERITS' AND a.ancestor = i.src
+    ),
+    meth1 AS (
+      SELECT a.cls AS src, h.dst FROM anc1 a
+        JOIN e1 h ON h.rel_type = 'HAS_METHOD' AND h.src = a.ancestor
+      WHERE regexp_extract(h.dst, '[^.]*$') <> '__init__'
+    ),
+    meth2 AS (
+      SELECT a.cls AS src, h.dst FROM anc2 a
+        JOIN e2 h ON h.rel_type = 'HAS_METHOD' AND h.src = a.ancestor
+      WHERE regexp_extract(h.dst, '[^.]*$') <> '__init__'
+    ),
+    pairs AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e1 UNION ALL SELECT src, dst FROM e2
+        UNION ALL SELECT src, dst FROM meth1
+        UNION ALL SELECT src, dst FROM meth2)
+    ),
+    verts AS (SELECT DISTINCT vertex FROM (
+        SELECT src AS vertex FROM pairs UNION ALL SELECT dst FROM pairs)),
+    consts AS (
+      SELECT 1000000000000 // COUNT(*) AS init,
+             (1000000000000 // COUNT(*)) * 15 // 100 AS base
+      FROM verts),
+    outd AS (SELECT src, COUNT(*) AS od FROM pairs GROUP BY src),
+    links AS (SELECT p.src, p.dst, o.od FROM pairs p JOIN outd o ON o.src = p.src),
+    pr0 AS (SELECT v.vertex, CAST(c.init AS BIGINT) AS rank
+            FROM verts v CROSS JOIN consts c),
+    {",".join(steps)}
+    SELECT vertex, rank AS rank_scaled FROM pr{iterations}
+    ORDER BY rank_scaled DESC, vertex LIMIT {top}
+    """
+
+
 @query(
     "g_pagerank_top",
-    oracle="""
-    SELECT * FROM (VALUES
-      ('pkga.consts.MAX_DEPTH', CAST(21294715686 AS BIGINT)),
-      ('pkga.util.helper', CAST(20611413040 AS BIGINT)),
-      ('pkga.base.GREETING', CAST(19401766772 AS BIGINT)),
-      ('pkga.base.Animal.species', CAST(19133677454 AS BIGINT)),
-      ('pkgb.dog.Dog.fetch', CAST(17368640492 AS BIGINT)),
-      ('pkgb.dog.Dog.speak', CAST(16770126529 AS BIGINT)),
-      ('pkga.base.Animal', CAST(14727351835 AS BIGINT)),
-      ('unsolved symbol', CAST(13024437110 AS BIGINT))
-    ) t(vertex, rank_scaled)
-    ORDER BY rank_scaled DESC, vertex
-    """,
+    oracle=_pagerank_oracle_sql(),
 )
 def g_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic integer-arithmetic PageRank over the full edge set
     (operators/analytics.py): join + groupBy-sum per superstep — the
     aggregateMessages pattern GraphX compiles to — in scaled-int math so
     ranks are exactly reproducible (golden-checked against a pure-Python
-    replica in tests). Most-referenced symbols float to the top."""
+    replica in tests). Most-referenced symbols float to the top.
+    RECOMPUTING oracle: _pagerank_oracle_sql replays the ten supersteps
+    in DuckDB from the committed edge facts (unrolled CTEs, int64 floor
+    division) — not a golden pin."""
     from codegraphdb_spark.operators.analytics import pagerank_int
 
     _, edges, _ = _graph(spark)
@@ -775,17 +841,49 @@ def g_override_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_cypher_match",
-    oracle="""
-    SELECT * FROM (VALUES
-      ('pkga.base.Animal.describe'), ('pkga.base.Animal.speak'),
-      ('pkgb.dog.Dog.fetch'), ('pkgb.dog.Dog.roll'), ('pkgb.dog.Dog.speak')
-    ) t(method) ORDER BY method
+    oracle=f"""
+    WITH RECURSIVE {_merged_nodes_sql()},
+    e1 AS (SELECT DISTINCT src, dst, rel_type
+           FROM read_csv('{_FIX}/pre_closure_edges_v1.csv', header=true)),
+    e2 AS (SELECT DISTINCT src, dst, rel_type
+           FROM read_csv('{_FIX}/pre_closure_edges_v2.csv', header=true)),
+    anc1(cls, ancestor) AS (
+      SELECT src, dst FROM e1 WHERE rel_type = 'INHERITS'
+      UNION
+      SELECT a.cls, i.dst FROM anc1 a
+        JOIN e1 i ON i.rel_type = 'INHERITS' AND a.ancestor = i.src
+    ),
+    anc2(cls, ancestor) AS (
+      SELECT src, dst FROM e2 WHERE rel_type = 'INHERITS'
+      UNION
+      SELECT a.cls, i.dst FROM anc2 a
+        JOIN e2 i ON i.rel_type = 'INHERITS' AND a.ancestor = i.src
+    ),
+    hm AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e1 WHERE rel_type = 'HAS_METHOD'
+        UNION ALL SELECT src, dst FROM e2 WHERE rel_type = 'HAS_METHOD'
+        UNION ALL
+        SELECT a.cls, h.dst FROM anc1 a
+          JOIN e1 h ON h.rel_type = 'HAS_METHOD' AND h.src = a.ancestor
+        WHERE regexp_extract(h.dst, '[^.]*$') <> '__init__'
+        UNION ALL
+        SELECT a.cls, h.dst FROM anc2 a
+          JOIN e2 h ON h.rel_type = 'HAS_METHOD' AND h.src = a.ancestor
+        WHERE regexp_extract(h.dst, '[^.]*$') <> '__init__')
+    )
+    SELECT hm.dst AS method
+    FROM merged c JOIN hm ON hm.src = c.full_name
+    WHERE c.kind = 'CLASS' AND c.full_name = 'pkgb.dog.Dog'
+    ORDER BY method
     """,
 )
 def g_cypher_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8: the reference's user-facing Cypher surface (graphDB.py:106-112)
     — a canned query in the reference's own syntax compiled to a DataFrame
-    plan by the Cypher-subset front end (plans/cypher.py)."""
+    plan by the Cypher-subset front end (plans/cypher.py).
+    RECOMPUTING oracle: merged-node label check + per-version E1 closure
+    union re-derived from the committed fact CSVs."""
     from codegraphdb_spark.plans.cypher import run_cypher
 
     nodes, edges, _ = _graph(spark)
@@ -826,16 +924,30 @@ def g_code_hydration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_cypher_varlen",
-    oracle="""
-    SELECT * FROM (VALUES ('pkga.base.Animal'), ('pkgb.dog.Dog')) t(base)
-    ORDER BY base
+    oracle=f"""
+    WITH RECURSIVE {_merged_nodes_sql()},
+    {_EDGES_UNION_SQL},
+    starts AS (
+      SELECT full_name FROM merged WHERE kind = 'CLASS' AND name = 'Puppy'
+    ),
+    r(node, d) AS (
+      SELECT e.dst, 1 FROM e_all e
+        JOIN starts s ON e.src = s.full_name
+      WHERE e.rel_type = 'INHERITS'
+      UNION
+      SELECT e.dst, r.d + 1 FROM r
+        JOIN e_all e ON e.rel_type = 'INHERITS' AND e.src = r.node
+      WHERE r.d < 5
+    )
+    SELECT DISTINCT node AS base FROM r ORDER BY base
     """,
 )
 def g_cypher_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8 extension: variable-length path in the Cypher front end —
     [:INHERITS*1..5] compiles to a bounded reachability expansion
     (iterated self-join, deduped per hop). Puppy reaches Dog (1 hop) and
-    Animal (2 hops)."""
+    Animal (2 hops). RECOMPUTING oracle: hop-bounded recursive reachability
+    over the committed edge facts, start set from the merged-node window."""
     from codegraphdb_spark.plans.cypher import run_cypher
 
     nodes, edges, _ = _graph(spark)
@@ -1326,8 +1438,43 @@ def g_call_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_blast_radius",
-    oracle="""
-    SELECT * FROM (VALUES ('pkgb/dog.py'), ('pkgb/puppy.py')) t(file_path)
+    oracle=f"""
+    WITH RECURSIVE
+    modules AS (
+      SELECT full_name, file_path
+      FROM read_csv('{_FIX}/node_facts_v1.csv', header=true)
+      WHERE kind = 'MODULE'
+    ),
+    imp AS (
+      SELECT module,
+             CASE WHEN nullif(imp_target_name, '') IS NOT NULL
+                       AND NOT imp_is_star
+                  THEN imp_target_module || '.' || imp_target_name
+                  ELSE imp_target_module END AS tgt
+      FROM read_csv('{_FIX}/import_facts_v1.csv', header=true)
+    ),
+    dep AS (
+      SELECT DISTINCT module AS src,
+             array_to_string(parts[1:gs], '.') AS dst
+      FROM (SELECT module, string_split(tgt, '.') AS parts FROM imp),
+           UNNEST(generate_series(1, length(parts))) AS u(gs)
+      WHERE module <> array_to_string(parts[1:gs], '.')
+    ),
+    changed_mods AS (
+      SELECT full_name FROM modules WHERE file_path = 'pkgb/dog.py'
+    ),
+    reach(m) AS (
+      SELECT d.src FROM dep d JOIN changed_mods c ON d.dst = c.full_name
+      UNION
+      SELECT d.src FROM dep d JOIN reach r ON d.dst = r.m
+    ),
+    aff AS (
+      SELECT m AS full_name FROM reach
+      UNION SELECT full_name FROM changed_mods
+    )
+    SELECT DISTINCT file_path FROM (
+      SELECT mo.file_path FROM modules mo JOIN aff a ON mo.full_name = a.full_name
+      UNION ALL SELECT 'pkgb/dog.py')
     ORDER BY file_path
     """,
 )
@@ -1338,7 +1485,10 @@ def g_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dog`). This is exactly the affected-set the dependency-pruned
     incremental update executes (operators/incremental.py::affected_files,
     F3 at scale), exposed as a query. Uses the v1 extraction facts cached
-    from the same single fixture build — no extra pipeline run."""
+    from the same single fixture build — no extra pipeline run.
+    RECOMPUTING oracle: DuckDB re-derives the dotted-prefix import graph
+    (incremental.py::import_dependency_edges) from the committed raw
+    import facts and runs the reverse reachability as a recursive CTE."""
     from codegraphdb_spark import mini_repo
     from codegraphdb_spark.operators.incremental import affected_files
 

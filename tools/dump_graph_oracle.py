@@ -92,6 +92,24 @@ def dump_tables(spark) -> dict[str, "object"]:
         out[f"pre_closure_edges_{ver}.csv"] = pe.sort_values(
             list(pe.columns), kind="mergesort"
         ).reset_index(drop=True)
+
+    # raw v1 import facts — g_blast_radius' oracle re-derives the module
+    # import graph + reverse reachability (incremental.py::affected_files)
+    # from these instead of pinning the affected file list
+    imp = (
+        f1.filter("fact = 'import'")
+        .select("module", "imp_target_module", "imp_target_name", "imp_is_star")
+        .toPandas()
+    )
+    if imp[["module", "imp_target_module"]].isna().any().any():
+        raise AssertionError("import fact key columns contain NULLs")
+    # imp_target_name is NULL for plain `import a.b` — identifiers are
+    # never empty, so '' round-trips as the NULL marker (nullif in SQL)
+    imp["imp_target_name"] = imp["imp_target_name"].fillna("")
+    imp["imp_is_star"] = imp["imp_is_star"].fillna(False).astype(bool)
+    out["import_facts_v1.csv"] = imp.sort_values(
+        list(imp.columns), kind="mergesort"
+    ).reset_index(drop=True)
     return out
 
 
