@@ -102,6 +102,43 @@ _EDGES_UNION_SQL = f"""
     )
 """
 
+# per-version E1 closure re-derivation (ast_manage.py:79-99 semantics) and
+# the cross-version HAS_METHOD union `hm` — the shared CTE block the
+# closure-consuming Cypher oracles build on (needs WITH RECURSIVE; DuckDB
+# treats plain UNION referencing recursive CTEs as UNION ALL, hence the
+# explicit DISTINCT)
+_CLOSURE_HM_SQL = f"""
+    e1 AS (SELECT DISTINCT src, dst, rel_type
+           FROM read_csv('{_FIX}/pre_closure_edges_v1.csv', header=true)),
+    e2 AS (SELECT DISTINCT src, dst, rel_type
+           FROM read_csv('{_FIX}/pre_closure_edges_v2.csv', header=true)),
+    anc1(cls, ancestor) AS (
+      SELECT src, dst FROM e1 WHERE rel_type = 'INHERITS'
+      UNION
+      SELECT a.cls, i.dst FROM anc1 a
+        JOIN e1 i ON i.rel_type = 'INHERITS' AND a.ancestor = i.src
+    ),
+    anc2(cls, ancestor) AS (
+      SELECT src, dst FROM e2 WHERE rel_type = 'INHERITS'
+      UNION
+      SELECT a.cls, i.dst FROM anc2 a
+        JOIN e2 i ON i.rel_type = 'INHERITS' AND a.ancestor = i.src
+    ),
+    hm AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e1 WHERE rel_type = 'HAS_METHOD'
+        UNION ALL SELECT src, dst FROM e2 WHERE rel_type = 'HAS_METHOD'
+        UNION ALL
+        SELECT a.cls, h.dst FROM anc1 a
+          JOIN e1 h ON h.rel_type = 'HAS_METHOD' AND h.src = a.ancestor
+        WHERE regexp_extract(h.dst, '[^.]*$') <> '__init__'
+        UNION ALL
+        SELECT a.cls, h.dst FROM anc2 a
+          JOIN e2 h ON h.rel_type = 'HAS_METHOD' AND h.src = a.ancestor
+        WHERE regexp_extract(h.dst, '[^.]*$') <> '__init__')
+    )
+"""
+
 _CACHE: dict[SparkSession, tuple[DataFrame, DataFrame, DataFrame]] = {}
 # v1 extraction facts from the same build (already checkpointed) — consumed
 # by g_blast_radius' import-reachability analysis, no extra pipeline run
@@ -843,35 +880,7 @@ def g_override_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g_cypher_match",
     oracle=f"""
     WITH RECURSIVE {_merged_nodes_sql()},
-    e1 AS (SELECT DISTINCT src, dst, rel_type
-           FROM read_csv('{_FIX}/pre_closure_edges_v1.csv', header=true)),
-    e2 AS (SELECT DISTINCT src, dst, rel_type
-           FROM read_csv('{_FIX}/pre_closure_edges_v2.csv', header=true)),
-    anc1(cls, ancestor) AS (
-      SELECT src, dst FROM e1 WHERE rel_type = 'INHERITS'
-      UNION
-      SELECT a.cls, i.dst FROM anc1 a
-        JOIN e1 i ON i.rel_type = 'INHERITS' AND a.ancestor = i.src
-    ),
-    anc2(cls, ancestor) AS (
-      SELECT src, dst FROM e2 WHERE rel_type = 'INHERITS'
-      UNION
-      SELECT a.cls, i.dst FROM anc2 a
-        JOIN e2 i ON i.rel_type = 'INHERITS' AND a.ancestor = i.src
-    ),
-    hm AS (
-      SELECT DISTINCT src, dst FROM (
-        SELECT src, dst FROM e1 WHERE rel_type = 'HAS_METHOD'
-        UNION ALL SELECT src, dst FROM e2 WHERE rel_type = 'HAS_METHOD'
-        UNION ALL
-        SELECT a.cls, h.dst FROM anc1 a
-          JOIN e1 h ON h.rel_type = 'HAS_METHOD' AND h.src = a.ancestor
-        WHERE regexp_extract(h.dst, '[^.]*$') <> '__init__'
-        UNION ALL
-        SELECT a.cls, h.dst FROM anc2 a
-          JOIN e2 h ON h.rel_type = 'HAS_METHOD' AND h.src = a.ancestor
-        WHERE regexp_extract(h.dst, '[^.]*$') <> '__init__')
-    )
+    {_CLOSURE_HM_SQL}
     SELECT hm.dst AS method
     FROM merged c JOIN hm ON hm.src = c.full_name
     WHERE c.kind = 'CLASS' AND c.full_name = 'pkgb.dog.Dog'
@@ -961,12 +970,26 @@ def g_cypher_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_cypher_shortest",
-    oracle="""
-    SELECT * FROM (VALUES
-      ('Dog', 'Animal', 1),
-      ('Puppy', 'Animal', 2),
-      ('Puppy', 'Dog', 1)
-    ) t(src, dst, hops) ORDER BY src, dst
+    oracle=f"""
+    WITH RECURSIVE {_merged_nodes_sql()},
+    {_EDGES_UNION_SQL},
+    cls AS (
+      SELECT full_name, name FROM merged WHERE kind = 'CLASS'
+        AND NOT (full_name LIKE 'zoo.%' OR full_name = 'zoo')
+    ),
+    r(a, node, d) AS (
+      SELECT e.src, e.dst, 1 FROM e_all e WHERE e.rel_type = 'INHERITS'
+      UNION
+      SELECT r.a, e.dst, r.d + 1 FROM r
+        JOIN e_all e ON e.rel_type = 'INHERITS' AND e.src = r.node
+      WHERE r.d < 5
+    ),
+    mins AS (SELECT a, node AS b, MIN(d) AS hops FROM r GROUP BY a, node)
+    SELECT ca.name AS src, cb.name AS dst, CAST(hops AS INT) AS hops
+    FROM mins
+    JOIN cls ca ON ca.full_name = mins.a
+    JOIN cls cb ON cb.full_name = mins.b
+    ORDER BY src, dst
     """,
 )
 def g_cypher_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1508,15 +1531,19 @@ def g_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_cypher_grouped",
-    oracle="""
-    SELECT * FROM (VALUES
-      ('pkga.base.Animal', CAST(3 AS BIGINT), 'speak',
-       '__init__,describe,speak'),
-      ('pkgb.dog.Dog', CAST(5 AS BIGINT), 'speak',
-       'describe,fetch,roll,speak,speak'),
-      ('pkgb.puppy.Puppy', CAST(6 AS BIGINT), 'whine',
-       'describe,fetch,roll,speak,speak,whine')
-    ) t(cls, n_methods, max_method, methods) ORDER BY cls
+    oracle=f"""
+    WITH RECURSIVE {_merged_nodes_sql()},
+    {_CLOSURE_HM_SQL}
+    SELECT c.full_name AS cls,
+           CAST(COUNT(*) AS BIGINT) AS n_methods,
+           MAX(n.name) AS max_method,
+           string_agg(n.name, ',' ORDER BY n.name) AS methods
+    FROM merged c
+    JOIN hm ON hm.src = c.full_name
+    JOIN merged n ON n.full_name = hm.dst
+    WHERE c.kind = 'CLASS'
+      AND NOT (c.full_name LIKE 'zoo.%' OR c.full_name = 'zoo')
+    GROUP BY c.full_name ORDER BY cls
     """,
 )
 def g_cypher_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
