@@ -5,19 +5,22 @@ The graph is built from the embedded deterministic mini-repo
 (codegraphdb_spark/mini_repo.py, FIXTURES.md §2) through the full pipeline:
 v1 build → v1→v2 incremental update. Two oracle tiers:
 
-- RECOMPUTING oracles (most of the catalog: point lookup, filters,
-  children, edge projections, census, version stamping/diff, methods
-  closure, call closure, components, triangles, bucketed children):
-  DuckDB independently re-derives merge windows, B4 endpoint synthesis,
-  WITH RECURSIVE closures, connected components, and version
-  stamping/membership from committed raw-fact CSVs
-  (tools/dump_graph_oracle.py) — a true differential check of everything
-  downstream of resolution, the same standard events_asof_join meets.
+- RECOMPUTING oracles (everything except the three pins below): DuckDB
+  independently re-derives merge windows, B4 endpoint synthesis,
+  WITH RECURSIVE closures (E1 methods, call reachability, import blast
+  radius, var-length/shortest paths), connected components, degree /
+  integer-PageRank analytics (unrolled superstep CTEs), version
+  stamping/membership, and every checked Cypher result shape from
+  committed raw-fact CSVs (tools/dump_graph_oracle.py) — a true
+  differential check of everything downstream of resolution, the same
+  standard events_asof_join meets.
 - literal-VALUES pins remain only where the checked value IS the
-  resolution/extraction outcome itself (deep-resolution goldens
-  g_call_edges_deep, pagerank/degree/closure analytics pins, Cypher
-  result shapes) — those stay covered by hand-verified rows plus
-  property/idempotency tests (also asserted in tests/test_graph_build.py).
+  resolution/extraction outcome itself: the deep-resolution goldens
+  (g_call_edges_deep — jedi-class type propagation no SQL engine can
+  re-derive) and the two code-pointer renders (g_code_hydration,
+  g_cypher_code — line offsets + source text from extraction). Those
+  stay covered by hand-verified rows plus property/idempotency tests
+  (also asserted in tests/test_graph_build.py).
 
 Arrays (versions) are rendered as comma-joined strings for hashability.
 
@@ -1013,11 +1016,15 @@ def g_cypher_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_cypher_unwind_params",
-    oracle="""
-    SELECT * FROM (VALUES
-      ('Animal', 'pkga.base.Animal'),
-      ('Dog', 'pkgb.dog.Dog')
-    ) t(nm, cls) ORDER BY nm
+    oracle=f"""
+    WITH RECURSIVE {_merged_nodes_sql()},
+    names AS (SELECT unnest(['Animal', 'Dog', 'Puppy']) AS nm)
+    SELECT n.nm, c.full_name AS cls
+    FROM names n JOIN merged c ON c.name = n.nm
+    WHERE c.kind = 'CLASS'
+      AND NOT (c.full_name LIKE 'zoo.%' OR c.full_name = 'zoo')
+      AND regexp_full_match(c.name, 'D.g|Animal')
+    ORDER BY nm
     """,
 )
 def g_cypher_unwind_params(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1043,20 +1050,20 @@ def g_cypher_unwind_params(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_cypher_extended",
-    oracle="""
-    SELECT * FROM (VALUES
-      ('pkgb.dog.Dog', 'pkga.base.Animal.describe'),
-      ('pkgb.dog.Dog', 'pkga.base.Animal.speak'),
-      ('pkgb.dog.Dog', 'pkgb.dog.Dog.fetch'),
-      ('pkgb.dog.Dog', 'pkgb.dog.Dog.roll'),
-      ('pkgb.dog.Dog', 'pkgb.dog.Dog.speak'),
-      ('pkgb.puppy.Puppy', 'pkga.base.Animal.describe'),
-      ('pkgb.puppy.Puppy', 'pkga.base.Animal.speak'),
-      ('pkgb.puppy.Puppy', 'pkgb.dog.Dog.fetch'),
-      ('pkgb.puppy.Puppy', 'pkgb.dog.Dog.roll'),
-      ('pkgb.puppy.Puppy', 'pkgb.dog.Dog.speak'),
-      ('pkgb.puppy.Puppy', 'pkgb.puppy.Puppy.whine')
-    ) t(cls, method) ORDER BY cls, method
+    oracle=f"""
+    WITH RECURSIVE {_merged_nodes_sql()},
+    {_CLOSURE_HM_SQL},
+    inh AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e1 WHERE rel_type = 'INHERITS'
+        UNION ALL SELECT src, dst FROM e2 WHERE rel_type = 'INHERITS')
+    )
+    SELECT DISTINCT hm.src AS cls, hm.dst AS method
+    FROM hm JOIN inh ON inh.src = hm.src
+    JOIN merged b ON b.full_name = inh.dst
+    WHERE (b.name = 'Animal' OR b.name = 'Dog')
+      AND NOT (hm.src LIKE 'zoo.%' OR hm.src = 'zoo')
+    ORDER BY cls, method
     """,
 )
 def g_cypher_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1186,12 +1193,17 @@ def g_cypher_code(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_cypher_optional",
-    oracle="""
-    SELECT * FROM (VALUES
-      ('pkga.base.Animal', CAST(NULL AS VARCHAR)),
-      ('pkgb.dog.Dog', 'pkga.base.Animal'),
-      ('pkgb.puppy.Puppy', 'pkgb.dog.Dog')
-    ) t(cls, base) ORDER BY cls
+    oracle=f"""
+    WITH RECURSIVE {_merged_nodes_sql()},
+    {_EDGES_UNION_SQL},
+    cls AS (
+      SELECT full_name FROM merged WHERE kind = 'CLASS'
+        AND NOT (full_name LIKE 'zoo.%' OR full_name = 'zoo')
+    ),
+    inh AS (SELECT DISTINCT src, dst FROM e_all WHERE rel_type = 'INHERITS')
+    SELECT c.full_name AS cls, i.dst AS base
+    FROM cls c LEFT JOIN inh i ON i.src = c.full_name
+    ORDER BY cls
     """,
 )
 def g_cypher_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1572,12 +1584,11 @@ def g_cypher_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_cypher_exists_skip",
-    oracle="""
-    SELECT * FROM (VALUES
-      ('pkga.base.Animal', 'pkga/base.py'),
-      ('pkga.base.Animal.__init__', 'pkga/base.py'),
-      ('pkga.base.Animal.describe', 'pkga/base.py')
-    ) t(fn, fp) ORDER BY fn
+    oracle=f"""
+    WITH m1 AS ({_merged_nodes_cte('v1')})
+    SELECT full_name AS fn, file_path AS fp FROM m1
+    WHERE NOT (full_name LIKE 'zoo.%' OR full_name = 'zoo')
+    ORDER BY fn LIMIT 3 OFFSET 2
     """,
 )
 def g_cypher_exists_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1600,11 +1611,27 @@ def g_cypher_exists_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_cypher_with",
-    oracle="""
-    SELECT * FROM (VALUES
-      ('Dog', 'Animal', CAST(5 AS BIGINT)),
-      ('Puppy', 'Dog', CAST(6 AS BIGINT))
-    ) t(cls, base, n) ORDER BY cls
+    oracle=f"""
+    WITH RECURSIVE {_merged_nodes_sql()},
+    {_CLOSURE_HM_SQL},
+    inh AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e1 WHERE rel_type = 'INHERITS'
+        UNION ALL SELECT src, dst FROM e2 WHERE rel_type = 'INHERITS')
+    ),
+    agg AS (
+      SELECT hm.src, CAST(COUNT(*) AS BIGINT) AS n
+      FROM hm JOIN merged cm ON cm.full_name = hm.src
+      WHERE cm.kind = 'CLASS'
+        AND NOT (hm.src LIKE 'zoo.%' OR hm.src = 'zoo')
+      GROUP BY hm.src HAVING COUNT(*) > 3
+    )
+    SELECT cm.name AS cls, bm.name AS base, a.n
+    FROM agg a
+    JOIN merged cm ON cm.full_name = a.src
+    JOIN inh i ON i.src = a.src
+    JOIN merged bm ON bm.full_name = i.dst
+    ORDER BY cls
     """,
 )
 def g_cypher_with(spark: SparkSession, sf_dir: str) -> DataFrame:
