@@ -1,0 +1,375 @@
+"""Cypher WRITE-clause subset: MERGE / SET / DELETE compiled to the same
+set-oriented mutation semantics the engine's B1–B5 operators implement
+(operators/merge.py) — closing the write half of the reference's Cypher
+surface (graphDB.py:121-174: add_node/add_edge/update/delete issued as
+Cypher by the reference's client) without per-record read-modify-write.
+
+Supported statements (one write clause per call):
+
+    MERGE (n:KIND {full_name: '...', prop: val, ...})
+        node upsert keyed on full_name (B1): provided properties
+        overwrite, absent ones are preserved, the write version joins the
+        versions array; a 'none' placeholder is promoted to the MERGE's
+        kind but an explicit existing kind is never demoted (B3).
+    MERGE (a {full_name: '..'})-[:REL {association_type: '..'}]->(b {full_name: '..'})
+        edge upsert keyed on (src, dst, rel_type) (B4 dedupe part);
+        missing endpoints are synthesized as 'none' placeholders exactly
+        like the engine does (B4, graphDB.py:133-153 parity).
+    MATCH (n:KIND {props}) SET n.prop = val [, n.prop2 = val2]
+        property update on matched nodes only — never creates (B2).
+    MATCH (n:KIND {props}) DETACH DELETE n
+        delete matched nodes and cascade every edge touching them
+        (B5-style DETACH semantics).
+    MATCH (n:KIND {props}) DELETE n
+        like Neo4j, refuses (CypherError) if any edge still references a
+        matched node.
+
+Values in property maps / SET may be 'str', "str", int, or $param
+(the same strict parser as the read front end — unparseable entries
+raise, plans/cypher.py::_parse_props).
+
+Returns NEW (nodes, edges) DataFrames; nothing is persisted — callers
+write through engine.write_snapshot, which stays the single durability
+point (atomic staged-commit swap).
+
+Scale shape: the write set is a parsed literal — a handful of rows
+broadcast against the snapshot. The only wide operation is one
+full_name-keyed outer join with the tiny side explicitly broadcast; no
+locks, no driver loops, and re-running the same statement yields the
+identical snapshot (idempotent like every engine mutation).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from codegraphdb_spark.datamodel import EDGES_SCHEMA, NODES_SCHEMA
+from codegraphdb_spark.plans.cypher import (
+    _NODE,
+    _PARAMS,
+    CypherError,
+    _node_filter,
+    _parse_labels,
+    _parse_props,
+    _string_spans,
+)
+
+
+def _split_assignments(s: str) -> list[str]:
+    """Split SET assignments on commas OUTSIDE string literals (a naive
+    split breaks 'def f(self, x):')."""
+    spans = _string_spans(s)
+    parts: list[str] = []
+    last = 0
+    for i, ch in enumerate(s):
+        if ch == "," and not any(a <= i < b for a, b in spans):
+            parts.append(s[last:i])
+            last = i + 1
+    parts.append(s[last:])
+    return parts
+
+_NODE_COLS = [f.name for f in NODES_SCHEMA.fields]
+_PROP_COLS = [c for c in _NODE_COLS if c not in ("full_name", "kind", "versions")]
+_INT_PROPS = {"code_start", "code_end"}
+
+_MERGE_RX = re.compile(r"(?is)^\s*MERGE\s+(?P<pattern>\(.*)\s*$")
+_SET_RX = re.compile(
+    r"(?is)^\s*MATCH\s+(?P<pattern>\(.*?\))\s+SET\s+(?P<assigns>.+?)\s*$"
+)
+_DELETE_RX = re.compile(
+    r"(?is)^\s*MATCH\s+(?P<pattern>\(.*?\))\s+(?P<detach>DETACH\s+)?DELETE\s+"
+    r"(?P<var>\w+)\s*$"
+)
+_ASSIGN_RX = re.compile(
+    r"^\s*(?P<var>\w+)\.(?P<prop>\w+)\s*=\s*"
+    r"(?:'(?P<sq>[^']*)'|\"(?P<dq>[^\"]*)\"|(?P<num>\d+)|\$(?P<param>\w+))\s*$"
+)
+_EDGE_MERGE_RX = re.compile(
+    r"(?is)^\s*(?P<a>\([^)]*\))\s*-\s*\[\s*:(?P<rel>\w+)\s*"
+    r"(?:\{(?P<props>[^}]*)\})?\s*\]\s*->\s*(?P<b>\([^)]*\))\s*$"
+)
+
+
+def _parse_single_node(pattern: str) -> tuple[str | None, list[str], dict]:
+    m = _NODE.fullmatch(pattern.strip())
+    if not m:
+        raise CypherError(f"cannot parse node pattern {pattern!r}")
+    kind, versions = _parse_labels(m.group("labels") or "")
+    props = _parse_props(m.group("props"))
+    return kind, versions, props
+
+
+def _require_key(props: dict, where: str) -> str:
+    fn = props.get("full_name")
+    if not isinstance(fn, str) or not fn:
+        raise CypherError(f"{where} requires a string full_name property")
+    return fn
+
+
+def _typed_prop(prop: str, val: object) -> object:
+    if prop not in _NODE_COLS or prop in ("versions",):
+        raise CypherError(f"unknown writable property {prop!r}")
+    if prop in _INT_PROPS:
+        if not isinstance(val, int):
+            raise CypherError(f"{prop} must be an int (got {val!r})")
+        return val
+    if not isinstance(val, (str, int)):
+        raise CypherError(f"{prop} must be str or int (got {type(val).__name__})")
+    return str(val)
+
+
+def _merge_node(
+    nodes: DataFrame, kind: str | None, props: dict, version: str
+) -> DataFrame:
+    full_name = _require_key(props, "MERGE (node)")
+    provided = {
+        p: _typed_prop(p, v) for p, v in props.items() if p != "full_name"
+    }
+    spark = nodes.sparkSession
+    row = {c: None for c in _NODE_COLS}
+    row.update(provided)
+    row["full_name"] = full_name
+    row["kind"] = kind or "none"
+    # default name: last dotted segment, like B4's placeholder synthesis
+    if row.get("name") is None:
+        row["name"] = full_name.rsplit(".", 1)[-1]
+    row["versions"] = [version]
+    new = F.broadcast(
+        spark.createDataFrame(
+            [tuple(row[c] for c in _NODE_COLS)], NODES_SCHEMA
+        ).select([F.col(c).alias(f"n__{c}") for c in _NODE_COLS])
+    )
+    joined = nodes.join(new, nodes.full_name == new.n__full_name, "full_outer")
+    out = [F.coalesce("full_name", "n__full_name").alias("full_name")]
+    # B3 label promotion: an explicit MERGE kind overwrites 'none' (and any
+    # prior kind — the statement is authoritative); a kind-less MERGE never
+    # demotes an existing explicit kind
+    out.append(
+        F.when(
+            F.col("n__kind").isNotNull() & (F.col("n__kind") != "none"),
+            F.col("n__kind"),
+        )
+        .otherwise(F.coalesce("kind", "n__kind"))
+        .alias("kind")
+    )
+    for c in _PROP_COLS:
+        if c in provided:
+            # provided: the statement's value wins on the matched row
+            expr = F.when(
+                F.col("n__full_name").isNotNull(), F.col(f"n__{c}")
+            ).otherwise(F.col(c))
+        else:
+            # not provided: existing value preserved; on create the new
+            # row supplies only the defaulted name (others stay NULL)
+            expr = F.coalesce(c, f"n__{c}")
+        out.append(expr.alias(c))
+    out.append(
+        F.when(
+            F.col("versions").isNotNull() & F.col("n__versions").isNotNull(),
+            F.array_union("versions", "n__versions"),
+        )
+        .otherwise(F.coalesce("versions", "n__versions"))
+        .alias("versions")
+    )
+    return joined.select(*[c for c in out])
+
+
+def _merge_edge(
+    nodes: DataFrame,
+    edges: DataFrame,
+    a_props: dict,
+    rel: str,
+    e_props: dict,
+    b_props: dict,
+    version: str,
+) -> tuple[DataFrame, DataFrame]:
+    src = _require_key(a_props, "MERGE (edge) left endpoint")
+    dst = _require_key(b_props, "MERGE (edge) right endpoint")
+    assoc = e_props.get("association_type")
+    if assoc is not None and not isinstance(assoc, str):
+        raise CypherError("association_type must be a string")
+    unknown = set(e_props) - {"association_type"}
+    if unknown:
+        raise CypherError(f"unsupported edge properties: {sorted(unknown)}")
+    spark = edges.sparkSession
+    new = F.broadcast(
+        spark.createDataFrame(
+            [(src, dst, rel, assoc, [version])], EDGES_SCHEMA
+        ).select([F.col(c).alias(f"e__{c}") for c in edges.columns])
+    )
+    key = (
+        (edges.src == new.e__src)
+        & (edges.dst == new.e__dst)
+        & (edges.rel_type == new.e__rel_type)
+    )
+    joined = edges.join(new, key, "full_outer")
+    merged = joined.select(
+        F.coalesce("src", "e__src").alias("src"),
+        F.coalesce("dst", "e__dst").alias("dst"),
+        F.coalesce("rel_type", "e__rel_type").alias("rel_type"),
+        # provided association overwrites; absent keeps old
+        (
+            F.when(F.col("e__src").isNotNull() & F.lit(assoc is not None),
+                   F.col("e__association_type"))
+            .otherwise(F.coalesce("association_type", "e__association_type"))
+        ).alias("association_type"),
+        F.when(
+            F.col("versions").isNotNull() & F.col("e__versions").isNotNull(),
+            F.array_union("versions", "e__versions"),
+        )
+        .otherwise(F.coalesce("versions", "e__versions"))
+        .alias("versions"),
+    )
+    from codegraphdb_spark.operators.merge import synthesize_endpoints
+
+    return synthesize_endpoints(nodes, merged, version), merged
+
+
+def _set_props(
+    nodes: DataFrame,
+    kind: str | None,
+    versions: list[str],
+    props: dict,
+    var: str,
+    assigns: str,
+) -> DataFrame:
+    updates: dict[str, object] = {}
+    for part in _split_assignments(assigns):
+        m = _ASSIGN_RX.fullmatch(part)
+        if not m:
+            raise CypherError(f"cannot parse SET assignment {part.strip()!r}")
+        if m.group("var") != var:
+            raise CypherError(
+                f"SET variable {m.group('var')!r} is not the matched {var!r}"
+            )
+        if m.group("param") is not None:
+            from codegraphdb_spark.plans.cypher import _param_value
+
+            val = _param_value(m.group("param"))
+        elif m.group("num") is not None:
+            val = int(m.group("num"))
+        else:
+            val = m.group("sq") if m.group("sq") is not None else m.group("dq")
+        updates[m.group("prop")] = _typed_prop(m.group("prop"), val)
+    matched = F.broadcast(
+        _node_filter(nodes, kind, versions, props)
+        .select("full_name")
+        .withColumn("__hit", F.lit(True))
+    )
+    df = nodes.join(matched, "full_name", "left")
+    for prop, val in updates.items():
+        df = df.withColumn(
+            prop,
+            F.when(F.col("__hit"), F.lit(val).cast(dict(
+                (f.name, f.dataType) for f in NODES_SCHEMA.fields
+            )[prop])).otherwise(F.col(prop)),
+        )
+    return df.drop("__hit").select(*_NODE_COLS)
+
+
+def _delete(
+    nodes: DataFrame,
+    edges: DataFrame,
+    kind: str | None,
+    versions: list[str],
+    props: dict,
+    detach: bool,
+) -> tuple[DataFrame, DataFrame]:
+    matched = _node_filter(nodes, kind, versions, props).select("full_name")
+    if not detach:
+        still_referenced = (
+            edges.join(
+                F.broadcast(matched.withColumnRenamed("full_name", "src")),
+                "src",
+                "left_semi",
+            )
+            .limit(1)
+            .unionByName(
+                edges.join(
+                    F.broadcast(matched.withColumnRenamed("full_name", "dst")),
+                    "dst",
+                    "left_semi",
+                ).limit(1)
+            )
+            .limit(1)
+            .count()
+        )
+        if still_referenced:
+            raise CypherError(
+                "DELETE would orphan relationships — use DETACH DELETE"
+            )
+    b = F.broadcast(matched)
+    n = nodes.join(b, "full_name", "left_anti")
+    e = (
+        edges.join(b.withColumnRenamed("full_name", "src"), "src", "left_anti")
+        .join(b.withColumnRenamed("full_name", "dst"), "dst", "left_anti")
+    )
+    return n, e
+
+
+def run_cypher_write(
+    query: str,
+    nodes: DataFrame,
+    edges: DataFrame,
+    version: str = "v1",
+    params: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Execute one write statement; returns the new (nodes, edges)."""
+    _PARAMS.d = params or {}
+    try:
+        m = _MERGE_RX.fullmatch(query)
+        if m:
+            pattern = m.group("pattern").strip()
+            em = _EDGE_MERGE_RX.fullmatch(pattern)
+            if em:
+                _, _, a_props = _parse_single_node(em.group("a"))
+                _, _, b_props = _parse_single_node(em.group("b"))
+                e_props = _parse_props(em.group("props"))
+                return _merge_edge(
+                    nodes, edges, a_props, em.group("rel"), e_props, b_props,
+                    version,
+                )
+            kind, _versions, props = _parse_single_node(pattern)
+            return _merge_node(nodes, kind, props, version), edges
+        m = _SET_RX.fullmatch(query)
+        if m:
+            nm = _NODE.fullmatch(m.group("pattern").strip())
+            if not nm:
+                raise CypherError(
+                    f"cannot parse MATCH pattern {m.group('pattern')!r}"
+                )
+            kind, versions = _parse_labels(nm.group("labels") or "")
+            props = _parse_props(nm.group("props"))
+            var = nm.group("var")
+            if not var:
+                raise CypherError("SET requires a named node variable")
+            return (
+                _set_props(nodes, kind, versions, props, var, m.group("assigns")),
+                edges,
+            )
+        m = _DELETE_RX.fullmatch(query)
+        if m:
+            nm = _NODE.fullmatch(m.group("pattern").strip())
+            if not nm:
+                raise CypherError(
+                    f"cannot parse MATCH pattern {m.group('pattern')!r}"
+                )
+            if nm.group("var") != m.group("var"):
+                raise CypherError(
+                    f"DELETE variable {m.group('var')!r} is not the matched "
+                    f"{nm.group('var')!r}"
+                )
+            kind, versions = _parse_labels(nm.group("labels") or "")
+            props = _parse_props(nm.group("props"))
+            return _delete(
+                nodes, edges, kind, versions, props, bool(m.group("detach"))
+            )
+        raise CypherError(
+            "unsupported write statement (expected MERGE node/edge, "
+            "MATCH..SET, or MATCH..[DETACH] DELETE)"
+        )
+    finally:
+        _PARAMS.d = None

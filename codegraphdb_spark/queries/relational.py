@@ -276,6 +276,83 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# KMV (k-minimum-values) cardinality sketch — the cross-engine-EXACT
+# companion to approx_distinct_orders: both engines hash keys with md5,
+# keep the k smallest distinct 60-bit hash prefixes, and estimate
+# (k-1)·2^60 / h_k in exact integer arithmetic, so unlike HLL the sketch
+# is oracle-checkable bit-for-bit. Scale shape: map-side partial dedup in
+# the scan stage, so the one exchange carries 8-byte DISTINCT hashes —
+# ~1000× smaller than the scanned column — and TakeOrdered keeps only k
+# per partition after the final dedup; all whole-stage codegen, no Python.
+# (A bounded-heap mapInPandas pre-cut to k per partition would shrink the
+# exchange further to partitions×k longs, at the cost of an Arrow pass
+# over the column — not worth it below ~10^10 distinct keys.)
+_KMV_K = 1024
+_KMV_SCALE = 1 << 60  # 15 hex chars of md5 = 60-bit hash domain
+
+
+def _kmv_estimate(df: DataFrame, col: str, k: int = _KMV_K) -> DataFrame:
+    """One-row (key_col, est_distinct) KMV estimate for ``df[col]``.
+    Falls back to the exact distinct count when fewer than k distinct
+    hashes exist (the estimator is undefined there — and exact is free)."""
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    topk = df.select(h.alias("h")).dropDuplicates(["h"]).orderBy("h").limit(k)
+    return topk.agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("m")).select(
+        F.lit(col).alias("key_col"),
+        F.when(F.col("m") < k, F.col("m").cast("bigint"))
+        .otherwise(
+            F.expr(
+                f"CAST(CAST({k - 1} AS DECIMAL(38,0)) * CAST({_KMV_SCALE} AS"
+                " DECIMAL(38,0)) div CAST(hk AS DECIMAL(38,0)) AS BIGINT)"
+            )
+        )
+        .alias("est_distinct"),
+    )
+
+
+def _kmv_oracle_branch(col: str, k: int = _KMV_K) -> str:
+    return f"""
+      SELECT '{col}' AS key_col,
+             CASE WHEN m < {k} THEN m
+                  ELSE CAST({k - 1}::HUGEINT * {_KMV_SCALE}::HUGEINT // hk
+                            AS BIGINT) END AS est_distinct
+      FROM (SELECT MAX(h) AS hk, COUNT(*) AS m FROM (
+              SELECT h FROM (
+                SELECT DISTINCT CAST('0x' ||
+                    substr(md5(CAST({col} AS VARCHAR)), 1, 15) AS BIGINT) AS h
+                FROM lineitem)
+              ORDER BY h LIMIT {k}))
+    """
+
+
+@query(
+    "approx_distinct_kmv",
+    oracle=f"""
+    SELECT * FROM ({_kmv_oracle_branch("l_orderkey")}
+                   UNION ALL {_kmv_oracle_branch("l_partkey")})
+    ORDER BY key_col
+    """,
+)
+def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV cardinality sketch (Bar-Yossef et al.'s k-minimum-values): the
+    oracle-checkable approximate-distinct. approx_count_distinct's HLL
+    registers can never hash-match another engine; KMV's statistic (the
+    k smallest md5-prefix values) and estimator ((k-1)·2^60 div h_k) are
+    pure integer arithmetic both engines reproduce bit-for-bit. Error
+    ~1/sqrt(k) ≈ 3% at k=1024; accuracy vs exact asserted in
+    tests/test_relational.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        _kmv_estimate(li, "l_orderkey")
+        .unionByName(_kmv_estimate(li, "l_partkey"))
+        .orderBy("key_col")
+    )
+
+
 @query("approx_distinct_orders")  # no oracle: HLL sketches differ across engines
 def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct — the scale guard for 100 TB cardinality stats

@@ -1,0 +1,205 @@
+"""Cypher write-clause subset (plans/cypher_write.py): MERGE / SET /
+DELETE parity with the engine's B1–B5 mutation semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from codegraphdb_spark.datamodel import EDGES_SCHEMA, NODES_SCHEMA
+from codegraphdb_spark.plans.cypher import CypherError
+from codegraphdb_spark.plans.cypher_write import run_cypher_write
+
+
+def _snapshot(spark):
+    nodes = spark.createDataFrame(
+        [
+            ("m", "MODULE", "m", "m.py", None, None, None, 1, 9, ["v1"]),
+            ("m.C", "CLASS", "C", "m.py", None, None, "m.py", 2, 8, ["v1"]),
+            ("m.C.f", "METHOD", "f", "m.py", "m.C", "def f(self):", "m.py",
+             3, 4, ["v1"]),
+            ("ghost", "none", "ghost", None, None, None, None, None, None,
+             ["v1"]),
+        ],
+        NODES_SCHEMA,
+    )
+    edges = spark.createDataFrame(
+        [
+            ("m", "m.C", "CONTAINS", "CLASS", ["v1"]),
+            ("m.C", "m.C.f", "HAS_METHOD", None, ["v1"]),
+            ("m.C.f", "ghost", "CALL", None, ["v1"]),
+        ],
+        EDGES_SCHEMA,
+    )
+    return nodes, edges
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_merge_creates_node(spark):
+    nodes, edges = _snapshot(spark)
+    n2, e2 = run_cypher_write(
+        "MERGE (n:FUNCTION {full_name: 'm.helper', file_path: 'm.py', "
+        "code_start: 12})",
+        nodes,
+        edges,
+        version="v2",
+    )
+    row = n2.filter(F.col("full_name") == "m.helper").collect()[0]
+    assert row["kind"] == "FUNCTION"
+    assert row["name"] == "helper"  # defaulted last segment
+    assert row["file_path"] == "m.py"
+    assert row["code_start"] == 12
+    assert row["versions"] == ["v2"]
+    # everything else untouched
+    assert n2.count() == nodes.count() + 1
+    assert _rows(e2) == _rows(edges)
+
+
+def test_merge_updates_existing_preserving_unset_props(spark):
+    nodes, edges = _snapshot(spark)
+    n2, _ = run_cypher_write(
+        "MERGE (n:CLASS {full_name: 'm.C', signature: 'class C(Base):'})",
+        nodes,
+        edges,
+        version="v2",
+    )
+    row = n2.filter(F.col("full_name") == "m.C").collect()[0]
+    assert row["signature"] == "class C(Base):"  # provided: overwritten
+    assert row["file_path"] == "m.py"  # not provided: preserved
+    assert row["code_start"] == 2
+    assert sorted(row["versions"]) == ["v1", "v2"]  # union, not replace
+    assert n2.count() == nodes.count()
+
+
+def test_merge_promotes_placeholder_never_demotes(spark):
+    nodes, edges = _snapshot(spark)
+    n2, _ = run_cypher_write(
+        "MERGE (n:FUNCTION {full_name: 'ghost'})", nodes, edges, version="v1"
+    )
+    assert n2.filter(F.col("full_name") == "ghost").collect()[0]["kind"] == (
+        "FUNCTION"  # B3: explicit kind promotes 'none'
+    )
+    # a kind-less MERGE must not demote the promoted kind back to 'none'
+    n3, _ = run_cypher_write(
+        "MERGE (n {full_name: 'm.C'})", nodes, edges, version="v1"
+    )
+    assert n3.filter(F.col("full_name") == "m.C").collect()[0]["kind"] == "CLASS"
+
+
+def test_merge_is_idempotent(spark):
+    nodes, edges = _snapshot(spark)
+    q = "MERGE (n:FUNCTION {full_name: 'm.helper', code_start: 12})"
+    once_n, once_e = run_cypher_write(q, nodes, edges, version="v2")
+    twice_n, twice_e = run_cypher_write(q, once_n, once_e, version="v2")
+    assert _rows(once_n.withColumn("versions", F.to_json("versions"))) == _rows(
+        twice_n.withColumn("versions", F.to_json("versions"))
+    )
+    assert _rows(once_e.withColumn("versions", F.to_json("versions"))) == _rows(
+        twice_e.withColumn("versions", F.to_json("versions"))
+    )
+
+
+def test_merge_edge_synthesizes_missing_endpoint(spark):
+    nodes, edges = _snapshot(spark)
+    n2, e2 = run_cypher_write(
+        "MERGE (a {full_name: 'm.C'})-[:INHERITS]->(b {full_name: 'ext.Base'})",
+        nodes,
+        edges,
+        version="v2",
+    )
+    assert e2.filter(
+        (F.col("src") == "m.C") & (F.col("dst") == "ext.Base")
+        & (F.col("rel_type") == "INHERITS")
+    ).count() == 1
+    # B4: the unseen endpoint appears as a 'none' placeholder
+    ph = n2.filter(F.col("full_name") == "ext.Base").collect()
+    assert len(ph) == 1 and ph[0]["kind"] == "none" and ph[0]["name"] == "Base"
+
+
+def test_merge_existing_edge_unions_versions(spark):
+    nodes, edges = _snapshot(spark)
+    _, e2 = run_cypher_write(
+        "MERGE (a {full_name: 'm'})-[:CONTAINS {association_type: 'CLASS'}]->"
+        "(b {full_name: 'm.C'})",
+        nodes,
+        edges,
+        version="v2",
+    )
+    row = e2.filter((F.col("src") == "m") & (F.col("dst") == "m.C")).collect()
+    assert len(row) == 1
+    assert sorted(row[0]["versions"]) == ["v1", "v2"]
+    assert e2.count() == edges.count()
+
+
+def test_set_updates_matched_only(spark):
+    nodes, edges = _snapshot(spark)
+    n2, _ = run_cypher_write(
+        "MATCH (n:METHOD {full_name: 'm.C.f'}) SET n.signature = 'def f(self, x):',"
+        " n.code_end = 5",
+        nodes,
+        edges,
+    )
+    row = n2.filter(F.col("full_name") == "m.C.f").collect()[0]
+    assert row["signature"] == "def f(self, x):"
+    assert row["code_end"] == 5
+    # non-matched rows byte-identical
+    others = n2.filter(F.col("full_name") != "m.C.f")
+    assert _rows(others.withColumn("versions", F.to_json("versions"))) == _rows(
+        nodes.filter(F.col("full_name") != "m.C.f").withColumn(
+            "versions", F.to_json("versions")
+        )
+    )
+    # SET never creates
+    n3, _ = run_cypher_write(
+        "MATCH (n {full_name: 'nope'}) SET n.signature = 'x'", nodes, edges
+    )
+    assert n3.count() == nodes.count()
+
+
+def test_detach_delete_cascades(spark):
+    nodes, edges = _snapshot(spark)
+    n2, e2 = run_cypher_write(
+        "MATCH (n {full_name: 'ghost'}) DETACH DELETE n", nodes, edges
+    )
+    assert n2.filter(F.col("full_name") == "ghost").count() == 0
+    assert e2.filter(F.col("dst") == "ghost").count() == 0
+    assert e2.count() == edges.count() - 1
+
+
+def test_plain_delete_refuses_referenced_node(spark):
+    nodes, edges = _snapshot(spark)
+    with pytest.raises(CypherError, match="DETACH"):
+        run_cypher_write("MATCH (n {full_name: 'ghost'}) DELETE n", nodes, edges)
+    # unreferenced node deletes fine
+    n1, e1 = run_cypher_write(
+        "MATCH (n {full_name: 'ghost'}) DETACH DELETE n", nodes, edges
+    )
+    n2, _ = run_cypher_write(
+        "MERGE (x:FUNCTION {full_name: 'island'})", n1, e1
+    )
+    n3, _ = run_cypher_write("MATCH (n {full_name: 'island'}) DELETE n", n2, e1)
+    assert n3.filter(F.col("full_name") == "island").count() == 0
+
+
+def test_set_with_params_and_errors(spark):
+    nodes, edges = _snapshot(spark)
+    n2, _ = run_cypher_write(
+        "MATCH (n {full_name: 'm.C'}) SET n.signature = $sig",
+        nodes,
+        edges,
+        params={"sig": "class C(object):"},
+    )
+    assert (
+        n2.filter(F.col("full_name") == "m.C").collect()[0]["signature"]
+        == "class C(object):"
+    )
+    with pytest.raises(CypherError):
+        run_cypher_write("MATCH (n {full_name: 'm.C'}) SET n.versions = 'x'",
+                         nodes, edges)
+    with pytest.raises(CypherError):
+        run_cypher_write("MERGE (n {name: 'no-key'})", nodes, edges)
+    with pytest.raises(CypherError):
+        run_cypher_write("CREATE (n {full_name: 'x'})", nodes, edges)
