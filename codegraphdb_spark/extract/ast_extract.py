@@ -253,6 +253,19 @@ class _Extractor(ast.NodeVisitor):
             ret = self._inferred_return(node)
             if ret:
                 self.returns_fact(full, ret, node.lineno)
+            elif self.class_stack and not self.func_stack:
+                # jedi-parity notch: an unannotated METHOD whose every
+                # return is the same `return self.attr` gets a returns
+                # fact on the field's key (ClassName.attr — the same
+                # self-rewrite assign targets use); resolution chains it
+                # through the field's ctor/annotation binding
+                # (resolve.return_types_post) so `v = s.resident();
+                # v.train()` resolves like an annotated getter
+                attr = self._inferred_self_return(node)
+                if attr:
+                    self.returns_fact(
+                        full, f"{self.class_stack[-1]}.{attr}", node.lineno
+                    )
         # parameters are local bindings: annotated ones carry a usable
         # type (def f(a: Animal) → a.speak() resolves); unannotated ones
         # are poison rows so a parameter shadowing a module-global binding
@@ -320,6 +333,45 @@ class _Extractor(ast.NodeVisitor):
                 continue
             stack.extend(ast.iter_child_nodes(n))
         return names.pop() if len(names) == 1 else None
+
+    @staticmethod
+    def _inferred_self_return(
+        node: ast.FunctionDef | ast.AsyncFunctionDef,
+    ) -> str | None:
+        """The single unambiguous ``return self.attr`` field of an
+        UNANNOTATED method, or None — the getter idiom
+        (``def resident(self): return self.vet``). Same conservatism as
+        _inferred_return: nested def/class/lambda bodies skipped, bare /
+        None returns ignored, any other return shape (or two different
+        attrs) abandons the inference. 'self' is the method's actual
+        first positional parameter, whatever it is named."""
+        args = node.args
+        params = list(getattr(args, "posonlyargs", ())) + list(args.args)
+        if not params:
+            return None
+        self_name = params[0].arg
+        attrs: set[str] = set()
+        stack: list[ast.AST] = list(node.body)
+        while stack:
+            n = stack.pop()
+            if isinstance(
+                n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef, ast.Lambda)
+            ):
+                continue
+            if isinstance(n, ast.Return):
+                if (
+                    isinstance(n.value, ast.Attribute)
+                    and isinstance(n.value.value, ast.Name)
+                    and n.value.value.id == self_name
+                ):
+                    attrs.add(n.value.attr)
+                elif n.value is not None and not (
+                    isinstance(n.value, ast.Constant) and n.value.value is None
+                ):
+                    return None
+                continue
+            stack.extend(ast.iter_child_nodes(n))
+        return attrs.pop() if len(attrs) == 1 else None
 
     @staticmethod
     def _type_expr(value: ast.AST | None) -> tuple[str | None, bool]:

@@ -164,8 +164,17 @@ class Shelter:
     def setup(self):
         self.vet = Trainer()
 
+    def resident(self):
+        return self.vet
+
     def checkup(self):
         return self.vet.train(None)
+
+
+def consult():
+    s = Shelter()
+    v = s.resident()
+    return v.train(None)
 
 
 def deliver():

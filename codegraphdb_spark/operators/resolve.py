@@ -265,13 +265,66 @@ def return_types_post(base: DataFrame) -> DataFrame:
     annotation resolved to a CLASS → (fn_name, ret_cls) — the static
     stand-in for jedi's return-type inference (reference
     indexer_visitor.py:125-157). min() keeps the pick deterministic if a
-    star-import fanout ever resolves one annotation to several classes."""
-    return (
+    star-import fanout ever resolves one annotation to several classes.
+
+    Second tier (jedi-parity notch, round 4): returns rows resolving to a
+    FIELD — the extractor's ``return self.attr`` getter inference, emitted
+    on the field's ``Class.attr`` key — chain through the field's OWN
+    binding: the last assign row on that key (same ordinal-wins ordering
+    class_bindings_post applies), CLASS-typed directly (``self.vet =
+    Trainer()`` / annotated class attr) or through the DIRECT return tier
+    for factory-bound fields (``self.pet = make_animal()``). One level, no
+    recursion — a getter returning a getter-bound field stays unresolved,
+    matching the deliberate no-fixpoint stance of deepen_bindings."""
+    direct = (
         base.filter(
             (F.col("__tag") == "returns") & (F.col("resolved_kind") == "CLASS")
         )
         .groupBy(F.col("src").alias("fn_name"))
         .agg(F.min("resolved").alias("ret_cls"))
+    )
+    field_rets = base.filter(
+        (F.col("__tag") == "returns") & (F.col("resolved_kind") == "FIELD")
+    ).select(F.col("src").alias("fn_name"), F.col("resolved").alias("__fld"))
+    # field bindings straight off the assign rows (field keys are dotted
+    # Class.attr — no '::'); alias rows excluded: `self.x = Foo` binds the
+    # field to the class OBJECT, and a getter returning it is not an
+    # instance of Foo
+    fa = base.filter(
+        (F.col("__tag") == "assign")
+        & ~F.col("bind_key").contains("::")
+        & (F.coalesce(F.col("rel_type"), F.lit("")) != "ALIAS")
+    )
+    fa = fa.join(
+        F.broadcast(
+            direct.select(
+                F.col("fn_name").alias("__rt_fn"), F.col("ret_cls").alias("__rt_cls")
+            )
+        ),
+        F.col("resolved") == F.col("__rt_fn"),
+        "left",
+    )
+    fbound = F.when(F.col("resolved_kind") == "CLASS", F.col("resolved")).when(
+        F.col("resolved_kind").isin("FUNCTION", "METHOD"), F.col("__rt_cls")
+    )
+    w = Window.partitionBy("bind_key").orderBy(
+        F.col("__ord").desc_nulls_last(),
+        F.col("__fb").asc_nulls_last(),
+        F.col("target").asc_nulls_last(),
+    )
+    field_map = (
+        fa.withColumn("__fb", fbound)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & F.col("__fb").isNotNull())
+        .select(F.col("bind_key").alias("__fld"), F.col("__fb").alias("ret_cls"))
+    )
+    via_field = field_rets.join(F.broadcast(field_map), "__fld").select(
+        "fn_name", "ret_cls"
+    )
+    return (
+        direct.unionByName(via_field)
+        .groupBy("fn_name")
+        .agg(F.min("ret_cls").alias("ret_cls"))
     )
 
 

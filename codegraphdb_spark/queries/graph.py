@@ -1116,6 +1116,8 @@ def _deep_graph(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
       ('zoo.app.chain', 'zoo.animals.Animal.describe'),
       ('zoo.app.chain', 'zoo.animals.Trainer.recruit'),
       ('zoo.app.coach_session', 'zoo.animals.Trainer.train'),
+      ('zoo.app.consult', 'zoo.animals.Trainer.train'),
+      ('zoo.app.consult', 'zoo.app.Shelter.resident'),
       ('zoo.app.enroll', 'zoo.animals.Trainer.train'),
       ('zoo.app.rehome', 'zoo.app.Puppy.lick'),
       ('zoo.app.rehome', 'zoo.app.breed'),
@@ -1148,9 +1150,13 @@ def g_call_edges_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly like a direct constructor call — no unsolved edge; and
     SECOND-LEVEL bindings (``t = Trainer(); pet = t.recruit()`` binds pet
     through t's binding and recruit's annotated return —
-    operators/resolve.deepen_bindings, one extra level, no fixpoint).
-    ``a.speak()`` on an untyped parameter stays unsolved — jedi infers
-    from call sites; the join-based pass deliberately does not."""
+    operators/resolve.deepen_bindings, one extra level, no fixpoint);
+    and UNANNOTATED GETTERS (``def resident(self): return self.vet`` —
+    ast_extract._inferred_self_return emits the field's key, resolution
+    chains it through the field's ctor binding, return_types_post tier 2
+    — so ``v = s.resident(); v.train()`` resolves like an annotated
+    getter). ``a.speak()`` on an untyped parameter stays unsolved — jedi
+    infers from call sites; the join-based pass deliberately does not."""
     _, edges = _deep_graph(spark)
     return (
         edges.filter(F.col("rel_type") == "CALL")

@@ -43,7 +43,12 @@ def test_assign_facts_emitted():
         ("zoo.app.Keeper.tend::self", None),
         ("zoo.app.Puppy.lick::self", None),
         ("zoo.app.Shelter.setup::self", None),
+        ("zoo.app.Shelter.resident::self", None),
         ("zoo.app.Shelter.checkup::self", None),
+        # getter-chained second-level binding (round 4): s's ctor binding
+        # + resident's self-field return resolve v to Trainer
+        ("zoo.app.consult::s", "Shelter"),
+        ("zoo.app.consult::v", "s.resident"),
         # field ctor binding OUTSIDE __init__
         ("zoo.app.Shelter.vet", "Trainer"),
         # ALIAS bindings (bare Name / Attribute RHS)
@@ -78,6 +83,9 @@ def test_assign_facts_emitted():
         # resolve to nothing class-like and stay inert downstream
         ("zoo.app.deliver", "Beast"),
         ("zoo.app.stock", "factory"),
+        # unannotated getter: `return self.vet` emits the field's key,
+        # chained through the field binding at resolution time
+        ("zoo.app.Shelter.resident", "zoo.app.Shelter.vet"),
     }
 
 
@@ -132,6 +140,10 @@ def test_deep_call_edges(deep_graph):
         # second-level binding: pet = t.recruit() -> pet.describe() (r4)
         ("zoo.app.chain", "zoo.animals.Trainer.recruit"),
         ("zoo.app.chain", "zoo.animals.Animal.describe"),
+        # unannotated getter (`return self.vet`): field-return inference +
+        # second-level binding resolve v = s.resident(); v.train() (r4)
+        ("zoo.app.consult", "zoo.app.Shelter.resident"),
+        ("zoo.app.consult", "zoo.animals.Trainer.train"),
         # NOTE deliver (Beast = Animal; Beast("al")) is absent by design:
         # the alias ctor call resolves to the CLASS and the CALL gate
         # drops it like any direct constructor call — no unsolved edge
