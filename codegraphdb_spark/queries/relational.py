@@ -353,6 +353,69 @@ def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "approx_distinct_kmv_by_flag",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT l_returnflag AS grp,
+             CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM lineitem),
+    r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+          FROM h),
+    a AS (SELECT grp, MAX(h) AS hk, COUNT(*) AS m
+          FROM r WHERE rn <= {_KMV_K} GROUP BY grp)
+    SELECT grp,
+           CASE WHEN m < {_KMV_K} THEN m
+                ELSE CAST({_KMV_K - 1}::HUGEINT * {_KMV_SCALE}::HUGEINT // hk
+                          AS BIGINT) END AS est_distinct
+    FROM a ORDER BY grp
+    """,
+)
+def approx_distinct_kmv_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED KMV: distinct-order cardinality per return flag — the
+    sketch as a per-group aggregate. Shape: map-side dedup of (group,
+    hash) pairs, ONE shuffle of deduped 8-byte hashes, bounded per-group
+    window keeps k minima, tiny final aggregate. The grouped exact
+    COUNT(DISTINCT) would shuffle every raw row; this shuffles each
+    distinct key once and sorts per group — with the same cross-engine
+    bit-exact estimator as approx_distinct_kmv. Low-cardinality grouping
+    keys are the intended use (per-source, per-language, per-day stats);
+    a skewed group degrades to one sorter per group, which AQE splits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.conv(
+        F.substring(
+            F.md5(F.col("l_orderkey").cast("string").cast("binary")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    deduped = li.select(
+        F.col("l_returnflag").alias("grp"), h.alias("h")
+    ).dropDuplicates(["grp", "h"])
+    w = Window.partitionBy("grp").orderBy("h")
+    topk = deduped.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    return (
+        topk.groupBy("grp")
+        .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("m"))
+        .select(
+            "grp",
+            F.when(F.col("m") < _KMV_K, F.col("m").cast("bigint"))
+            .otherwise(
+                F.expr(
+                    f"CAST(CAST({_KMV_K - 1} AS DECIMAL(38,0)) *"
+                    f" CAST({_KMV_SCALE} AS DECIMAL(38,0)) div"
+                    " CAST(hk AS DECIMAL(38,0)) AS BIGINT)"
+                )
+            )
+            .alias("est_distinct"),
+        )
+        .orderBy("grp")
+    )
+
+
 @query("approx_distinct_orders")  # no oracle: HLL sketches differ across engines
 def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct — the scale guard for 100 TB cardinality stats
