@@ -300,7 +300,16 @@ def _kmv_estimate(df: DataFrame, col: str, k: int = _KMV_K) -> DataFrame:
         16,
         10,
     ).cast("bigint")
-    topk = df.select(h.alias("h")).dropDuplicates(["h"]).orderBy("h").limit(k)
+    # NULL keys are excluded on BOTH engines: Spark sorts NULL first in
+    # ASC, DuckDB last — an unfiltered NULL would silently displace h_k
+    # on one engine only (COUNT DISTINCT ignores NULLs anyway)
+    topk = (
+        df.filter(F.col(col).isNotNull())
+        .select(h.alias("h"))
+        .dropDuplicates(["h"])
+        .orderBy("h")
+        .limit(k)
+    )
     return topk.agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("m")).select(
         F.lit(col).alias("key_col"),
         F.when(F.col("m") < k, F.col("m").cast("bigint"))
@@ -324,7 +333,7 @@ def _kmv_oracle_branch(col: str, k: int = _KMV_K) -> str:
               SELECT h FROM (
                 SELECT DISTINCT CAST('0x' ||
                     substr(md5(CAST({col} AS VARCHAR)), 1, 15) AS BIGINT) AS h
-                FROM lineitem)
+                FROM lineitem WHERE {col} IS NOT NULL)
               ORDER BY h LIMIT {k}))
     """
 
@@ -360,7 +369,7 @@ def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT l_returnflag AS grp,
              CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)
                   AS BIGINT) AS h
-      FROM lineitem),
+      FROM lineitem WHERE l_orderkey IS NOT NULL),
     r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
           FROM h),
     a AS (SELECT grp, MAX(h) AS hk, COUNT(*) AS m
@@ -390,9 +399,11 @@ def approx_distinct_kmv_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("bigint")
-    deduped = li.select(
-        F.col("l_returnflag").alias("grp"), h.alias("h")
-    ).dropDuplicates(["grp", "h"])
+    deduped = (
+        li.filter(F.col("l_orderkey").isNotNull())
+        .select(F.col("l_returnflag").alias("grp"), h.alias("h"))
+        .dropDuplicates(["grp", "h"])
+    )
     w = Window.partitionBy("grp").orderBy("h")
     topk = deduped.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= _KMV_K
