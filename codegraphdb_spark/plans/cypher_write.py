@@ -110,6 +110,8 @@ def _require_key(props: dict, where: str) -> str:
 
 
 def _typed_prop(prop: str, val: object) -> object:
+    if prop == "kind":
+        raise CypherError("set kind via a label (MERGE (n:CLASS ...)), not a property")
     if prop not in _NODE_COLS or prop in ("versions",):
         raise CypherError(f"unknown writable property {prop!r}")
     if prop in _INT_PROPS:

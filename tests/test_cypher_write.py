@@ -203,3 +203,11 @@ def test_set_with_params_and_errors(spark):
         run_cypher_write("MERGE (n {name: 'no-key'})", nodes, edges)
     with pytest.raises(CypherError):
         run_cypher_write("CREATE (n {full_name: 'x'})", nodes, edges)
+
+
+def test_kind_property_refused(spark):
+    nodes, edges = _snapshot(spark)
+    with pytest.raises(CypherError, match="label"):
+        run_cypher_write(
+            "MERGE (n {full_name: 'x', kind: 'CLASS'})", nodes, edges
+        )

@@ -12,14 +12,18 @@ Invariants (reference semantics, SURVEY §1):
 
 from __future__ import annotations
 
+import keyword
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from codegraphdb_spark.datamodel import KINDS
 from codegraphdb_spark.extract.ast_extract import _extract_one
 
+# every keyword, not a hand-list: hypothesis found `or = 0` (invalid
+# source the module-shape invariants don't apply to)
 _ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True).filter(
-    lambda s: s not in {"def", "class", "import", "from", "return", "pass", "if", "in", "for", "is", "as", "not"}
+    lambda s: not keyword.iskeyword(s)
 )
 
 
