@@ -14,13 +14,14 @@ v1 build → v1→v2 incremental update. Two oracle tiers:
   committed raw-fact CSVs (tools/dump_graph_oracle.py) — a true
   differential check of everything downstream of resolution, the same
   standard events_asof_join meets.
-- literal-VALUES pins remain only where the checked value IS the
-  resolution/extraction outcome itself: the deep-resolution goldens
-  (g_call_edges_deep — jedi-class type propagation no SQL engine can
-  re-derive) and the two code-pointer renders (g_code_hydration,
-  g_cypher_code — line offsets + source text from extraction). Those
-  stay covered by hand-verified rows plus property/idempotency tests
-  (also asserted in tests/test_graph_build.py).
+- ONE literal-VALUES pin remains: g_call_edges_deep, whose checked value
+  IS the resolution outcome itself (jedi-class type propagation through
+  instance/field/alias/return bindings — no SQL engine can re-derive
+  it). It stays covered by hand-verified rows plus property/idempotency
+  tests (also asserted in tests/test_graph_build.py and
+  tests/test_deep_resolution.py). The code renders (g_code_hydration,
+  g_cypher_code) recompute from the committed code facts + v2 file
+  contents (slice+dedent replayed in SQL).
 
 Arrays (versions) are rendered as comma-joined strings for hashability.
 
@@ -139,6 +140,44 @@ _CLOSURE_HM_SQL = f"""
         SELECT a.cls, h.dst FROM anc2 a
           JOIN e2 h ON h.rel_type = 'HAS_METHOD' AND h.src = a.ancestor
         WHERE regexp_extract(h.dst, '[^.]*$') <> '__init__')
+    )
+"""
+
+def _merged_code_cte(ver: str) -> str:
+    """Per-version winner over the code-pointer facts — the same B1/B3
+    priority window as _merged_nodes_cte, keeping the code columns the
+    render oracles need (signature uses the '' ⇄ NULL CSV convention)."""
+    return f"""
+      SELECT full_name, kind, name, nullif(signature, '') AS signature,
+             code_file, code_start, code_end
+      FROM (SELECT *, row_number() OVER (PARTITION BY full_name ORDER BY
+              CASE WHEN kind = 'none' THEN 1 ELSE 0 END,
+              code_start ASC NULLS LAST, file_path ASC NULLS LAST, kind) AS rn
+            FROM read_csv('{_FIX}/code_facts_{ver}.csv', header=true))
+      WHERE rn = 1
+    """
+
+
+# cross-version code-column merge (row present in v2 → ALL its columns win,
+# even NULL ones — operators/merge.py::merge_snapshots semantics) + the
+# re-serialized <CODE> wire pointer (myClient.py:46-48 format)
+_MERGED_CODE_SQL = f"""
+    c1 AS ({_merged_code_cte('v1')}),
+    c2 AS ({_merged_code_cte('v2')}),
+    mcode AS (
+      SELECT coalesce(c2.full_name, c1.full_name) AS full_name,
+             CASE WHEN c2.full_name IS NOT NULL THEN c2.kind ELSE c1.kind END AS kind,
+             CASE WHEN c2.full_name IS NOT NULL THEN c2.name ELSE c1.name END AS name,
+             CASE WHEN c2.full_name IS NOT NULL THEN c2.signature ELSE c1.signature END AS signature,
+             CASE WHEN c2.full_name IS NOT NULL THEN c2.code_file ELSE c1.code_file END AS code_file,
+             CASE WHEN c2.full_name IS NOT NULL THEN c2.code_start ELSE c1.code_start END AS code_start,
+             CASE WHEN c2.full_name IS NOT NULL THEN c2.code_end ELSE c1.code_end END AS code_end
+      FROM c1 FULL OUTER JOIN c2 ON c1.full_name = c2.full_name
+    ),
+    mptr AS (
+      SELECT *, '<CODE>{{"S":' || code_start || ',"E":' || code_end ||
+             ',"F":"' || code_file || '"}}</CODE>' AS code_ptr
+      FROM mcode
     )
 """
 
@@ -911,19 +950,33 @@ def g_cypher_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_code_hydration",
-    oracle="""
-    SELECT * FROM (VALUES
-      ('pkgb.dog.Dog.fetch',
-       'def fetch(self):',
-       '<CODE>{"S":8,"E":10,"F":"pkgb/dog.py"}</CODE>',
-       'def fetch(self):' || chr(10) || '    self.speak()' || chr(10) || '    return MAX_DEPTH')
-    ) t(full_name, signature, code_ptr, code)
+    oracle=f"""
+    WITH {_MERGED_CODE_SQL},
+    t AS (SELECT * FROM mptr WHERE full_name = 'pkgb.dog.Dog.fetch'),
+    f AS (SELECT path, content
+          FROM read_csv('{_FIX}/files_v2.csv', header=true)),
+    sliced AS (
+      SELECT t.full_name, t.signature, t.code_ptr,
+             list_slice(string_split(f.content, chr(10)),
+                        t.code_start, t.code_end) AS ls
+      FROM t JOIN f ON f.path = t.code_file
+    ),
+    ded AS (SELECT *, regexp_extract(ls[1], '^( *)', 1) AS ind FROM sliced)
+    SELECT full_name, signature, code_ptr,
+           array_to_string(
+             list_transform(ls, l -> regexp_replace(l, '^' || ind, '')),
+             chr(10)) AS code
+    FROM ded
     """,
 )
 def g_code_hydration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10/D1-D3: the <CODE> pointer wire format (myClient.py:46-48) and its
     render-time expansion — line slice + dedent (graphDB.py:208-257) — as a
-    broadcast join against the files table plus codegen'd array ops."""
+    broadcast join against the files table plus codegen'd array ops.
+    RECOMPUTING oracle: DuckDB re-derives the merged pointer columns from
+    the committed code facts, re-serializes the wire pointer, and replays
+    the slice+first-line-dedent expansion over the committed v2 file
+    contents — the render is value-checked end to end, not pinned."""
     from codegraphdb_spark.queries.graph_queries import GraphQueries
 
     nodes, edges, files = _graph(spark)
@@ -1167,14 +1220,17 @@ def g_call_edges_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_cypher_code",
-    oracle="""
-    SELECT * FROM (VALUES
-      ('describe', 'def describe(self):', '<CODE>{"S":12,"E":13,"F":"pkga/base.py"}</CODE>'),
-      ('roll',  'def roll(self):',  '<CODE>{"S":12,"E":13,"F":"pkgb/dog.py"}</CODE>'),
-      ('speak', 'def speak(self):', '<CODE>{"S":5,"E":6,"F":"pkgb/dog.py"}</CODE>'),
-      ('fetch', 'def fetch(self):', '<CODE>{"S":8,"E":10,"F":"pkgb/dog.py"}</CODE>'),
-      ('speak', 'def speak(self):', '<CODE>{"S":9,"E":10,"F":"pkga/base.py"}</CODE>')
-    ) t(method, signature, code) ORDER BY code, method
+    oracle=f"""
+    WITH RECURSIVE {_merged_nodes_sql()},
+    {_CLOSURE_HM_SQL},
+    {_MERGED_CODE_SQL}
+    SELECT n.name AS method, n.signature, n.code_ptr AS code
+    FROM merged c
+    JOIN hm ON hm.src = c.full_name
+    JOIN mptr n ON n.full_name = hm.dst
+    WHERE c.kind = 'CLASS' AND c.name = 'Dog' AND n.kind = 'METHOD'
+      AND NOT (c.full_name LIKE 'zoo.%' OR c.full_name = 'zoo')
+    ORDER BY code, method
     """,
 )
 def g_cypher_code(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -93,6 +93,40 @@ def dump_tables(spark) -> dict[str, "object"]:
             list(pe.columns), kind="mergesort"
         ).reset_index(drop=True)
 
+    # per-version code-pointer facts + the v2 file contents — the code
+    # render oracles (g_code_hydration, g_cypher_code) re-derive the
+    # merged signature/pointer columns and the slice+dedent expansion
+    # from these instead of pinning the rendered strings
+    for ver in ("v1", "v2"):
+        cf = (
+            eng.capture[ver]["node_facts"]
+            .filter("code_file IS NOT NULL")
+            .select(
+                "full_name", "kind", "name", "file_path", "code_start",
+                "code_end", "signature", "code_file",
+            )
+            .toPandas()
+        )
+        # signature is legitimately NULL on module/field/global pointer
+        # rows; signatures are never empty strings, so '' round-trips as
+        # the NULL marker (nullif in the oracles). Key + pointer columns
+        # must stay NULL-free.
+        if cf.drop(columns=["signature"]).isna().any().any():
+            raise AssertionError(
+                "code facts contain NULLs outside signature"
+            )
+        cf["signature"] = cf["signature"].fillna("")
+        for c in ("code_start", "code_end"):
+            cf[c] = cf[c].astype("int64")
+        out[f"code_facts_{ver}.csv"] = cf.sort_values(
+            list(cf.columns), kind="mergesort"
+        ).reset_index(drop=True)
+    import pandas as pd
+
+    out["files_v2.csv"] = pd.DataFrame(
+        sorted(mini_repo.V2), columns=["path", "content"]
+    ).reset_index(drop=True)
+
     # raw v1 import facts — g_blast_radius' oracle re-derives the module
     # import graph + reverse reachability (incremental.py::affected_files)
     # from these instead of pinning the affected file list
