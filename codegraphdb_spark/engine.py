@@ -47,6 +47,7 @@ from codegraphdb_spark.operators.resolve import (
     deepen_bindings,
     gate_edges,
     reexport_contains,
+    return_types_post,
 )
 
 
@@ -180,7 +181,10 @@ class GraphEngine:
         resolved_inh = gate_edges(ref_rows.filter(F.col("rel_type") == "INHERITS"))
         bases = transitive_bases(resolved_inh)
         method_map = inherited_method_map(bases, local_edges)
-        bnd = class_bindings_post(base, small=self.small_repo)
+        # the return-type table (now with the tier-2 field-getter window)
+        # is shared by both binding passes — compute it once
+        ret = return_types_post(base, small=self.small_repo)
+        bnd = class_bindings_post(base, small=self.small_repo, ret=ret)
         # second-level bindings: x = t.recruit() through t's own binding
         # and recruit's annotated return (one extra level, no fixpoint).
         # Checkpoint: the overlay references bnd TWICE (local + fallback
@@ -188,7 +192,7 @@ class GraphEngine:
         # both branches of every downstream plan — the binding table is
         # tiny (one row per assign key), so materializing it is cheap
         bnd = deepen_bindings(
-            base, bnd, sym, method_map, small=self.small_repo
+            base, bnd, sym, method_map, small=self.small_repo, ret=ret
         ).localCheckpoint(eager=True)
         deep = _deep_overlay(
             ref_rows.filter(F.col("rel_type") != "INHERITS"),
@@ -489,9 +493,10 @@ class GraphEngine:
             direct_has_method(old_keep, old_nodes).select(*old_edges.columns)
         )
         method_map = inherited_method_map(bases, direct_comb)
-        bnd = class_bindings_post(base, small=self.small_repo)
+        ret = return_types_post(base, small=self.small_repo)
+        bnd = class_bindings_post(base, small=self.small_repo, ret=ret)
         bnd = deepen_bindings(
-            base, bnd, sym, method_map, small=self.small_repo
+            base, bnd, sym, method_map, small=self.small_repo, ret=ret
         ).localCheckpoint(eager=True)
         deep = _deep_overlay(
             ref_rows.filter(F.col("rel_type") != "INHERITS"),

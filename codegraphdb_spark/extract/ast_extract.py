@@ -253,14 +253,17 @@ class _Extractor(ast.NodeVisitor):
             ret = self._inferred_return(node)
             if ret:
                 self.returns_fact(full, ret, node.lineno)
-            elif self.class_stack and not self.func_stack:
+            elif in_class and not node.decorator_list:
                 # jedi-parity notch: an unannotated METHOD whose every
                 # return is the same `return self.attr` gets a returns
                 # fact on the field's key (ClassName.attr — the same
                 # self-rewrite assign targets use); resolution chains it
                 # through the field's ctor/annotation binding
                 # (resolve.return_types_post) so `v = s.resident();
-                # v.train()` resolves like an annotated getter
+                # v.train()` resolves like an annotated getter. Decorated
+                # defs are excluded: @staticmethod/@classmethod (and any
+                # wrapper) make the first parameter NOT the instance, so
+                # reading it as `self` would fabricate return-type facts
                 attr = self._inferred_self_return(node)
                 if attr:
                     self.returns_fact(

@@ -260,7 +260,7 @@ def base_resolution(
     )
 
 
-def return_types_post(base: DataFrame) -> DataFrame:
+def return_types_post(base: DataFrame, small: bool = False) -> DataFrame:
     """A4 return-type table from the base resolution: returns rows whose
     annotation resolved to a CLASS → (fn_name, ret_cls) — the static
     stand-in for jedi's return-type inference (reference
@@ -287,25 +287,31 @@ def return_types_post(base: DataFrame) -> DataFrame:
         (F.col("__tag") == "returns") & (F.col("resolved_kind") == "FIELD")
     ).select(F.col("src").alias("fn_name"), F.col("resolved").alias("__fld"))
     # field bindings straight off the assign rows (field keys are dotted
-    # Class.attr — no '::'); alias rows excluded: `self.x = Foo` binds the
-    # field to the class OBJECT, and a getter returning it is not an
-    # instance of Foo
+    # Class.attr — no '::'). Alias rows STAY IN the window with a NULL
+    # binding (`self.x = Foo` binds the field to the class OBJECT, and a
+    # getter returning it is not an instance of Foo): a LATER alias
+    # rebind must win the window and kill the inference, exactly like a
+    # poison row — filtering aliases out pre-window would resurrect a
+    # stale earlier instance binding (last-assignment-wins violation).
     fa = base.filter(
-        (F.col("__tag") == "assign")
-        & ~F.col("bind_key").contains("::")
-        & (F.coalesce(F.col("rel_type"), F.lit("")) != "ALIAS")
+        (F.col("__tag") == "assign") & ~F.col("bind_key").contains("::")
     )
     fa = fa.join(
-        F.broadcast(
+        _maybe_b(
             direct.select(
                 F.col("fn_name").alias("__rt_fn"), F.col("ret_cls").alias("__rt_cls")
-            )
+            ),
+            small,
         ),
         F.col("resolved") == F.col("__rt_fn"),
         "left",
     )
-    fbound = F.when(F.col("resolved_kind") == "CLASS", F.col("resolved")).when(
-        F.col("resolved_kind").isin("FUNCTION", "METHOD"), F.col("__rt_cls")
+    not_alias = F.coalesce(F.col("rel_type"), F.lit("")) != "ALIAS"
+    fbound = F.when(
+        not_alias & (F.col("resolved_kind") == "CLASS"), F.col("resolved")
+    ).when(
+        not_alias & F.col("resolved_kind").isin("FUNCTION", "METHOD"),
+        F.col("__rt_cls"),
     )
     w = Window.partitionBy("bind_key").orderBy(
         F.col("__ord").desc_nulls_last(),
@@ -318,7 +324,7 @@ def return_types_post(base: DataFrame) -> DataFrame:
         .filter((F.col("__rn") == 1) & F.col("__fb").isNotNull())
         .select(F.col("bind_key").alias("__fld"), F.col("__fb").alias("ret_cls"))
     )
-    via_field = field_rets.join(F.broadcast(field_map), "__fld").select(
+    via_field = field_rets.join(_maybe_b(field_map, small), "__fld").select(
         "fn_name", "ret_cls"
     )
     return (
@@ -329,7 +335,7 @@ def return_types_post(base: DataFrame) -> DataFrame:
 
 
 def class_bindings_post(
-    base: DataFrame, small: bool = False
+    base: DataFrame, small: bool = False, ret: DataFrame | None = None
 ) -> DataFrame:
     """A4 phase 1 from the base resolution: assign rows → the CLASS
     full_name each binding holds an instance of, or NULL for a binding
@@ -348,7 +354,8 @@ def class_bindings_post(
     per key wins, by statement ordinal; a known type beats a poison row
     on the same ordinal."""
     resolved = base.filter(F.col("__tag") == "assign")
-    ret = return_types_post(base)
+    if ret is None:
+        ret = return_types_post(base, small)
     resolved = resolved.join(
         _maybe_b(
             ret.select(
@@ -399,6 +406,7 @@ def deepen_bindings(
     sym: DataFrame,
     method_map: DataFrame | None = None,
     small: bool = False,
+    ret: DataFrame | None = None,
 ) -> DataFrame:
     """ONE extra level of binding inference (jedi-parity notch, reference
     indexer_visitor.py:655-662): ``t = Trainer(); pet = t.recruit()``
@@ -414,7 +422,8 @@ def deepen_bindings(
     inherited-method map, then through the annotated-return table for
     callables. Keys that still fail REMAIN poison rows (shadowing intact).
     Not a fixpoint: exactly one extra level, no iteration."""
-    ret = return_types_post(base)
+    if ret is None:
+        ret = return_types_post(base, small)
     # the candidate set is read straight off class_bindings_post's output
     # (win_target/win_alias are the WINNING row's type expr and mode) —
     # no second window over the assign rows

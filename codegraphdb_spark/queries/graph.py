@@ -961,7 +961,7 @@ def g_cypher_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                         t.code_start, t.code_end) AS ls
       FROM t JOIN f ON f.path = t.code_file
     ),
-    ded AS (SELECT *, regexp_extract(ls[1], '^( *)', 1) AS ind FROM sliced)
+    ded AS (SELECT *, regexp_extract(ls[1], '^(\\s*)', 1) AS ind FROM sliced)
     SELECT full_name, signature, code_ptr,
            array_to_string(
              list_transform(ls, l -> regexp_replace(l, '^' || ind, '')),

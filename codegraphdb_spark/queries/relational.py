@@ -291,35 +291,43 @@ _KMV_K = 1024
 _KMV_SCALE = 1 << 60  # 15 hex chars of md5 = 60-bit hash domain
 
 
-def _kmv_estimate(df: DataFrame, col: str, k: int = _KMV_K) -> DataFrame:
-    """One-row (key_col, est_distinct) KMV estimate for ``df[col]``.
-    Falls back to the exact distinct count when fewer than k distinct
-    hashes exist (the estimator is undefined there — and exact is free)."""
-    h = F.conv(
+def _kmv_hash(col: str):
+    """The shared 60-bit KMV hash: first 15 hex chars of md5 of the key's
+    string form — identical arithmetic in the DuckDB oracles."""
+    return F.conv(
         F.substring(F.md5(F.col(col).cast("string").cast("binary")), 1, 15),
         16,
         10,
     ).cast("bigint")
+
+
+def _kmv_est_expr(k: int):
+    """The shared estimator: exact count below k, else (k−1)·2^60 div h_k
+    in overflow-safe decimal — expects columns ``m`` and ``hk``."""
+    return F.when(F.col("m") < k, F.col("m").cast("bigint")).otherwise(
+        F.expr(
+            f"CAST(CAST({k - 1} AS DECIMAL(38,0)) * CAST({_KMV_SCALE} AS"
+            " DECIMAL(38,0)) div CAST(hk AS DECIMAL(38,0)) AS BIGINT)"
+        )
+    )
+
+
+def _kmv_estimate(df: DataFrame, col: str, k: int = _KMV_K) -> DataFrame:
+    """One-row (key_col, est_distinct) KMV estimate for ``df[col]``.
+    Falls back to the exact distinct count when fewer than k distinct
+    hashes exist (the estimator is undefined there — and exact is free)."""
     # NULL keys are excluded on BOTH engines: Spark sorts NULL first in
     # ASC, DuckDB last — an unfiltered NULL would silently displace h_k
     # on one engine only (COUNT DISTINCT ignores NULLs anyway)
     topk = (
         df.filter(F.col(col).isNotNull())
-        .select(h.alias("h"))
+        .select(_kmv_hash(col).alias("h"))
         .dropDuplicates(["h"])
         .orderBy("h")
         .limit(k)
     )
     return topk.agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("m")).select(
-        F.lit(col).alias("key_col"),
-        F.when(F.col("m") < k, F.col("m").cast("bigint"))
-        .otherwise(
-            F.expr(
-                f"CAST(CAST({k - 1} AS DECIMAL(38,0)) * CAST({_KMV_SCALE} AS"
-                " DECIMAL(38,0)) div CAST(hk AS DECIMAL(38,0)) AS BIGINT)"
-            )
-        )
-        .alias("est_distinct"),
+        F.lit(col).alias("key_col"), _kmv_est_expr(k).alias("est_distinct")
     )
 
 
@@ -392,16 +400,9 @@ def approx_distinct_kmv_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys are the intended use (per-source, per-language, per-day stats);
     a skewed group degrades to one sorter per group, which AQE splits."""
     li = load_table(spark, sf_dir, "lineitem")
-    h = F.conv(
-        F.substring(
-            F.md5(F.col("l_orderkey").cast("string").cast("binary")), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
     deduped = (
         li.filter(F.col("l_orderkey").isNotNull())
-        .select(F.col("l_returnflag").alias("grp"), h.alias("h"))
+        .select(F.col("l_returnflag").alias("grp"), _kmv_hash("l_orderkey").alias("h"))
         .dropDuplicates(["grp", "h"])
     )
     w = Window.partitionBy("grp").orderBy("h")
@@ -411,18 +412,7 @@ def approx_distinct_kmv_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         topk.groupBy("grp")
         .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("m"))
-        .select(
-            "grp",
-            F.when(F.col("m") < _KMV_K, F.col("m").cast("bigint"))
-            .otherwise(
-                F.expr(
-                    f"CAST(CAST({_KMV_K - 1} AS DECIMAL(38,0)) *"
-                    f" CAST({_KMV_SCALE} AS DECIMAL(38,0)) div"
-                    " CAST(hk AS DECIMAL(38,0)) AS BIGINT)"
-                )
-            )
-            .alias("est_distinct"),
-        )
+        .select("grp", _kmv_est_expr(_KMV_K).alias("est_distinct"))
         .orderBy("grp")
     )
 

@@ -295,6 +295,21 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_SCALE = 1_000_000_000
 
+# the coarse-quantizer CTE pair shared VERBATIM by every IVF-family oracle
+# (assign / probed top-k / IVF-PQ): one definition so the scale constant
+# and rounding can never drift between the SQL copies — the same rule
+# _ivf_expl_cent enforces on the Spark side
+_SQL_IVF_EXPL_CENT = f"""
+    expl AS (
+      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, (SELECT UNNEST(generate_series(1, {DIM})) AS i)
+    ), cent AS (
+      SELECT label AS clabel, pos,
+             CAST(CAST(SUM(CAST(ROUND(x * {_IVF_SCALE}) AS BIGINT)) AS DOUBLE)
+                  / COUNT(*) / {_IVF_SCALE} AS DOUBLE) AS c
+      FROM expl GROUP BY label, pos
+    )"""
+
 
 def _ivf_expl_cent(spark: SparkSession, sf_dir: str):
     """(expl, cent): per-(vector, pos) components and per-(label, pos)
@@ -341,15 +356,7 @@ def _ivf_ranked(expl: DataFrame, cent: DataFrame, keep_label: bool = False):
 @query(
     "emb_ivf_assign",
     oracle=f"""
-    WITH expl AS (
-      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, (SELECT UNNEST(generate_series(1, {DIM})) AS i)
-    ), cent AS (
-      SELECT label AS clabel, pos,
-             CAST(CAST(SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) AS DOUBLE)
-                  / COUNT(*) / 1000000000 AS DOUBLE) AS c
-      FROM expl GROUP BY label, pos
-    ), dists AS (
+    WITH {_SQL_IVF_EXPL_CENT}, dists AS (
       SELECT e.vec_id, e.label, c.clabel,
              SUM(CAST(ROUND((e.x - c.c) * (e.x - c.c) * 1000000000) AS BIGINT)) AS d
       FROM expl e JOIN cent c ON e.pos = c.pos
@@ -495,15 +502,7 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "emb_kmeans_step",
     oracle=f"""
-    WITH expl AS (
-      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, (SELECT UNNEST(generate_series(1, {DIM})) AS i)
-    ), cent AS (
-      SELECT label AS clabel, pos,
-             CAST(CAST(SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) AS DOUBLE)
-                  / COUNT(*) / 1000000000 AS DOUBLE) AS c
-      FROM expl GROUP BY label, pos
-    ), dists AS (
+    WITH {_SQL_IVF_EXPL_CENT}, dists AS (
       SELECT e.vec_id, c.clabel,
              SUM(CAST(ROUND((e.x - c.c) * (e.x - c.c) * 1000000000) AS BIGINT)) AS d
       FROM expl e JOIN cent c ON e.pos = c.pos
@@ -649,15 +648,7 @@ IVF_NPROBE = 2
 @query(
     "emb_ivf_topk",
     oracle=f"""
-    WITH expl AS (
-      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, (SELECT UNNEST(generate_series(1, {DIM})) AS i)
-    ), cent AS (
-      SELECT label AS clabel, pos,
-             CAST(CAST(SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) AS DOUBLE)
-                  / COUNT(*) / 1000000000 AS DOUBLE) AS c
-      FROM expl GROUP BY label, pos
-    ), dists AS (
+    WITH {_SQL_IVF_EXPL_CENT}, dists AS (
       SELECT e.vec_id, c.clabel,
              SUM(CAST(ROUND((e.x - c.c) * (e.x - c.c) * 1000000000) AS BIGINT)) AS d
       FROM expl e JOIN cent c ON e.pos = c.pos
@@ -1035,15 +1026,7 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RES_SCALE = 1_000_000
 
 _SQL_IVFPQ_COMMON = f"""
-    expl AS (
-      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, (SELECT UNNEST(generate_series(1, {DIM})) AS i)
-    ), cent AS (
-      SELECT label AS clabel, pos,
-             CAST(CAST(SUM(CAST(ROUND(x * {_IVF_SCALE}) AS BIGINT)) AS DOUBLE)
-                  / COUNT(*) / {_IVF_SCALE} AS DOUBLE) AS c
-      FROM expl GROUP BY label, pos
-    ), cdists AS (
+    {_SQL_IVF_EXPL_CENT}, cdists AS (
       SELECT e.vec_id, c.clabel,
              SUM(CAST(ROUND((e.x - c.c) * (e.x - c.c) * {_IVF_SCALE}) AS BIGINT)) AS d
       FROM expl e JOIN cent c ON e.pos = c.pos
