@@ -72,3 +72,35 @@ def test_bucketed_children_partition_pruned(spark, sf_dir):
     plan = _plan(spark, sf_dir, "g_bucketed_children")
     assert "rel_type#" in plan and "= CONTAINS" in plan.replace(")", ") "), plan
     assert "EqualTo(src,pkga.base)" in plan, plan
+
+
+def test_kmv_map_side_dedup_and_take_ordered(spark, sf_dir):
+    """KMV: the scan stage map-side-dedups hashes BEFORE the exchange
+    (the shuffle carries 8-byte distinct hashes, not the column), and the
+    k-cut is a TakeOrdered — never a global sort."""
+    plan = _plan(spark, sf_dir, "approx_distinct_kmv")
+    assert "TakeOrderedAndProject" in plan, plan
+    # partial dedup under each exchange: HashAggregate(keys=[h..]) appears
+    # both below (map-side) and above (final) — at least 2 per branch
+    assert plan.count("HashAggregate(keys=[h#") >= 4, plan
+    # the only Sort is the 2-row output ordering on key_col — the k-cut
+    # itself is the TakeOrdered, never a global sort of hashes
+    assert plan.count("Sort ") <= 1, plan
+
+
+def test_kmv_grouped_single_hash_shuffle(spark, sf_dir):
+    """Grouped KMV: one deduped-hash exchange feeds the per-group window;
+    the raw column never shuffles twice and nothing joins back."""
+    plan = _plan(spark, sf_dir, "approx_distinct_kmv_by_flag")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan
+
+
+def test_ivfpq_no_cartesian_all_small_sides_broadcast(spark, sf_dir):
+    """IVF-PQ: candidates come from probed cells only — no corpus×corpus
+    join anywhere; centroids/codebook/ADC tables ride broadcasts."""
+    plan = _plan(spark, sf_dir, "emb_ivfpq_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan or "Window" in plan, plan
