@@ -75,9 +75,15 @@ def main(argv: list[str] | None = None) -> int:
         files = scan_repo(spark, os.path.abspath(args.repo_dir))
         nodes, edges, facts = eng.build(files, args.version)
         eng.write_snapshot(nodes, edges, args.snapshot_dir, atomic=True)
-        facts.write.mode("overwrite").parquet(
-            f"{args.snapshot_dir}/facts_{args.version}"
-        )
+        # staged facts swap — same crash-safety as the snapshot tables
+        from codegraphdb_spark.engine import safe_table_swap
+        from codegraphdb_spark.streaming.repo_index import _hadoop_fs
+
+        facts_dst = f"{args.snapshot_dir}/facts_{args.version}"
+        facts_stage = facts_dst + ".stage"
+        facts.write.mode("overwrite").parquet(facts_stage)
+        fs, _ = _hadoop_fs(spark, facts_stage)
+        safe_table_swap(fs, spark._jvm, facts_stage, facts_dst)
         n, e = nodes.count(), edges.count()
         print(f"built {args.version}: {n} nodes, {e} edges -> {args.snapshot_dir}")
         return 0
@@ -121,7 +127,17 @@ def main(argv: list[str] | None = None) -> int:
         nodes = nodes.localCheckpoint(eager=True)
         edges = edges.localCheckpoint(eager=True)
         eng.write_snapshot(nodes, edges, args.snapshot_dir, atomic=True)
-        facts.write.mode("overwrite").parquet(f"{args.snapshot_dir}/facts_{args.new}")
+        # facts get the same staged swap: a crash mid-overwrite must not
+        # pair the already-committed snapshot with a torn facts dir the
+        # next `update --old` would silently misread
+        from codegraphdb_spark.engine import safe_table_swap
+        from codegraphdb_spark.streaming.repo_index import _hadoop_fs
+
+        facts_dst = f"{args.snapshot_dir}/facts_{args.new}"
+        facts_stage = facts_dst + ".stage"
+        facts.write.mode("overwrite").parquet(facts_stage)
+        fs, _ = _hadoop_fs(spark, facts_stage)
+        safe_table_swap(fs, spark._jvm, facts_stage, facts_dst)
         print(f"updated {args.old} -> {args.new}: {nodes.count()} nodes")
         return 0
 

@@ -58,6 +58,35 @@ from codegraphdb_spark.operators.resolve import (
 SMALL_SNAPSHOT_LIMIT = 200_000
 
 
+def safe_table_swap(fs, jvm, src: str, dst: str) -> None:
+    """Promote a fully-staged table directory into its live location
+    without any window where the only surviving copy can be deleted:
+    live → .old trash, stage → live, drop trash — EVERY rename's boolean
+    checked (Hadoop rename returns false rather than throwing on e.g. an
+    object store's non-atomic rename), with rollback of the aside-move on
+    a failed promote so readers keep the previous table."""
+    srcp = jvm.org.apache.hadoop.fs.Path(src)
+    dstp = jvm.org.apache.hadoop.fs.Path(dst)
+    trash = jvm.org.apache.hadoop.fs.Path(dst.rstrip("/") + ".old")
+    # leftover trash is a stale superseded copy from a crashed earlier
+    # swap — the NEW table is already fully staged, so nothing current
+    # can be lost by dropping it
+    fs.delete(trash, True)
+    if fs.exists(dstp) and not fs.rename(dstp, trash):
+        raise IOError(
+            f"table swap: could not move {dst} aside — live table left "
+            f"untouched, staged write kept at {src}"
+        )
+    if not fs.rename(srcp, dstp):
+        if fs.exists(trash):
+            fs.rename(trash, dstp)  # restore the previous table
+        raise IOError(
+            f"table swap: rename {src} -> {dst} failed — previous table "
+            f"restored, staged write kept at {src}"
+        )
+    fs.delete(trash, True)
+
+
 def _priority_merge(
     local_edges: DataFrame,
     reexports: DataFrame,
@@ -610,12 +639,17 @@ class GraphEngine:
 
         ``atomic=True`` generalizes the streaming indexer's staged-commit
         pattern (streaming/repo_index._staged_commit) to every snapshot
-        write: both tables land in a ``.stage`` sibling first, then swap
-        in with per-table metadata renames — a reader never observes a
-        snapshot whose nodes and edges come from different writes because
-        a long overwrite died in the middle. Single-writer semantics (the
-        design replaces the reference's global write lock with
-        deterministic merge jobs); concurrent WRITERS would need a
+        write: both tables land fully in a ``.stage`` sibling first, then
+        swap in per table — so a writer dying mid-OVERWRITE can never
+        leave a torn table. The swap itself is crash-SAFE but not
+        cross-table atomic: each table moves via old→trash, stage→live,
+        delete-trash, every rename's boolean result checked (HDFS rename
+        returns false rather than throwing) so no failure mode deletes
+        the only surviving copy — but a reader racing the swap can still
+        observe new nodes with old edges for the instant between the two
+        table moves. Single-writer semantics (the design replaces the
+        reference's global write lock with deterministic merge jobs);
+        concurrent writers or cross-table atomicity would need a
         log-structured table format (Delta/Iceberg) on top."""
         if atomic:
             from codegraphdb_spark.streaming.repo_index import _hadoop_fs
@@ -627,10 +661,9 @@ class GraphEngine:
             jvm = self.spark._jvm
             fs.mkdirs(jvm.org.apache.hadoop.fs.Path(path))
             for name in ("nodes", "edges"):
-                src = jvm.org.apache.hadoop.fs.Path(f"{stage}/{name}")
-                dst = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{name}")
-                fs.delete(dst, True)
-                fs.rename(src, dst)
+                safe_table_swap(
+                    fs, jvm, f"{stage}/{name}", f"{path.rstrip('/')}/{name}"
+                )
             fs.delete(stage_path, True)
             return
         (

@@ -502,7 +502,12 @@ def _compile_pattern(
     intra_eq: list[tuple[str, str]] = []
     df = None
     for chain_text in _split_chains(pattern):
-        pre_intra = len(intra_eq)
+        # connectivity for the cartesian guard means sharing a variable
+        # bound BEFORE this chain (earlier chain or outer scope) — an
+        # intra-chain cycle like (b)-[:R]->(b) re-binds its OWN variable
+        # and must not exempt the chain from the product check
+        prev_vars = set(local_binds)
+        chain_linked = False
         pre_cross = len(cross_pairs)
         # p = shortestPath((a)-[:REL*..n]->(b)): compile the inner chain
         # with a DIST-carrying var-length expansion (min hops per pair —
@@ -535,6 +540,8 @@ def _compile_pattern(
                         # across comma-separated chains) means THE SAME
                         # node — enforced as an equality constraint below
                         intra_eq.append((local_binds[var], alias))
+                        if var in prev_vars:
+                            chain_linked = True
                     else:
                         local_binds[var] = alias
                         if var in outer_binds:
@@ -620,7 +627,7 @@ def _compile_pattern(
         # (`MATCH (a),(b) WHERE a.x=b.y`) also need the opt-in: the WHERE
         # is not visible at pattern-compile time.
         if df is not None:
-            connected = len(intra_eq) > pre_intra or len(cross_pairs) > pre_cross
+            connected = chain_linked or len(cross_pairs) > pre_cross
             if not connected and not state.get("allow_cartesian"):
                 raise CypherError(
                     f"disconnected MATCH chain {chain_text.strip()!r} would plan "
@@ -915,11 +922,12 @@ def _run_cypher_inner(
         if not mu:
             break
         values = _literal(mu.group("expr"))
-        if not isinstance(values, list) or not values:
-            raise CypherError(
-                "UNWIND needs a non-empty [list] literal or a $param list"
-            )
-        head_is_str = isinstance(values[0], str)
+        if not isinstance(values, list):
+            raise CypherError("UNWIND needs a [list] literal or a $param list")
+        # openCypher: UNWIND of an empty list yields ZERO rows (not an
+        # error) — the element type is unknowable but also irrelevant,
+        # since every downstream row multiplies against nothing
+        head_is_str = isinstance(values[0], str) if values else True
         if not all(isinstance(v, str) == head_is_str for v in values):
             raise CypherError("UNWIND list items must be all-string or all-int")
         var = mu.group("var")

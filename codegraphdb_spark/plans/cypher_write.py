@@ -112,6 +112,11 @@ def _require_key(props: dict, where: str) -> str:
 def _typed_prop(prop: str, val: object) -> object:
     if prop == "kind":
         raise CypherError("set kind via a label (MERGE (n:CLASS ...)), not a property")
+    if prop == "full_name":
+        # node identity is the merge key, never a writable property —
+        # rewriting it would orphan edges and collapse distinct nodes
+        # onto one key (rename = DETACH DELETE + MERGE, explicitly)
+        raise CypherError("full_name is the node identity and cannot be SET")
     if prop not in _NODE_COLS or prop in ("versions",):
         raise CypherError(f"unknown writable property {prop!r}")
     if prop in _INT_PROPS:

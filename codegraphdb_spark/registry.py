@@ -72,7 +72,17 @@ _DRIVER_PRIORITY: list[str] = [
     "g_cypher_with",
     "g_cypher_grouped",
     "g_cypher_exists_skip",
-    "g_cypher_code",
+    "g_cypher_code",           # oracle REPLACED: code render recomputation
+    "g_code_hydration",        # oracle REPLACED: slice+dedent recomputation
+    "g_pagerank_top",          # oracle REPLACED: unrolled superstep replay
+    "g_degree_centrality",     # oracle REPLACED: closure-degree recomputation
+    "g_override_edges",        # oracle REPLACED: name-join over closure
+    "g_point_lookup",          # oracle REPLACED: merge-window recomputation
+    "g_filter_kind_name",      # oracle REPLACED: merge-window recomputation
+    "g_module_children",       # oracle REPLACED: edge-fact recomputation
+    "approx_distinct_kmv",     # NEW: oracle-checked KMV sketch
+    "approx_distinct_kmv_by_flag",  # NEW: grouped KMV sketch
+    "emb_ivfpq_topk",          # NEW: fifth ANN tier (residual PQ / ADC)
     "g_reexport_contains",     # fixture rebuilt with the extended zoo side
     "g_kind_census",           # same build; census values must hold
     "g_inherits_edges",

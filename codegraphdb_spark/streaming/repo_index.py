@@ -159,6 +159,8 @@ def _staged_commit(
     with metadata renames — readers and replay never see a snapshot whose
     nodes and edges come from different versions because a long write died
     in the middle."""
+    from codegraphdb_spark.engine import safe_table_swap
+
     stage = snapshot_dir.rstrip("/") + ".stage"
     fs, stage_path = _hadoop_fs(spark, stage)
     fs.delete(stage_path, True)
@@ -167,10 +169,11 @@ def _staged_commit(
     # rename requires the destination parent to exist on some filesystems
     fs.mkdirs(spark._jvm.org.apache.hadoop.fs.Path(snapshot_dir))
     for name in ("nodes", "edges", FACTS_DIRNAME):
-        src = spark._jvm.org.apache.hadoop.fs.Path(f"{stage}/{name}")
-        dst = spark._jvm.org.apache.hadoop.fs.Path(f"{snapshot_dir}/{name}")
-        fs.delete(dst, True)
-        fs.rename(src, dst)
+        # checked old→trash→promote sequence: a false rename return can
+        # never delete the only surviving copy (engine.safe_table_swap)
+        safe_table_swap(
+            fs, spark._jvm, f"{stage}/{name}", f"{snapshot_dir}/{name}"
+        )
     fs.delete(stage_path, True)
 
 

@@ -750,3 +750,31 @@ def test_shortest_path_requires_varlen(graph):
         )
     with pytest.raises(CypherError, match="path variable"):
         run_cypher("MATCH (a:CLASS) RETURN length(a)", nodes, edges)
+
+
+def test_intra_chain_cycle_does_not_bypass_cartesian_guard(graph):
+    """A later chain that repeats its OWN variable (a cycle) is still
+    disconnected from earlier chains — the rebind must not exempt it from
+    the product refusal (review finding: intra_eq growth was misread as
+    cross-chain connectivity)."""
+    nodes, edges = graph
+    q = (
+        "MATCH (a:CLASS {name: 'Dog'}), (b:MODULE)-[:CONTAINS]->(b) "
+        "RETURN a.full_name AS cls"
+    )
+    with pytest.raises(CypherError, match="cartesian"):
+        run_cypher(q, nodes, edges)
+
+
+def test_unwind_empty_list_yields_zero_rows(graph):
+    """openCypher: UNWIND of an empty list produces no rows, not an
+    error — a dynamically-computed empty $param list is legitimate."""
+    nodes, edges = graph
+    out = run_cypher(
+        "UNWIND $names AS nm MATCH (c:CLASS) WHERE c.name = nm "
+        "RETURN nm, c.full_name AS cls",
+        nodes,
+        edges,
+        params={"names": []},
+    ).collect()
+    assert out == []

@@ -211,3 +211,13 @@ def test_kind_property_refused(spark):
         run_cypher_write(
             "MERGE (n {full_name: 'x', kind: 'CLASS'})", nodes, edges
         )
+
+
+def test_full_name_not_settable(spark):
+    """Node identity is the merge key: SET n.full_name would orphan edges
+    and collapse distinct nodes onto one key — refused loudly."""
+    nodes, edges = _snapshot(spark)
+    with pytest.raises(CypherError, match="identity"):
+        run_cypher_write(
+            "MATCH (n:METHOD) SET n.full_name = 'x'", nodes, edges
+        )
