@@ -67,7 +67,7 @@ _SHORTEST_RX = re.compile(
     r"(?is)^\s*(?P<pvar>\w+)\s*=\s*shortestPath\s*\(\s*(?P<inner>.*)\s*\)\s*$"
 )
 _ITEM = re.compile(
-    r"^\s*(?:(?P<func>labels|count|collect|min|max|length)\s*\(\s*"
+    r"^\s*(?:(?P<func>labels|count|collect|min|max|length|nodes|relationships)\s*\(\s*"
     r"(?P<farg>\*|\w+(?:\.\w+)?)\s*\)"
     r"|(?P<var>\w+)(?:\.(?P<prop>\w+))?)"
     r"(?:\s+AS\s+(?P<alias>\w+))?\s*$",
@@ -518,6 +518,19 @@ def _compile_pattern(
         if spm:
             sp_pvar = spm.group("pvar")
             chain_text = spm.group("inner")
+        # plain path variable on a FIXED-length chain: p = (a)-[:R]->(b)
+        # — nodes(p)/relationships(p)/length(p) project the statically
+        # known alias sequence (node full_names / rel_type strings)
+        plain_pvar = None
+        if spm is None:
+            pm = re.match(r"(?is)^\s*(?P<pvar>\w+)\s*=\s*(?P<inner>\(.*)\s*$",
+                          chain_text)
+            if pm:
+                plain_pvar = pm.group("pvar")
+                chain_text = pm.group("inner")
+        chain_nodes: list[str] = []
+        chain_rels: list[str] = []
+        chain_has_varlen = False
         tokens = _parse_pattern(chain_text)
         if sp_pvar is not None and len(tokens) != 3:
             raise CypherError(
@@ -555,6 +568,7 @@ def _compile_pattern(
                         F.col(f"{ealias}__{end_col}") == F.col(f"{alias}__full_name"),
                     )
                 prev_alias = alias
+                chain_nodes.append(alias)
             else:
                 rel = tok.group("rel")
                 left, right = tok.group("left"), tok.group("right")
@@ -572,6 +586,9 @@ def _compile_pattern(
                     raise CypherError(f"bad hop range *{lo}..{hi}")
                 ealias = f"e{state['anon']}"
                 state["anon"] += 1
+                chain_rels.append(rel)
+                if not (lo == 1 and hi == 1):
+                    chain_has_varlen = True
                 eprops = _parse_props(tok.group("props"))
                 if lo == 1 and hi == 1:
                     e = edges.filter(F.col("rel_type") == rel)
@@ -617,6 +634,17 @@ def _compile_pattern(
                 "shortestPath requires a var-length relationship, "
                 "e.g. [:INHERITS*] or [:CALL*1..5]"
             )
+        if plain_pvar is not None:
+            if chain_has_varlen:
+                raise CypherError(
+                    "path variables on var-length chains are only supported "
+                    "via shortestPath() (a var-length hop has no single "
+                    "statically-known node sequence)"
+                )
+            state.setdefault("fixed_paths", {})[plain_pvar] = {
+                "nodes": list(chain_nodes),
+                "rels": list(chain_rels),
+            }
         # comma-separated chains combine by product; Catalyst rewrites the
         # product into an equi-join when shared-variable equality (below)
         # or carried-scope joins connect them. A chain that shares NO
@@ -988,12 +1016,38 @@ def _run_cypher_inner(
         elif func == "length":
             var = it.group("farg")
             paths = state.get("paths", {})
-            if var not in paths:
-                raise CypherError(
-                    f"length() needs a path variable bound by shortestPath "
-                    f"(unknown: {var!r})"
+            fixed = state.get("fixed_paths", {})
+            if var in paths:
+                cols.append(F.col(paths[var]).alias(alias or f"length_{var}"))
+            elif var in fixed:
+                cols.append(
+                    F.lit(len(fixed[var]["rels"]))
+                    .cast("int")
+                    .alias(alias or f"length_{var}")
                 )
-            cols.append(F.col(paths[var]).alias(alias or f"length_{var}"))
+            else:
+                raise CypherError(
+                    f"length() needs a path variable (p = ... or "
+                    f"shortestPath); unknown: {var!r}"
+                )
+        elif func in ("nodes", "relationships"):
+            var = it.group("farg")
+            fixed = state.get("fixed_paths", {})
+            if var not in fixed:
+                raise CypherError(
+                    f"{func}() needs a path variable bound on a FIXED-length "
+                    f"chain (p = (a)-[:R]->(b)); unknown: {var!r}"
+                )
+            # Neo4j returns node/relationship OBJECTS; the DataFrame
+            # projection is the identifying scalar per element — node
+            # full_names / rel_type strings (documented simplification)
+            if func == "nodes":
+                arr = F.array(
+                    *[F.col(f"{a}__full_name") for a in fixed[var]["nodes"]]
+                )
+            else:
+                arr = F.array(*[F.lit(r) for r in fixed[var]["rels"]])
+            cols.append(arr.alias(alias or f"{func}_{var}"))
         else:
             var, prop = it.group("var"), it.group("prop")
             if prop is None and var in plain:

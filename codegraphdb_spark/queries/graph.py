@@ -1254,6 +1254,53 @@ def g_cypher_code(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g_cypher_path",
+    oracle=f"""
+    WITH RECURSIVE {_merged_nodes_sql()},
+    {_CLOSURE_HM_SQL},
+    con AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e1 WHERE rel_type = 'CONTAINS'
+        UNION ALL SELECT src, dst FROM e2 WHERE rel_type = 'CONTAINS')
+    )
+    SELECT 'pkgb.dog' || ',' || c.full_name || ',' || hm.dst AS path_nodes,
+           'CONTAINS,HAS_METHOD' AS path_rels, CAST(2 AS INT) AS hops
+    FROM con
+    JOIN merged c ON c.full_name = con.dst AND c.kind = 'CLASS'
+    JOIN hm ON hm.src = c.full_name
+    WHERE con.src = 'pkgb.dog'
+    ORDER BY path_nodes
+    """,
+)
+def g_cypher_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 breadth (round 4): path projection on a FIXED-length chain —
+    ``p = (m)-[:CONTAINS]->(c)-[:HAS_METHOD]->(f)`` with ``nodes(p)`` /
+    ``relationships(p)`` / ``length(p)``. The alias sequence is statically
+    known at compile time, so the projections are pure column arrays (node
+    full_names / rel_type strings — the identifying scalar per element;
+    Neo4j returns whole objects) with zero extra plan cost. Covers both
+    the re-export CONTAINS (pkgb.dog re-exports Animal) and the closure's
+    inherited HAS_METHOD rows. RECOMPUTING oracle: CONTAINS union + the
+    E1 closure re-derived from fact CSVs, paths re-serialized in SQL."""
+    from codegraphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges, _ = _graph(spark)
+    out = run_cypher(
+        "MATCH p = (m:MODULE {full_name: 'pkgb.dog'})-[:CONTAINS]->"
+        "(c:CLASS)-[:HAS_METHOD]->(f) "
+        "RETURN nodes(p) AS path_nodes, relationships(p) AS path_rels, "
+        "length(p) AS hops",
+        nodes,
+        edges,
+    )
+    return (
+        out.withColumn("path_nodes", F.array_join("path_nodes", ","))
+        .withColumn("path_rels", F.array_join("path_rels", ","))
+        .orderBy("path_nodes")
+    )
+
+
+@query(
     "g_cypher_optional",
     oracle=f"""
     WITH RECURSIVE {_merged_nodes_sql()},

@@ -778,3 +778,26 @@ def test_unwind_empty_list_yields_zero_rows(graph):
         params={"names": []},
     ).collect()
     assert out == []
+
+
+def test_fixed_path_projection(graph):
+    """p = (fixed chain): nodes(p)/relationships(p)/length(p) project the
+    statically-known alias sequence; var-length chains refuse (only
+    shortestPath carries a path var there)."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH p = (c:CLASS {name: 'Dog'})-[:INHERITS]->(b) "
+        "RETURN nodes(p) AS pn, relationships(p) AS pr, length(p) AS n",
+        nodes,
+        edges,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["pn"] == ["pkgb.dog.Dog", "pkga.base.Animal"]
+    assert out[0]["pr"] == ["INHERITS"]
+    assert out[0]["n"] == 1
+    with pytest.raises(CypherError, match="var-length"):
+        run_cypher(
+            "MATCH p = (a:CLASS)-[:INHERITS*1..2]->(b) RETURN nodes(p)",
+            nodes,
+            edges,
+        )
