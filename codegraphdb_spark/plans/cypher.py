@@ -972,7 +972,23 @@ def _run_cypher_inner(
             "[WITH ... [WHERE ...] [MATCH ...]]* "
             "RETURN [DISTINCT] ... [ORDER BY ...] [SKIP n] [LIMIT n] is supported"
         )
-    with_parts = _split_on_with(m.group("head"))
+    head = m.group("head")
+    # trailing property UNWINDs (`MATCH (n) UNWIND n.versions AS v`):
+    # an array PROPERTY explodes per Cypher row-multiplication — peeled
+    # off the head back-to-front and applied as explode() after the
+    # pattern compiles (the leading-UNWIND literal form is handled above)
+    prop_unwinds: list[tuple[str, str, str]] = []
+    while True:
+        pu = re.search(
+            r"(?is)\bUNWIND\s+(?P<var>\w+)\.(?P<prop>\w+)\s+AS\s+(?P<out>\w+)\s*$",
+            head,
+        )
+        if not pu:
+            break
+        prop_unwinds.append((pu.group("var"), pu.group("prop"), pu.group("out")))
+        head = head[: pu.start()]
+    prop_unwinds.reverse()
+    with_parts = _split_on_with(head)
 
     state = {"node_i": 0, "anon": 0, "allow_cartesian": allow_cartesian}
     binds: dict[str, str] = {}  # var -> dataframe alias (first binding wins)
@@ -995,6 +1011,14 @@ def _run_cypher_inner(
         )
     for wp in with_parts[1:]:
         df, plain = _apply_with(df, wp, nodes, edges, binds, plain, state)
+    for uvar, uprop, uout in prop_unwinds:
+        if uvar not in binds:
+            raise CypherError(f"UNWIND: unbound variable {uvar!r}")
+        src_col = f"{binds[uvar]}__{uprop}"
+        if src_col not in df.columns:
+            raise CypherError(f"UNWIND: {uvar}.{uprop} is not a property")
+        df = df.withColumn(uout, F.explode(F.col(src_col)))
+        plain.add(uout)
 
     cols = []
     agg_cols = []

@@ -1254,6 +1254,36 @@ def g_cypher_code(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g_cypher_unwind_prop",
+    oracle=f"""
+    WITH {_merged_nodes_sql()}
+    SELECT full_name AS cls, v FROM (
+      SELECT full_name, unnest(string_split(versions, ',')) AS v
+      FROM merged
+      WHERE kind = 'CLASS' AND name = 'Dog'
+        AND NOT (full_name LIKE 'zoo.%' OR full_name = 'zoo'))
+    ORDER BY v
+    """,
+)
+def g_cypher_unwind_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 breadth (round 4): UNWIND over an array NODE PROPERTY —
+    ``MATCH (c) UNWIND c.versions AS v`` explodes the versions array per
+    Cypher row-multiplication (compiles to one explode(), no join). Dog
+    exists in both versions, so the single node yields two rows.
+    RECOMPUTING oracle: the merged-node window's version-membership
+    string re-split in DuckDB."""
+    from codegraphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges, _ = _graph(spark)
+    return run_cypher(
+        "MATCH (c:CLASS {name: 'Dog'}) UNWIND c.versions AS v "
+        "RETURN c.full_name AS cls, v ORDER BY v",
+        nodes,
+        edges,
+    )
+
+
+@query(
     "g_cypher_path",
     oracle=f"""
     WITH RECURSIVE {_merged_nodes_sql()},

@@ -801,3 +801,20 @@ def test_fixed_path_projection(graph):
             nodes,
             edges,
         )
+
+
+def test_unwind_node_array_property(graph):
+    """UNWIND over an array PROPERTY (n.versions) explodes per Cypher
+    row-multiplication — previously only literal/$param lists unwound."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS {name: 'Dog'}) UNWIND c.versions AS v "
+        "RETURN c.full_name AS cls, v ORDER BY v",
+        nodes,
+        edges,
+    ).collect()
+    assert [(r["cls"], r["v"]) for r in out] == [("pkgb.dog.Dog", "v1")]
+    with pytest.raises(CypherError, match="not a property"):
+        run_cypher(
+            "MATCH (c:CLASS) UNWIND c.nope AS v RETURN v", nodes, edges
+        )
