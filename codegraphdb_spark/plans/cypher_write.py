@@ -7,10 +7,13 @@ Cypher by the reference's client) without per-record read-modify-write.
 Supported statements (one write clause per call):
 
     MERGE (n:KIND {full_name: '...', prop: val, ...})
+          [ON CREATE SET n.p = v ...] [ON MATCH SET n.q = w ...]
         node upsert keyed on full_name (B1): provided properties
         overwrite, absent ones are preserved, the write version joins the
         versions array; a 'none' placeholder is promoted to the MERGE's
         kind but an explicit existing kind is never demoted (B3).
+        ON CREATE SET applies only to the created row; ON MATCH SET only
+        to the matched one, where it beats the pattern property.
     MERGE (a {full_name: '..'})-[:REL {association_type: '..'}]->(b {full_name: '..'})
         edge upsert keyed on (src, dst, rel_type) (B4 dedupe part);
         missing endpoints are synthesized as 'none' placeholders exactly
@@ -75,7 +78,17 @@ _NODE_COLS = [f.name for f in NODES_SCHEMA.fields]
 _PROP_COLS = [c for c in _NODE_COLS if c not in ("full_name", "kind", "versions")]
 _INT_PROPS = {"code_start", "code_end"}
 
-_MERGE_RX = re.compile(r"(?is)^\s*MERGE\s+(?P<pattern>\(.*)\s*$")
+# the node-pattern matcher tolerates parens INSIDE quoted values
+# ('def f(x):') by consuming quoted strings atomically
+_MERGE_RX = re.compile(
+    r"(?is)^\s*MERGE\s+"
+    r"(?P<pattern>\((?:[^()'\"]|'[^']*'|\"[^\"]*\")*\))"
+    r"(?P<clauses>(?:\s+ON\s+(?:CREATE|MATCH)\s+SET\s+.*?)*)\s*$"
+)
+_ON_CLAUSE_RX = re.compile(
+    r"(?is)\s+ON\s+(?P<kind>CREATE|MATCH)\s+SET\s+"
+    r"(?P<assigns>.*?)(?=\s+ON\s+(?:CREATE|MATCH)\s+SET\s+|$)"
+)
 _SET_RX = re.compile(
     r"(?is)^\s*MATCH\s+(?P<pattern>\(.*?\))\s+SET\s+(?P<assigns>.+?)\s*$"
 )
@@ -91,6 +104,30 @@ _EDGE_MERGE_RX = re.compile(
     r"(?is)^\s*(?P<a>\([^)]*\))\s*-\s*\[\s*:(?P<rel>\w+)\s*"
     r"(?:\{(?P<props>[^}]*)\})?\s*\]\s*->\s*(?P<b>\([^)]*\))\s*$"
 )
+
+
+def _parse_assignments(assigns: str, var: str) -> dict[str, object]:
+    """SET-style assignment list `v.prop = value, ...` → {prop: typed val}
+    (shared by MATCH…SET and MERGE's ON CREATE/ON MATCH SET)."""
+    updates: dict[str, object] = {}
+    for part in _split_assignments(assigns):
+        m = _ASSIGN_RX.fullmatch(part)
+        if not m:
+            raise CypherError(f"cannot parse SET assignment {part.strip()!r}")
+        if m.group("var") != var:
+            raise CypherError(
+                f"SET variable {m.group('var')!r} is not the matched {var!r}"
+            )
+        if m.group("param") is not None:
+            from codegraphdb_spark.plans.cypher import _param_value
+
+            val = _param_value(m.group("param"))
+        elif m.group("num") is not None:
+            val = int(m.group("num"))
+        else:
+            val = m.group("sq") if m.group("sq") is not None else m.group("dq")
+        updates[m.group("prop")] = _typed_prop(m.group("prop"), val)
+    return updates
 
 
 def _parse_single_node(pattern: str) -> tuple[str | None, list[str], dict]:
@@ -129,7 +166,12 @@ def _typed_prop(prop: str, val: object) -> object:
 
 
 def _merge_node(
-    nodes: DataFrame, kind: str | None, props: dict, version: str
+    nodes: DataFrame,
+    kind: str | None,
+    props: dict,
+    version: str,
+    on_create: dict | None = None,
+    on_match: dict | None = None,
 ) -> DataFrame:
     full_name = _require_key(props, "MERGE (node)")
     provided = {
@@ -162,6 +204,11 @@ def _merge_node(
         .otherwise(F.coalesce("kind", "n__kind"))
         .alias("kind")
     )
+    on_create = on_create or {}
+    on_match = on_match or {}
+    is_created = F.col("full_name").isNull() & F.col("n__full_name").isNotNull()
+    is_matched = F.col("full_name").isNotNull() & F.col("n__full_name").isNotNull()
+    types = {f.name: f.dataType for f in NODES_SCHEMA.fields}
     for c in _PROP_COLS:
         if c in provided:
             # provided: the statement's value wins on the matched row
@@ -172,6 +219,17 @@ def _merge_node(
             # not provided: existing value preserved; on create the new
             # row supplies only the defaulted name (others stay NULL)
             expr = F.coalesce(c, f"n__{c}")
+        # branch-conditional overrides: ON MATCH SET beats the pattern
+        # prop on the matched row; ON CREATE SET applies to the created
+        # row only (Neo4j MERGE clause semantics on the upsert base)
+        if c in on_match:
+            expr = F.when(
+                is_matched, F.lit(on_match[c]).cast(types[c])
+            ).otherwise(expr)
+        if c in on_create:
+            expr = F.when(
+                is_created, F.lit(on_create[c]).cast(types[c])
+            ).otherwise(expr)
         out.append(expr.alias(c))
     out.append(
         F.when(
@@ -243,24 +301,7 @@ def _set_props(
     var: str,
     assigns: str,
 ) -> DataFrame:
-    updates: dict[str, object] = {}
-    for part in _split_assignments(assigns):
-        m = _ASSIGN_RX.fullmatch(part)
-        if not m:
-            raise CypherError(f"cannot parse SET assignment {part.strip()!r}")
-        if m.group("var") != var:
-            raise CypherError(
-                f"SET variable {m.group('var')!r} is not the matched {var!r}"
-            )
-        if m.group("param") is not None:
-            from codegraphdb_spark.plans.cypher import _param_value
-
-            val = _param_value(m.group("param"))
-        elif m.group("num") is not None:
-            val = int(m.group("num"))
-        else:
-            val = m.group("sq") if m.group("sq") is not None else m.group("dq")
-        updates[m.group("prop")] = _typed_prop(m.group("prop"), val)
+    updates = _parse_assignments(assigns, var)
     matched = F.broadcast(
         _node_filter(nodes, kind, versions, props)
         .select("full_name")
@@ -328,8 +369,16 @@ def run_cypher_write(
     _PARAMS.d = params or {}
     try:
         m = _MERGE_RX.fullmatch(query)
+        if m is None:
+            # edge MERGE patterns contain ')' mid-pattern — retry greedily
+            m = re.fullmatch(r"(?is)^\s*MERGE\s+(?P<pattern>\(.*)\s*$", query)
+            if m and re.search(r"(?i)\bON\s+(CREATE|MATCH)\s+SET\b", query):
+                raise CypherError(
+                    "ON CREATE/ON MATCH SET is supported on node MERGE only"
+                )
         if m:
             pattern = m.group("pattern").strip()
+            clauses = m.groupdict().get("clauses") or ""
             em = _EDGE_MERGE_RX.fullmatch(pattern)
             if em:
                 _, _, a_props = _parse_single_node(em.group("a"))
@@ -340,7 +389,27 @@ def run_cypher_write(
                     version,
                 )
             kind, _versions, props = _parse_single_node(pattern)
-            return _merge_node(nodes, kind, props, version), edges
+            nm = _NODE.fullmatch(pattern)
+            var = nm.group("var") if nm else None
+            on_create: dict = {}
+            on_match: dict = {}
+            for oc in _ON_CLAUSE_RX.finditer(clauses):
+                if var is None:
+                    raise CypherError(
+                        "ON CREATE/ON MATCH SET needs a named node variable"
+                    )
+                parsed = _parse_assignments(oc.group("assigns"), var)
+                if oc.group("kind").upper() == "CREATE":
+                    on_create.update(parsed)
+                else:
+                    on_match.update(parsed)
+            return (
+                _merge_node(
+                    nodes, kind, props, version,
+                    on_create=on_create, on_match=on_match,
+                ),
+                edges,
+            )
         m = _SET_RX.fullmatch(query)
         if m:
             nm = _NODE.fullmatch(m.group("pattern").strip())

@@ -221,3 +221,48 @@ def test_full_name_not_settable(spark):
         run_cypher_write(
             "MATCH (n:METHOD) SET n.full_name = 'x'", nodes, edges
         )
+
+
+def test_on_create_on_match_set(spark):
+    """Neo4j MERGE clause semantics on the upsert base: ON CREATE SET
+    applies only to a created row, ON MATCH SET only to a matched one
+    (and beats the pattern prop there)."""
+    nodes, edges = _snapshot(spark)
+    q = (
+        "MERGE (n:FUNCTION {full_name: 'm.job', signature: 'base'}) "
+        "ON CREATE SET n.file_path = 'new.py', n.code_start = 1 "
+        "ON MATCH SET n.signature = 'matched'"
+    )
+    n1, _ = run_cypher_write(q, nodes, edges, version="v1")
+    created = n1.filter(F.col("full_name") == "m.job").collect()[0]
+    assert created["signature"] == "base"  # pattern prop on create
+    assert created["file_path"] == "new.py"  # ON CREATE applied
+    assert created["code_start"] == 1
+    n2, _ = run_cypher_write(q, n1, edges, version="v2")
+    matched = n2.filter(F.col("full_name") == "m.job").collect()[0]
+    assert matched["signature"] == "matched"  # ON MATCH beats pattern prop
+    assert matched["file_path"] == "new.py"  # ON CREATE NOT re-applied...
+    # ...and untouched rows stay untouched
+    assert n2.filter(F.col("full_name") == "m.C").collect()[0]["kind"] == "CLASS"
+    with pytest.raises(CypherError, match="node MERGE only"):
+        run_cypher_write(
+            "MERGE (a {full_name: 'm'})-[:CONTAINS]->(b {full_name: 'm.C'}) "
+            "ON CREATE SET a.file_path = 'x'",
+            nodes,
+            edges,
+        )
+
+
+def test_merge_pattern_with_parens_in_quoted_value(spark):
+    """Quoted property values containing parens must not derail the
+    pattern/clause split."""
+    nodes, edges = _snapshot(spark)
+    n1, _ = run_cypher_write(
+        "MERGE (n:FUNCTION {full_name: 'm.g', signature: 'def g(x):'}) "
+        "ON CREATE SET n.code_start = 7",
+        nodes,
+        edges,
+    )
+    row = n1.filter(F.col("full_name") == "m.g").collect()[0]
+    assert row["signature"] == "def g(x):"
+    assert row["code_start"] == 7
