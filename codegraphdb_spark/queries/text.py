@@ -762,6 +762,139 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_PAIR_BITS = 60          # 4 bands x 15 bits; md5[:15] fits int64
+SIMHASH_PAIR_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_PAIR_BITS // SIMHASH_PAIR_BANDS
+SIMHASH_MAX_HAMMING = 3         # <= bands-1: banding is EXACT by pigeonhole
+
+
+@query(
+    "simhash_near_dup_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(list_distinct({SQL_TOKS}), x ->
+               CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS tokhs
+      FROM documents
+    ), fp AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(0, {SIMHASH_PAIR_BITS - 1}), bb ->
+               CASE WHEN list_sum(list_transform(tokhs, h -> ((h >> bb) & 1) * 2 - 1)) > 0
+                    THEN (1::BIGINT << bb) ELSE 0 END)) AS BIGINT) AS simhash
+      FROM t
+    ), bands AS (
+      SELECT doc_id, simhash, b AS band_idx,
+             (simhash >> ({SIMHASH_BAND_BITS} * b)) & {(1 << SIMHASH_BAND_BITS) - 1} AS band_val
+      FROM fp, generate_series(0, {SIMHASH_PAIR_BANDS - 1}) AS g(b)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, banded (the SimHash family's scale path —
+    companion to ``simhash_fingerprint`` the way minhash_lsh_candidates is
+    to the minhash signatures). A 60-bit simhash (NOT the 28-bit census
+    fingerprint: banding needs per-band entropy — 7-bit bands would have
+    128 distinct values and degenerate into O(n²/128) buckets) is split
+    into 4 bands of 15 bits; docs sharing any band value become
+    candidates; candidates are verified with popcount(xor) <= 3. With
+    bands-1 >= max_hamming this is EXACT by pigeonhole: any pair within
+    hamming 3 of each other differs in at most 3 bands, so at least one
+    band matches — banding loses nothing, it only prunes.
+
+    Scale: each doc emits 4 (band_idx, band_val) rows — the self-join
+    shuffles fingerprints only, grouped by band value, never all pairs.
+    A genuinely hot bucket (many near-identical docs, e.g. boilerplate)
+    is quadratic in the TRUE answer itself — when that's the workload,
+    report clusters (doc_dup_clusters' union-find over spanning candidate
+    edges) instead of materializing every pair.
+
+    Reference behavior: content-similarity dedup over document text
+    (same family as minhash/ngram; fingerprint arithmetic mirrors the
+    SQL-expressible formulation the oracle recomputes)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    n_bits = SIMHASH_PAIR_BITS
+
+    def batches(it):
+        weights = 1 << np.arange(n_bits, dtype=np.int64)
+        for pdf in it:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = dict.fromkeys(text.split(" "))  # distinct, order-free
+                hs = np.array(
+                    [
+                        int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                        for t in toks
+                    ],
+                    dtype=np.int64,
+                )
+                bits = (hs[:, None] >> np.arange(n_bits)) & 1
+                votes = (bits * 2 - 1).sum(axis=0)
+                fps.append(int(weights[votes > 0].sum()))
+                ids.append(doc_id)
+            yield pd.DataFrame({"doc_id": ids, "simhash": fps})
+
+    d = load_table(spark, sf_dir, "documents")
+    # lazy checkpoint: the band self-join references the Python fingerprint
+    # stage on BOTH sides — truncate so it runs once (minhash precedent)
+    fp = (
+        d.select("doc_id", "text")
+        .mapInPandas(batches, schema="doc_id BIGINT, simhash BIGINT")
+        .localCheckpoint(eager=False)
+    )
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", SIMHASH_BAND_BITS * b)
+                    .bitwiseAND(F.lit(mask))
+                    for b in range(SIMHASH_PAIR_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.expr("bit_count(sim_a ^ sim_b)").cast("int")
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @query(
     "pipeline_clean_corpus",
     oracle=f"""

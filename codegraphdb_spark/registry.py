@@ -85,6 +85,7 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_ivfpq_topk",          # NEW: fifth ANN tier (residual PQ / ADC)
     "g_cypher_path",           # NEW: fixed-chain path projection
     "g_cypher_unwind_prop",    # NEW: UNWIND over array node property
+    "simhash_near_dup_pairs",  # NEW: banded 60-bit simhash candidate pairs
     "g_reexport_contains",     # fixture rebuilt with the extended zoo side
     "g_kind_census",           # same build; census values must hold
     "g_inherits_edges",

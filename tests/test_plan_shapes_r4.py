@@ -104,3 +104,15 @@ def test_ivfpq_no_cartesian_all_small_sides_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan or "Window" in plan, plan
+
+
+def test_simhash_pairs_band_join_no_product(spark, sf_dir):
+    """Banded simhash candidates join on (band_idx, band_val) — an equi-join
+    over the exploded fingerprint bands, never a nested-loop product of the
+    corpus with itself; the verify (popcount) is map-side after the join."""
+    plan = _plan(spark, sf_dir, "simhash_near_dup_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the Python fingerprint stage is checkpointed: it must not appear on
+    # both sides of the self-join as two separate Python stages
+    assert plan.count("mapInPandas") == 0, plan  # truncated to an RDD scan
