@@ -29,6 +29,8 @@ queries run verbatim:
         RETURN m.name, m.signature, m.code   -- code = lazy <CODE> pointer
     MATCH (c:CLASS {name: $who}) WHERE c.name =~ 'D.*' RETURN c  -- params/regex
     UNWIND $names AS nm MATCH (c:CLASS) WHERE c.name = nm RETURN nm, c.full_name
+    MATCH (c:CLASS) WHERE (c)-[:HAS_METHOD]->(:METHOD {name: 'speak'})
+        AND NOT (c)-[:INHERITS]->(:CLASS) RETURN c.name  -- pattern predicates
 
 Label semantics mirror the reference: a label that is a known KIND filters
 ``kind``; any other label is a version tag and filters
@@ -684,6 +686,70 @@ def _split_where(segment: str) -> tuple[str, str | None]:
     return segment, None
 
 
+_PATTERN_PRED_RX = re.compile(r"(?is)^\s*(?P<neg>NOT\s+)?(?P<pat>\(.*\))\s*$")
+
+
+def _as_pattern_pred(text: str) -> tuple[bool, str] | None:
+    """(negated, pattern) if ``text`` is a WHERE pattern predicate like
+    ``(c)-[:HAS_METHOD]->(m:METHOD)`` or ``NOT (c)-[:INHERITS]->()``,
+    else None. Requires at least one relationship (a ``)`` followed by an
+    edge connector) so parenthesized boolean terms are never mistaken."""
+    m = _PATTERN_PRED_RX.match(text)
+    if not m:
+        return None
+    pat = m.group("pat")
+    if not re.search(r"\)\s*(<-|-)", pat):
+        return None
+    return bool(m.group("neg")), pat
+
+
+def _apply_where(
+    df: DataFrame,
+    where: str,
+    binds: dict[str, str],
+    plain: set[str] | None,
+    nodes: DataFrame,
+    edges: DataFrame,
+    state: dict[str, int],
+) -> DataFrame:
+    """Apply a WHERE clause to a compiled pattern frame. Plain boolean
+    terms go through ``_where_condition`` as one filter; top-level AND
+    conjuncts that are PATTERN PREDICATES (Neo4j's existential sugar,
+    ``WHERE (c)-[:R]->(x)`` / ``WHERE NOT ...``) compile the inner pattern
+    and become a LEFT SEMI (anti, when negated) join on the shared bound
+    variables — existence is decided per outer row, variables inside the
+    predicate are NOT exported (openCypher scoping). Pattern predicates
+    under OR or inside nested parens are refused loudly by the plain-term
+    parser (the semi-join cannot be disjoined with a column filter)."""
+    plain_terms: list[str] = []
+    for term in _split_bool(where, "AND"):
+        if not term.strip():
+            continue
+        pp = _as_pattern_pred(term)
+        if pp is None:
+            plain_terms.append(term.strip())
+            continue
+        neg, pat = pp
+        if len(_split_chains(pat)) != 1:
+            raise CypherError(
+                f"a pattern predicate must be a single chain: {pat!r}"
+            )
+        pdf, _p_binds, p_cross = _compile_pattern(pat, nodes, edges, binds, state)
+        if not p_cross:
+            raise CypherError(
+                "a pattern predicate must reference at least one bound "
+                f"variable: {pat!r}"
+            )
+        cond = None
+        for outer_a, inner_a in p_cross:
+            c = F.col(f"{outer_a}__full_name") == F.col(f"{inner_a}__full_name")
+            cond = c if cond is None else (cond & c)
+        df = df.join(pdf, cond, "left_anti" if neg else "left_semi")
+    if plain_terms:
+        df = df.filter(_where_condition(" AND ".join(plain_terms), binds, plain))
+    return df
+
+
 def _compile_chain(
     head: str,
     nodes: DataFrame,
@@ -731,8 +797,9 @@ def _compile_chain(
         binds.setdefault(var, alias)
     if where:
         # WHERE sees the full scope: pattern variables plus any bare
-        # columns a preceding WITH projected (Cypher scoping)
-        df = df.filter(_where_condition(where, binds, plain))
+        # columns a preceding WITH projected (Cypher scoping); pattern
+        # predicates become semi/anti joins
+        df = _apply_where(df, where, binds, plain, nodes, edges, state)
 
     for seg in segments[1:]:
         opt_pattern, opt_where = _split_where(seg)
@@ -746,7 +813,7 @@ def _compile_chain(
             )
         if opt_where:
             # pre-join filter, scoped to the optional pattern's own columns
-            odf = odf.filter(_where_condition(opt_where, opt_binds))
+            odf = _apply_where(odf, opt_where, opt_binds, None, nodes, edges, state)
         cond = None
         for outer_a, inner_a in ocross:
             c = F.col(f"{outer_a}__full_name") == F.col(f"{inner_a}__full_name")

@@ -1749,6 +1749,55 @@ def g_cypher_exists_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g_cypher_pattern_pred",
+    oracle=f"""
+    WITH RECURSIVE {_merged_nodes_sql()},
+    {_CLOSURE_HM_SQL},
+    inh AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e1 WHERE rel_type = 'INHERITS'
+        UNION ALL SELECT src, dst FROM e2 WHERE rel_type = 'INHERITS')
+    )
+    SELECT c.full_name AS cls, c.name AS name
+    FROM merged c
+    WHERE c.kind = 'CLASS'
+      AND NOT (c.full_name LIKE 'zoo.%' OR c.full_name = 'zoo')
+      AND EXISTS (SELECT 1 FROM hm JOIN merged m ON m.full_name = hm.dst
+                  WHERE hm.src = c.full_name
+                    AND m.kind = 'METHOD' AND m.name = 'speak')
+      AND NOT EXISTS (SELECT 1 FROM inh JOIN merged b ON b.full_name = inh.dst
+                      WHERE inh.src = c.full_name
+                        AND b.kind = 'CLASS' AND b.name = 'Animal')
+    ORDER BY cls
+    """,
+)
+def g_cypher_pattern_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 extension: WHERE pattern predicates — Neo4j's existential sugar
+    ``WHERE (c)-[:R]->(x)`` / ``WHERE NOT (c)-[:R]->(x)``. Each top-level
+    AND conjunct that is a pattern compiles to a LEFT SEMI (anti when
+    negated) join on the bound variable's identity; predicate-internal
+    variables never leak into scope (openCypher). Expected rows: Animal
+    (has speak, inherits nothing) and Puppy (inherited speak through the
+    E1 closure; its direct INHERITS target is Dog, not Animal) — Dog is
+    excluded by the anti side.
+
+    RECOMPUTING oracle: DuckDB re-derives the merge window, the E1
+    HAS_METHOD closure, and both existentials (EXISTS / NOT EXISTS) from
+    the committed fact CSVs."""
+    from codegraphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges, _ = _graph(spark)
+    return run_cypher(
+        "MATCH (c:CLASS) "
+        "WHERE (c)-[:HAS_METHOD]->(:METHOD {name: 'speak'}) "
+        "AND NOT (c)-[:INHERITS]->(:CLASS {name: 'Animal'}) "
+        "RETURN c.full_name AS cls, c.name AS name ORDER BY cls",
+        nodes,
+        edges,
+    )
+
+
+@query(
     "g_cypher_with",
     oracle=f"""
     WITH RECURSIVE {_merged_nodes_sql()},

@@ -818,3 +818,80 @@ def test_unwind_node_array_property(graph):
         run_cypher(
             "MATCH (c:CLASS) UNWIND c.nope AS v RETURN v", nodes, edges
         )
+
+
+def test_pattern_predicate_semi(graph):
+    """WHERE (c)-[:INHERITS]->(:CLASS) — existential pattern predicate
+    compiles to a LEFT SEMI join (Neo4j sugar for EXISTS)."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS) WHERE (c)-[:INHERITS]->(:CLASS) "
+        "RETURN c.name AS name ORDER BY name",
+        nodes,
+        edges,
+    ).collect()
+    assert [r["name"] for r in out] == ["Dog", "Puppy"]
+
+
+def test_pattern_predicate_anti(graph):
+    """WHERE NOT (c)-[:INHERITS]->(:CLASS) — negated predicate is a LEFT
+    ANTI join; only the inheritance roots survive."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS) WHERE NOT (c)-[:INHERITS]->(:CLASS) "
+        "RETURN c.name AS name ORDER BY name",
+        nodes,
+        edges,
+    ).collect()
+    assert [r["name"] for r in out] == ["Animal"]
+
+
+def test_pattern_predicate_mixed_with_column_filter(graph):
+    """Pattern predicates coexist with plain predicates under AND; rows
+    survive only when both hold. HAS_METHOD includes closure-derived
+    edges, so every class 'has' speak."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS) WHERE (c)-[:HAS_METHOD]->(:METHOD {name: 'speak'}) "
+        "AND c.name <> 'Dog' RETURN c.name AS name ORDER BY name",
+        nodes,
+        edges,
+    ).collect()
+    assert [r["name"] for r in out] == ["Animal", "Puppy"]
+
+
+def test_pattern_predicate_does_not_export_variables(graph):
+    """Variables bound INSIDE a pattern predicate are not in scope after
+    it (openCypher existential scoping)."""
+    nodes, edges = graph
+    with pytest.raises(CypherError, match="unbound"):
+        run_cypher(
+            "MATCH (c:CLASS) WHERE (c)-[:HAS_METHOD]->(m) RETURN m.name",
+            nodes,
+            edges,
+        )
+
+
+def test_pattern_predicate_requires_bound_variable(graph):
+    """A predicate chain that shares no variable with the MATCH scope is
+    refused loudly (it would be a constant existence test)."""
+    nodes, edges = graph
+    with pytest.raises(CypherError, match="bound variable"):
+        run_cypher(
+            "MATCH (c:CLASS) WHERE (x:MODULE)-[:CONTAINS]->(y) RETURN c.name",
+            nodes,
+            edges,
+        )
+
+
+def test_pattern_predicate_under_or_refused(graph):
+    """Semi-joins cannot be disjoined with a column filter — a pattern
+    predicate under OR fails loudly, never silently drops the branch."""
+    nodes, edges = graph
+    with pytest.raises(CypherError, match="cannot parse WHERE predicate"):
+        run_cypher(
+            "MATCH (c:CLASS) WHERE c.name = 'Dog' OR (c)-[:INHERITS]->(:CLASS) "
+            "RETURN c.name",
+            nodes,
+            edges,
+        )
