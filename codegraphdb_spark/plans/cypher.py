@@ -31,6 +31,8 @@ queries run verbatim:
     UNWIND $names AS nm MATCH (c:CLASS) WHERE c.name = nm RETURN nm, c.full_name
     MATCH (c:CLASS) WHERE (c)-[:HAS_METHOD]->(:METHOD {name: 'speak'})
         AND NOT (c)-[:INHERITS]->(:CLASS) RETURN c.name  -- pattern predicates
+    MATCH (c:CLASS) WHERE EXISTS { MATCH (c)-[:HAS_METHOD]->(m)
+        WHERE m.name = 'fetch' } RETURN c.name           -- EXISTS subquery
 
 Label semantics mirror the reference: a label that is a known KIND filters
 ``kind``; any other label is a version tag and filters
@@ -349,9 +351,9 @@ def _split_bool(s: str, word: str) -> list[str]:
             cur.append(ch)
             i += 1
             continue
-        if ch in "([":
+        if ch in "([{":
             depth += 1
-        elif ch in ")]":
+        elif ch in ")]}":
             depth -= 1
         if (
             depth == 0
@@ -687,6 +689,9 @@ def _split_where(segment: str) -> tuple[str, str | None]:
 
 
 _PATTERN_PRED_RX = re.compile(r"(?is)^\s*(?P<neg>NOT\s+)?(?P<pat>\(.*\))\s*$")
+_EXISTS_SUB_RX = re.compile(
+    r"(?is)^\s*(?P<neg>NOT\s+)?EXISTS\s*\{(?P<body>.*)\}\s*$"
+)
 
 
 def _as_pattern_pred(text: str) -> tuple[bool, str] | None:
@@ -725,16 +730,29 @@ def _apply_where(
     for term in _split_bool(where, "AND"):
         if not term.strip():
             continue
+        inner_where: str | None = None
         pp = _as_pattern_pred(term)
-        if pp is None:
-            plain_terms.append(term.strip())
-            continue
-        neg, pat = pp
+        if pp is not None:
+            neg, pat = pp
+        else:
+            # EXISTS { [MATCH] pattern [WHERE inner] } — the modern
+            # openCypher spelling of the same existential; the inner WHERE
+            # filters the subquery pattern before the semi/anti join and
+            # may reference only variables the inner pattern binds
+            es = _EXISTS_SUB_RX.match(term)
+            if es is None:
+                plain_terms.append(term.strip())
+                continue
+            neg = bool(es.group("neg"))
+            body = re.sub(r"(?is)^\s*MATCH\b", "", es.group("body").strip(), count=1)
+            pat, inner_where = _split_where(body)
         if len(_split_chains(pat)) != 1:
             raise CypherError(
                 f"a pattern predicate must be a single chain: {pat!r}"
             )
-        pdf, _p_binds, p_cross = _compile_pattern(pat, nodes, edges, binds, state)
+        pdf, p_binds, p_cross = _compile_pattern(pat, nodes, edges, binds, state)
+        if inner_where:
+            pdf = pdf.filter(_where_condition(inner_where, p_binds))
         if not p_cross:
             raise CypherError(
                 "a pattern predicate must reference at least one bound "

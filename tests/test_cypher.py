@@ -895,3 +895,36 @@ def test_pattern_predicate_under_or_refused(graph):
             nodes,
             edges,
         )
+
+
+def test_exists_subquery(graph):
+    """EXISTS { MATCH ... WHERE ... } — the modern openCypher existential;
+    the inner WHERE filters the subquery before the semi-join."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS) WHERE EXISTS { MATCH (c)-[:HAS_METHOD]->(m:METHOD) "
+        "WHERE m.name = 'fetch' } RETURN c.name AS name ORDER BY name",
+        nodes,
+        edges,
+    ).collect()
+    assert [r["name"] for r in out] == ["Dog", "Puppy"]  # Puppy via closure
+    # negated, shorthand body (no MATCH keyword), AND-combined
+    out = run_cypher(
+        "MATCH (c:CLASS) WHERE NOT EXISTS { (c)-[:INHERITS]->(:CLASS) } "
+        "AND c.name <> 'nope' RETURN c.name AS name",
+        nodes,
+        edges,
+    ).collect()
+    assert [r["name"] for r in out] == ["Animal"]
+
+
+def test_exists_subquery_inner_where_scope(graph):
+    """The inner WHERE sees only variables the inner pattern binds."""
+    nodes, edges = graph
+    with pytest.raises(CypherError, match="unbound"):
+        run_cypher(
+            "MATCH (c:CLASS)-[:HAS_METHOD]->(z) WHERE EXISTS { "
+            "MATCH (c)-[:INHERITS]->(b) WHERE z.name = 'x' } RETURN c.name",
+            nodes,
+            edges,
+        )
