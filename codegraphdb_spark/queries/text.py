@@ -896,6 +896,86 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_bigram_lm_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    occ AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks)-1),
+                    i -> {{'w1': toks[i], 'w2': toks[i+1]}}), recursive := true)
+      FROM t
+    ),
+    cnt AS (SELECT w1, w2, count(*) AS c2 FROM occ GROUP BY 1, 2),
+    pre AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY 1),
+    sc AS (
+      SELECT o.doc_id, (1000000 * cnt.c2) // pre.c1 AS s
+      FROM occ o JOIN cnt ON o.w1 = cnt.w1 AND o.w2 = cnt.w2
+      JOIN pre ON o.w1 = pre.w1
+    ),
+    agg AS (SELECT doc_id, count(*) AS n, sum(s) AS tot FROM sc GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_bigrams,
+           CAST(a.tot // a.n AS BIGINT) AS lm_score
+    FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def doc_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score from a corpus-fit bigram MLE model:
+    each bigram (w1,w2) scores floor(1e6 * count(w1,w2) / count(w1 ·));
+    a document's score is the floor-mean over its bigram occurrences.
+    High = the document's word transitions are typical of the corpus;
+    low = atypical transitions (the LM-filter step of a C4/CCNet-style
+    cleaning pipeline, with integer-scaled arithmetic instead of log-probs
+    — ln() is libm-dependent across engines, STATUS invariant).
+
+    Scale: the bigram and prefix count tables are vocab²/vocab-bounded →
+    both broadcast; scoring is map-side after the explode, and the per-doc
+    mean partial-aggregates before its shuffle. One corpus-wide count
+    shuffle (inherent — same shape as TF-IDF's document frequencies)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", _tokens().alias("toks"))
+    # slice/zip keeps the 1-token edge case exact: slice(toks,1,0) = [] —
+    # sequence(1, size-1) would DESCEND for size=1 and fabricate bigrams
+    occ = (
+        t.select(
+            "doc_id",
+            F.expr(
+                "explode(arrays_zip(slice(toks, 1, size(toks)-1), "
+                "slice(toks, 2, size(toks)-1)))"
+            ).alias("b"),
+        )
+        .select(
+            "doc_id",
+            F.col("b").getField("0").alias("w1"),
+            F.col("b").getField("1").alias("w2"),
+        )
+        # three consumers (bigram counts, prefix counts, scoring) — without
+        # truncation each re-runs the scan+explode subtree
+        .localCheckpoint(eager=False)
+    )
+    cnt = occ.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    pre = occ.groupBy("w1").agg(F.count("*").alias("c1"))
+    sc = (
+        occ.join(F.broadcast(cnt), ["w1", "w2"])
+        .join(F.broadcast(pre), ["w1"])
+        .select("doc_id", F.expr("(1000000 * c2) div c1").alias("s"))
+    )
+    agg = sc.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.sum("s").alias("tot")
+    )
+    return (
+        t.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.expr("tot div n").cast("bigint").alias("lm_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "pipeline_clean_corpus",
     oracle=f"""
     WITH scored AS (

@@ -116,3 +116,14 @@ def test_simhash_pairs_band_join_no_product(spark, sf_dir):
     # the Python fingerprint stage is checkpointed: it must not appear on
     # both sides of the self-join as two separate Python stages
     assert plan.count("mapInPandas") == 0, plan  # truncated to an RDD scan
+
+
+def test_bigram_lm_counts_broadcast(spark, sf_dir):
+    """The bigram/prefix count tables are vocab-bounded: both reach the
+    scoring join as broadcasts — the corpus-sized occurrence stream is
+    never shuffled for the join (only the count aggs and the per-doc mean
+    shuffle, with map-side partial aggregation)."""
+    plan = _plan(spark, sf_dir, "doc_bigram_lm_quality")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
