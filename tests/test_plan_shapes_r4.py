@@ -127,3 +127,12 @@ def test_bigram_lm_counts_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_top_paths_take_ordered_single_user_shuffle(spark, sf_dir):
+    """The user window and the per-user path agg share ONE user-keyed
+    exchange (same key — no re-shuffle between them); top-20 plans as
+    TakeOrdered, never a global sort of all paths."""
+    plan = _plan(spark, sf_dir, "events_top_paths")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange") <= 3, plan  # user hash, path hash, +AQE slack
