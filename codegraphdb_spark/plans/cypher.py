@@ -33,6 +33,8 @@ queries run verbatim:
         AND NOT (c)-[:INHERITS]->(:CLASS) RETURN c.name  -- pattern predicates
     MATCH (c:CLASS) WHERE EXISTS { MATCH (c)-[:HAS_METHOD]->(m)
         WHERE m.name = 'fetch' } RETURN c.name           -- EXISTS subquery
+    MATCH (c:CLASS)-[:HAS_METHOD]->(m) RETURN count(DISTINCT m.name),
+        CASE WHEN c.name = 'Animal' THEN 'root' ELSE 'derived' END AS tier
 
 Label semantics mirror the reference: a label that is a known KIND filters
 ``kind``; any other label is a version tag and filters
@@ -72,7 +74,7 @@ _SHORTEST_RX = re.compile(
 )
 _ITEM = re.compile(
     r"^\s*(?:(?P<func>labels|count|collect|min|max|length|nodes|relationships)\s*\(\s*"
-    r"(?P<farg>\*|\w+(?:\.\w+)?)\s*\)"
+    r"(?P<farg>\*|(?:DISTINCT\s+)?\w+(?:\.\w+)?)\s*\)"
     r"|(?P<var>\w+)(?:\.(?P<prop>\w+))?)"
     r"(?:\s+AS\s+(?P<alias>\w+))?\s*$",
     re.IGNORECASE,
@@ -962,6 +964,10 @@ def _agg_expr(func: str, arg: str, alias: str | None, binds, plain):
             raise CypherError(f"{func}(*) is not valid Cypher")
         name = alias or "count"
         return F.count(F.lit(1)).alias(name), name
+    dm = re.match(r"(?is)^DISTINCT\s+(?P<rest>.*)$", arg)
+    distinct = dm is not None
+    if dm:
+        arg = dm.group("rest").strip()
     v, _, pr = arg.partition(".")
     if not pr and v in plain:
         c = F.col(v)
@@ -970,17 +976,84 @@ def _agg_expr(func: str, arg: str, alias: str | None, binds, plain):
     else:
         raise CypherError(f"unbound variable {v!r}")
     if func == "count":
-        agg = F.count(c)  # Cypher count(x): non-null rows only
+        # Cypher count(x): non-null rows only; count(DISTINCT x) dedupes
+        agg = F.count_distinct(c) if distinct else F.count(c)
     elif func == "min":
-        agg = F.min(c)
+        agg = F.min(c)  # DISTINCT is a no-op for min/max
     elif func == "max":
         agg = F.max(c)
     else:
         # Cypher collect() has no defined order — sort for a
         # deterministic, engine-stable result
-        agg = F.sort_array(F.collect_list(c))
-    name = alias or f"{func}_{arg.replace('.', '_')}"
+        agg = (
+            F.sort_array(F.collect_set(c))
+            if distinct
+            else F.sort_array(F.collect_list(c))
+        )
+    name = alias or (
+        f"{func}_{'distinct_' if distinct else ''}{arg.replace('.', '_')}"
+    )
     return agg.alias(name), name
+
+
+_CASE_RX = re.compile(
+    r"(?is)^\s*CASE\s+(?P<body>WHEN\b.*)\bEND\s*(?:\s*AS\s+(?P<alias>\w+))?\s*$"
+)
+
+
+def _value_col(raw: str, binds, plain):
+    """A CASE branch value: var.prop, a WITH/UNWIND bare column, or a
+    literal (string/int/$param)."""
+    raw = raw.strip()
+    vm = re.fullmatch(r"(?P<var>\w+)\.(?P<prop>\w+)", raw)
+    if vm:
+        var = vm.group("var")
+        if var not in binds:
+            raise CypherError(f"unbound variable {var!r} in CASE")
+        return F.col(f"{binds[var]}__{vm.group('prop')}")
+    if plain and re.fullmatch(r"\w+", raw) and raw in plain:
+        return F.col(raw)
+    return F.lit(_literal(raw))
+
+
+def _case_col(raw_item: str, binds, plain):
+    """Searched-CASE RETURN item → aliased Column, or None if the item is
+    not a CASE expression. ``CASE WHEN cond THEN val ... [ELSE val] END
+    [AS alias]``; conditions reuse the full WHERE boolean grammar, values
+    are properties/bare columns/literals. (The simple form ``CASE expr
+    WHEN val`` is not compiled — use searched CASE.)"""
+    cm = _CASE_RX.match(raw_item)
+    if cm is None:
+        return None
+    parts = _split_bool(cm.group("body"), "WHEN")
+    if parts[0].strip():
+        raise CypherError(
+            "only searched CASE (CASE WHEN cond THEN ...) is supported"
+        )
+    branches: list[tuple] = []
+    else_col = None
+    n = len(parts) - 1
+    for j, part in enumerate(parts[1:]):
+        th = _split_bool(part, "THEN")
+        if len(th) != 2:
+            raise CypherError(f"cannot parse CASE branch: {part.strip()!r}")
+        cond_s, val_s = th
+        if j == n - 1:
+            ev = _split_bool(val_s, "ELSE")
+            if len(ev) == 2:
+                val_s, else_s = ev
+                else_col = _value_col(else_s, binds, plain)
+            elif len(ev) > 2:
+                raise CypherError("CASE has more than one ELSE")
+        branches.append(
+            (_where_condition(cond_s, binds, plain), _value_col(val_s, binds, plain))
+        )
+    col = None
+    for cond, val in branches:
+        col = F.when(cond, val) if col is None else col.when(cond, val)
+    if else_col is not None:
+        col = col.otherwise(else_col)  # absent ELSE → NULL, per Cypher
+    return col.alias(cm.group("alias") or "case")
 
 
 def run_cypher(
@@ -1109,6 +1182,10 @@ def _run_cypher_inner(
     agg_cols = []
     prop_alias: dict[tuple[str, str | None], str] = {}
     for raw_item in _split_items(m.group("items")):
+        case = _case_col(raw_item, binds, plain)
+        if case is not None:
+            cols.append(case)
+            continue
         it = _ITEM.match(raw_item)
         if not it:
             raise CypherError(f"cannot parse RETURN item: {raw_item!r}")
@@ -1237,6 +1314,31 @@ def _run_cypher_inner(
 
 
 def _split_items(items: str) -> list[str]:
-    """Split RETURN items on commas outside parens (labels(x)/count(x)
-    contain no commas in the subset)."""
-    return [s for s in (p.strip() for p in items.split(",")) if s]
+    """Split RETURN items on top-level commas — outside (), [], {} and
+    string literals (a CASE branch may contain ``IN [1, 2]`` or a quoted
+    comma)."""
+    out: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    quote: str | None = None
+    for ch in items:
+        if quote:
+            if ch == quote:
+                quote = None
+            cur.append(ch)
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+            continue
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    out.append("".join(cur))
+    return [s for s in (p.strip() for p in out) if s]

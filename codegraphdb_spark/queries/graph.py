@@ -1798,6 +1798,42 @@ def g_cypher_pattern_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g_cypher_case",
+    oracle=f"""
+    WITH RECURSIVE {_merged_nodes_sql()},
+    {_CLOSURE_HM_SQL}
+    SELECT CASE WHEN cm.name = 'Animal' THEN 'root' ELSE 'derived' END AS tier,
+           CAST(COUNT(DISTINCT nm.name) AS BIGINT) AS n_method_names
+    FROM hm
+    JOIN merged cm ON cm.full_name = hm.src
+    JOIN merged nm ON nm.full_name = hm.dst
+    WHERE cm.kind = 'CLASS'
+      AND NOT (cm.full_name LIKE 'zoo.%' OR cm.full_name = 'zoo')
+    GROUP BY 1 ORDER BY tier
+    """,
+)
+def g_cypher_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 extension: searched CASE expressions (full WHERE grammar in the
+    conditions) and DISTINCT aggregates — count(DISTINCT m.name) collapses
+    the closure's duplicate method names (own override + inherited copy).
+    The CASE output participates in Cypher implicit grouping like any
+    non-aggregated item; one hash aggregate, map-side partials.
+
+    RECOMPUTING oracle: DuckDB re-derives the merge window + E1 HAS_METHOD
+    closure and replays the CASE bucketing + COUNT(DISTINCT)."""
+    from codegraphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges, _ = _graph(spark)
+    return run_cypher(
+        "MATCH (c:CLASS)-[:HAS_METHOD]->(m) "
+        "RETURN CASE WHEN c.name = 'Animal' THEN 'root' ELSE 'derived' END "
+        "AS tier, count(DISTINCT m.name) AS n_method_names ORDER BY tier",
+        nodes,
+        edges,
+    )
+
+
+@query(
     "g_cypher_with",
     oracle=f"""
     WITH RECURSIVE {_merged_nodes_sql()},

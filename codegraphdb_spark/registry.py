@@ -89,6 +89,7 @@ _DRIVER_PRIORITY: list[str] = [
     "g_cypher_pattern_pred",   # NEW: WHERE pattern predicates (semi/anti)
     "doc_bigram_lm_quality",   # NEW: corpus bigram-MLE quality (int-scaled)
     "events_top_paths",        # NEW: first-5 path mining, TakeOrdered top-20
+    "g_cypher_case",           # NEW: searched CASE + DISTINCT aggregates
     "g_reexport_contains",     # fixture rebuilt with the extended zoo side
     "g_kind_census",           # same build; census values must hold
     "g_inherits_edges",

@@ -928,3 +928,50 @@ def test_exists_subquery_inner_where_scope(graph):
             nodes,
             edges,
         )
+
+
+def test_case_expression(graph):
+    """Searched CASE in RETURN: full WHERE grammar in conditions,
+    property/literal values, NULL when no ELSE."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS) RETURN c.name AS name, "
+        "CASE WHEN c.name = 'Animal' THEN 'root' "
+        "WHEN c.name STARTS WITH 'P' THEN 'leafish' "
+        "ELSE c.file_path END AS tier ORDER BY name",
+        nodes,
+        edges,
+    ).collect()
+    assert [(r["name"], r["tier"]) for r in out] == [
+        ("Animal", "root"),
+        ("Dog", "pkgb/dog.py"),
+        ("Puppy", "leafish"),
+    ]
+    # no ELSE → NULL branch; CASE output also groups implicitly
+    out = run_cypher(
+        "MATCH (c:CLASS) RETURN CASE WHEN c.name = 'Dog' THEN 'dog' END "
+        "AS tag, count(c) AS n ORDER BY n",
+        nodes,
+        edges,
+    ).collect()
+    assert sorted([(r["tag"], r["n"]) for r in out], key=str) == [
+        ("dog", 1),
+        (None, 2),
+    ]
+
+
+def test_count_and_collect_distinct(graph):
+    """count(DISTINCT x) / collect(DISTINCT x) — HAS_METHOD closure
+    produces duplicate method NAMES per class (own override + inherited
+    copy), which DISTINCT collapses."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS {name: 'Dog'})-[:HAS_METHOD]->(m) "
+        "RETURN count(m.name) AS n_all, count(DISTINCT m.name) AS n_uniq, "
+        "collect(DISTINCT m.name) AS names",
+        nodes,
+        edges,
+    ).collect()
+    r = out[0]
+    assert r["n_all"] > r["n_uniq"]
+    assert sorted(set(r["names"])) == sorted(r["names"])  # deduped, sorted
