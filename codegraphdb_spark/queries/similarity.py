@@ -1208,3 +1208,140 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id", "rnk")
     )
+
+
+# --- MMR diversified retrieval ----------------------------------------------
+
+MMR_POOL = 24   # relevance-ranked candidate pool fed to the re-ranker
+MMR_K = 8       # diversified picks
+# integer MMR weights: score = 7*rel - 3*max_sim (λ=0.7 scaled by 10) —
+# relevance and diversity live in scaled-int inner-product space, so the
+# greedy argmax is EXACT integer arithmetic on both engines (cosine-style
+# double division would reintroduce the _half_up boundary class)
+_MMR_REL_W, _MMR_DIV_W = 7, 3
+
+
+def _idot(a: Column, b: Column) -> Column:
+    """Scaled-integer dot product (the exact bigint _ddot divides down)."""
+    prods = F.zip_with(a, b, lambda x, y: F.round(x * y * _SCALE).cast("bigint"))
+    return F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def _sql_idot(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {DIM}), "
+        f"i -> CAST(ROUND(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * {_SCALE}) AS BIGINT)"
+        f")) AS BIGINT)"
+    )
+
+
+@query(
+    "emb_mmr_diversify",
+    oracle=f"""
+    WITH RECURSIVE
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    probe AS (SELECT e AS pe FROM v WHERE vec_id = 0),
+    rel AS (
+      SELECT c.vec_id AS cand_id, {_sql_idot('probe.pe', 'c.e')} AS rel
+      FROM v c, probe WHERE c.vec_id <> 0
+      ORDER BY rel DESC, cand_id LIMIT {MMR_POOL}
+    ),
+    sims AS (
+      SELECT a.cand_id AS a, b.cand_id AS b, {_sql_idot('va.e', 'vb.e')} AS sim
+      FROM rel a JOIN v va ON va.vec_id = a.cand_id
+      JOIN rel b ON b.cand_id <> a.cand_id
+      JOIN v vb ON vb.vec_id = b.cand_id
+    ),
+    sel(step, picked, score, picked_list) AS (
+      (SELECT 1, cand_id, {_MMR_REL_W} * rel, [cand_id]
+       FROM rel ORDER BY rel DESC, cand_id LIMIT 1)
+      UNION ALL
+      (SELECT step + 1, cand_id, score, list_append(picked_list, cand_id) FROM (
+        SELECT s.step, s.picked_list, c.cand_id,
+               {_MMR_REL_W} * c.rel - {_MMR_DIV_W} * (
+                 SELECT max(sim) FROM sims
+                 WHERE a = c.cand_id AND list_contains(s.picked_list, b)) AS score
+        FROM sel s JOIN rel c ON NOT list_contains(s.picked_list, c.cand_id)
+        WHERE s.step < {MMR_K}
+        ORDER BY score DESC, c.cand_id LIMIT 1))
+    )
+    SELECT CAST(step AS INT) AS rnk, picked AS vec_id, CAST(score AS BIGINT) AS mmr
+    FROM sel ORDER BY rnk
+    """,
+)
+def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (maximal marginal relevance) diversified retrieval — the
+    training-data-curation shape of top-k: greedily pick items maximizing
+    relevance-to-probe minus similarity-to-already-picked, so the selected
+    set covers the neighborhood instead of returning near-duplicates.
+
+    Scale split: candidate generation is DISTRIBUTED (1-row probe
+    broadcast against the corpus, TakeOrdered pool cut — at 100 TB swap
+    in the LSH/IVF tiers for the same pool); the greedy re-rank is
+    inherently sequential but runs over a BOUNDED pool (24 candidates,
+    552 pair rows) as ONE Arrow-batched applyInPandas group where the
+    pairs already live — no driver collect, no unbounded state.
+
+    Determinism: relevance and pairwise similarity are scaled-int dot
+    products (bigint); the MMR score 7*rel − 3*max_sim stays in int64, so
+    the argmax (tie-break cand_id) is exact on both engines. The oracle
+    replays the greedy loop as a recursive CTE carrying the picked list."""
+    import pandas as pd
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    probe = v.filter(F.col("vec_id") == 0).select(F.col("e").alias("pe"))
+    rel = (
+        v.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            _idot(F.col("pe"), F.col("e")).alias("rel"),
+            "e",
+        )
+        .orderBy(F.desc("rel"), "cand_id")
+        .limit(MMR_POOL)
+        # the pair self-join references this subtree on both sides
+        .localCheckpoint(eager=False)
+    )
+    a = rel.select(
+        F.col("cand_id").alias("a"), F.col("e").alias("ea"), F.col("rel").alias("rel_a")
+    )
+    b = rel.select(F.col("cand_id").alias("b"), F.col("e").alias("eb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("a") != F.col("b"))
+        .select("a", "b", "rel_a", _idot(F.col("ea"), F.col("eb")).alias("sim"))
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rels: dict[int, int] = {}
+        sims: dict[tuple[int, int], int] = {}
+        for r in pdf.itertuples(index=False):
+            rels[int(r.a)] = int(r.rel_a)
+            sims[(int(r.a), int(r.b))] = int(r.sim)
+        cands = sorted(rels)  # ascending id → first-wins = smallest-id tie-break
+        picked: list[int] = []
+        rows = []
+        for step in range(1, MMR_K + 1):
+            best_score, best_c = None, None
+            for c in cands:
+                if c in picked:
+                    continue
+                if picked:
+                    score = _MMR_REL_W * rels[c] - _MMR_DIV_W * max(
+                        sims[(c, p)] for p in picked
+                    )
+                else:
+                    score = _MMR_REL_W * rels[c]
+                if best_score is None or score > best_score:
+                    best_score, best_c = score, c
+            picked.append(best_c)
+            rows.append((step, best_c, best_score))
+        return pd.DataFrame(rows, columns=["rnk", "vec_id", "mmr"])
+
+    return (
+        pairs.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(greedy, "rnk INT, vec_id BIGINT, mmr BIGINT")
+        .orderBy("rnk")
+    )

@@ -90,6 +90,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_bigram_lm_quality",   # NEW: corpus bigram-MLE quality (int-scaled)
     "events_top_paths",        # NEW: first-5 path mining, TakeOrdered top-20
     "g_cypher_case",           # NEW: searched CASE + DISTINCT aggregates
+    "emb_mmr_diversify",       # NEW: integer-exact MMR re-rank, bounded pool
     "g_reexport_contains",     # fixture rebuilt with the extended zoo side
     "g_kind_census",           # same build; census values must hold
     "g_inherits_edges",

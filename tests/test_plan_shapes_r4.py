@@ -136,3 +136,16 @@ def test_top_paths_take_ordered_single_user_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_top_paths")
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("Exchange") <= 3, plan  # user hash, path hash, +AQE slack
+
+
+def test_mmr_pool_cut_before_rerank(spark, sf_dir):
+    """MMR's greedy re-rank plan runs entirely over the CHECKPOINTED
+    candidate pool (the TakeOrdered pool cut happened in the checkpoint
+    job): the corpus parquet is never re-scanned, the pair self-join is a
+    broadcast of the tiny pool, and the re-rank is exactly ONE Arrow
+    Python stage."""
+    plan = _plan(spark, sf_dir, "emb_mmr_diversify")
+    assert "Scan ExistingRDD" in plan, plan       # pool enters checkpointed
+    assert "Scan parquet" not in plan, plan       # corpus not re-read
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
