@@ -895,16 +895,41 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_bigram_lm_quality",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+# token-bigram occurrences — shared by the LM-quality and collocation
+# oracles (and mirrored by _bigram_occ on the Spark side) so the bigram
+# definition can never drift between the two queries
+_SQL_BIGRAM_OCC = f"""
+    t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
     occ AS (
       SELECT doc_id,
              unnest(list_transform(generate_series(1, len(toks)-1),
                     i -> {{'w1': toks[i], 'w2': toks[i+1]}}), recursive := true)
       FROM t
-    ),
+    )
+"""
+
+
+def _bigram_occ(t: DataFrame) -> DataFrame:
+    """(doc_id, toks) → exploded (doc_id, w1, w2) bigram occurrences.
+    slice/zip keeps the 1-token edge case exact: slice(toks,1,0) = [] —
+    sequence(1, size-1) would DESCEND for size=1 and fabricate bigrams."""
+    return t.select(
+        "doc_id",
+        F.expr(
+            "explode(arrays_zip(slice(toks, 1, size(toks)-1), "
+            "slice(toks, 2, size(toks)-1)))"
+        ).alias("b"),
+    ).select(
+        "doc_id",
+        F.col("b").getField("0").alias("w1"),
+        F.col("b").getField("1").alias("w2"),
+    )
+
+
+@query(
+    "doc_bigram_lm_quality",
+    oracle=f"""
+    WITH {_SQL_BIGRAM_OCC},
     cnt AS (SELECT w1, w2, count(*) AS c2 FROM occ GROUP BY 1, 2),
     pre AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY 1),
     sc AS (
@@ -935,25 +960,9 @@ def doc_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (inherent — same shape as TF-IDF's document frequencies)."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", _tokens().alias("toks"))
-    # slice/zip keeps the 1-token edge case exact: slice(toks,1,0) = [] —
-    # sequence(1, size-1) would DESCEND for size=1 and fabricate bigrams
-    occ = (
-        t.select(
-            "doc_id",
-            F.expr(
-                "explode(arrays_zip(slice(toks, 1, size(toks)-1), "
-                "slice(toks, 2, size(toks)-1)))"
-            ).alias("b"),
-        )
-        .select(
-            "doc_id",
-            F.col("b").getField("0").alias("w1"),
-            F.col("b").getField("1").alias("w2"),
-        )
-        # three consumers (bigram counts, prefix counts, scoring) — without
-        # truncation each re-runs the scan+explode subtree
-        .localCheckpoint(eager=False)
-    )
+    # three consumers (bigram counts, prefix counts, scoring) — without
+    # truncation each re-runs the scan+explode subtree
+    occ = _bigram_occ(t).localCheckpoint(eager=False)
     cnt = occ.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     pre = occ.groupBy("w1").agg(F.count("*").alias("c1"))
     sc = (
@@ -972,6 +981,62 @@ def doc_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("tot div n").cast("bigint").alias("lm_score"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_top_collocations",
+    oracle=f"""
+    WITH {_SQL_BIGRAM_OCC},
+    cnt AS (SELECT w1, w2, count(*) AS c2 FROM occ GROUP BY 1, 2),
+    lft AS (SELECT w1, count(*) AS cl FROM occ GROUP BY 1),
+    rgt AS (SELECT w2, count(*) AS cr FROM occ GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM occ)
+    SELECT cnt.w1, cnt.w2, CAST(cnt.c2 AS BIGINT) AS n_pair,
+           CAST((1000000 * cnt.c2 * tot.n) // (lft.cl * rgt.cr) AS BIGINT)
+             AS pmi_scaled
+    FROM cnt
+    JOIN lft ON lft.w1 = cnt.w1
+    JOIN rgt ON rgt.w2 = cnt.w2
+    CROSS JOIN tot
+    WHERE cnt.c2 >= 5
+    ORDER BY pmi_scaled DESC, cnt.w1, cnt.w2 LIMIT 20
+    """,
+)
+def doc_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top bigrams by pointwise mutual information.
+    PMI = log p(w1,w2)/(p(w1·)p(·w2)) — log is monotone, so ranking by
+    the scaled-integer ratio floor(1e6·c2·N / (c(w1·)·c(·w2))) gives the
+    SAME order with exact cross-engine arithmetic (ln() is libm-dependent,
+    STATUS invariant). Min pair count 5 filters the unstable PMI tail.
+
+    Scale: same shape as TF-IDF — one corpus bigram-count shuffle; the
+    marginal count tables are vocab-bounded broadcasts; top-20 is a
+    TakeOrdered. The int64 headroom is 1e6·c2·N < 2^63 — at corpora where
+    c2·N approaches 9e12, drop the 1e6 scale (the ratio is already
+    rank-exact); the fixture is orders of magnitude inside."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", _tokens().alias("toks"))
+    occ = _bigram_occ(t).localCheckpoint(eager=False)
+    cnt = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    lft = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("cl"))
+    rgt = occ.groupBy("w2").agg(F.count(F.lit(1)).alias("cr"))
+    tot = occ.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cnt.filter(F.col("c2") >= 5)
+        .join(F.broadcast(lft), "w1")
+        .join(F.broadcast(rgt), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").cast("bigint").alias("n_pair"),
+            F.expr("(1000000 * c2 * n) div (cl * cr)")
+            .cast("bigint")
+            .alias("pmi_scaled"),
+        )
+        .orderBy(F.desc("pmi_scaled"), "w1", "w2")
+        .limit(20)
     )
 
 
