@@ -1345,3 +1345,79 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(greedy, "rnk INT, vec_id BIGINT, mmr BIGINT")
         .orderBy("rnk")
     )
+
+
+KNN_K = 10
+
+
+@query(
+    "emb_knn_classify",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < {N_PROBES}
+    ), scored AS (
+      SELECT p.probe_id, c.vec_id AS cand_id, c.label,
+             {_sql_ddot('p.pe', 'c.e')} /
+             (SQRT({_sql_ddot('p.pe', 'p.pe')}) * SQRT({_sql_ddot('c.e', 'c.e')})) AS cosine
+      FROM probes p, v c WHERE c.vec_id <> p.probe_id
+    ), nn AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cosine DESC, cand_id) AS rnk
+        FROM scored) WHERE rnk <= {KNN_K}
+    ), votes AS (
+      SELECT probe_id, label, count(*) AS n_votes FROM nn GROUP BY 1, 2
+    )
+    SELECT probe_id, CAST(label AS INT) AS pred_label,
+           CAST(n_votes AS BIGINT) AS n_votes
+    FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY n_votes DESC, label) AS r
+          FROM votes)
+    WHERE r = 1 ORDER BY probe_id
+    """,
+)
+def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-label classification — the weak-supervision labeling
+    pass of a curation pipeline (label unlabeled data from its nearest
+    labeled neighbors). Majority over the 10 nearest by exact cosine;
+    ties break to the smaller label (then the earlier candidate via the
+    rank window), fully deterministic.
+
+    Scale: identical shape to emb_cosine_topk — broadcast probes, one
+    per-probe rank window (swap in the LSH/IVF candidate tiers at 100 TB);
+    the vote is a probe-keyed aggregate over k rows, then a k-bounded
+    window. Nothing corpus-sized shuffles twice."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+    )
+    vn = v.withColumn("nrm", F.sqrt(_ddot(F.col("e"), F.col("e"))))
+    probes = vn.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pn"),
+    )
+    pairs = F.broadcast(probes).join(vn, F.col("vec_id") != F.col("probe_id"))
+    cosine = _ddot(F.col("pe"), F.col("e")) / (F.col("pn") * F.col("nrm"))
+    scored = pairs.select(
+        "probe_id", F.col("vec_id").alias("cand_id"), "label", cosine.alias("cosine")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), "cand_id")
+    nn = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= KNN_K
+    )
+    votes = nn.groupBy("probe_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    vw = Window.partitionBy("probe_id").orderBy(F.desc("n_votes"), "label")
+    return (
+        votes.withColumn("r", F.row_number().over(vw))
+        .filter(F.col("r") == 1)
+        .select(
+            "probe_id",
+            F.col("label").cast("int").alias("pred_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+        )
+        .orderBy("probe_id")
+    )

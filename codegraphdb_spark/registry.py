@@ -92,6 +92,7 @@ _DRIVER_PRIORITY: list[str] = [
     "g_cypher_case",           # NEW: searched CASE + DISTINCT aggregates
     "emb_mmr_diversify",       # NEW: integer-exact MMR re-rank, bounded pool
     "doc_top_collocations",    # NEW: integer-PMI collocations, TakeOrdered
+    "emb_knn_classify",        # NEW: kNN majority-label weak supervision
     "g_reexport_contains",     # fixture rebuilt with the extended zoo side
     "g_kind_census",           # same build; census values must hold
     "g_inherits_edges",
