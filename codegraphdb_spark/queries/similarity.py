@@ -580,10 +580,9 @@ def _near_dup_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _EMB_PAIRS_CACHE[key]
 
 
-@query(
-    "emb_dup_clusters",
-    oracle=f"""
-    WITH RECURSIVE v AS (
+# embedding near-dup connected components — shared by the emb_dup_clusters
+# and doc_semantic_dedup oracles so the cluster definition cannot drift
+_SQL_EMB_COMP = f"""v AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
              SQRT({_sql_ddot('embedding', 'embedding')}) AS nrm
       FROM embeddings
@@ -603,7 +602,13 @@ def _near_dup_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     comp AS (
       SELECT vec_id, MIN(lbl) AS component FROM reach GROUP BY vec_id
-    )
+    )"""
+
+
+@query(
+    "emb_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_EMB_COMP}
     SELECT c.vec_id, CAST(c.component AS BIGINT) AS component, s.n_members
     FROM comp c
     JOIN (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
@@ -639,6 +644,58 @@ def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
         .orderBy("vec_id")
+    )
+
+
+@query(
+    "doc_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_EMB_COMP},
+    sized AS (SELECT component, count(*) AS n_members FROM comp GROUP BY 1),
+    j AS (
+      SELECT c.component, d.doc_id, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.vec_id
+    )
+    SELECT CAST(w.component AS BIGINT) AS component,
+           w.doc_id AS kept_doc,
+           CAST(s.n_members AS BIGINT) AS n_members,
+           CAST(s.n_members - 1 AS BIGINT) AS n_discarded,
+           CAST(w.n_chars AS BIGINT) AS kept_chars
+    FROM (SELECT *, row_number() OVER (PARTITION BY component
+                                       ORDER BY n_chars DESC, doc_id) AS r
+          FROM j) w
+    JOIN sized s ON s.component = w.component
+    WHERE w.r = 1 ORDER BY component
+    """,
+)
+def doc_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cross-modal dedup: embedding-space near-dup clusters
+    (the vec_id ↔ doc_id aligned emb_dup_clusters components) pick ONE
+    surviving document each — the longest (n_chars DESC, doc_id tie-break)
+    — and report the discard count. This is the semantic counterpart of
+    doc_dedup_keep_best: the text pipeline dedupes lexical near-dups, this
+    pass removes documents that SAY the same thing in different words.
+
+    Scale: reuses the session-cached near-dup pair set and the same CC
+    operator (pairs-sized, never corpus-sized); the survivor pick is one
+    cluster-keyed window over one row per clustered doc."""
+    clusters = emb_dup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = clusters.join(docs, F.col("vec_id") == F.col("doc_id")).select(
+        "component", "doc_id", "n_chars", "n_members"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        j.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("component").cast("bigint").alias("component"),
+            F.col("doc_id").alias("kept_doc"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            (F.col("n_members") - 1).cast("bigint").alias("n_discarded"),
+            F.col("n_chars").cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("component")
     )
 
 

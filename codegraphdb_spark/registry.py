@@ -93,6 +93,7 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_mmr_diversify",       # NEW: integer-exact MMR re-rank, bounded pool
     "doc_top_collocations",    # NEW: integer-PMI collocations, TakeOrdered
     "emb_knn_classify",        # NEW: kNN majority-label weak supervision
+    "doc_semantic_dedup",      # NEW: SemDeDup keep-best over emb clusters
     "g_reexport_contains",     # fixture rebuilt with the extended zoo side
     "g_kind_census",           # same build; census values must hold
     "g_inherits_edges",
