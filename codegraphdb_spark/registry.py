@@ -94,14 +94,14 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_top_collocations",    # NEW: integer-PMI collocations, TakeOrdered
     "emb_knn_classify",        # NEW: kNN majority-label weak supervision
     "doc_semantic_dedup",      # NEW: SemDeDup keep-best over emb clusters
+    # -- headliners: keep the flagship pair inside every window ----------
+    "revenue_by_nation",
+    "pricing_summary",
     "g_reexport_contains",     # fixture rebuilt with the extended zoo side
     "g_kind_census",           # same build; census values must hold
     "g_inherits_edges",
     "g_blast_radius",          # pruned-update surface re-validated at 2k files
     "g_version_diff",
-    # -- headliners: keep the flagship pair inside every window ----------
-    "revenue_by_nation",
-    "pricing_summary",
     # -- rotation: longest outside the checked window (r1, none since) ---
     "topk_orders",
     "scalar_string_funcs",
