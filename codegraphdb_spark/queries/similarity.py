@@ -1478,3 +1478,57 @@ def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+# the recall oracle embeds the two sibling oracles VERBATIM as CTE bodies
+# (registry.ORACLE is already populated by the decorators above) — the
+# metric can never diverge from the queries it measures
+from codegraphdb_spark.registry import ORACLE as _ORACLE  # noqa: E402
+
+
+@query(
+    "emb_recall_at_k",
+    oracle=f"""
+    WITH exact AS ({_ORACLE['emb_cosine_topk']}),
+    ann AS ({_ORACLE['emb_ann_topk']}),
+    hits AS (
+      SELECT e.probe_id, count(*) AS n_hits
+      FROM exact e JOIN ann a
+        ON a.probe_id = e.probe_id AND a.cand_id = e.cand_id
+      GROUP BY 1
+    ),
+    per AS (SELECT probe_id, count(*) AS k FROM exact GROUP BY 1)
+    SELECT per.probe_id,
+           CAST(per.k AS BIGINT) AS k,
+           CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(100 * coalesce(hits.n_hits, 0) // per.k AS BIGINT) AS recall_pct
+    FROM per LEFT JOIN hits ON hits.probe_id = per.probe_id
+    ORDER BY per.probe_id
+    """,
+)
+def emb_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measured IN-ENGINE, as a first-class query ('measure,
+    don't guess'): per-probe recall@k of the LSH-bucketed tier against
+    brute-force cosine — the number the tools/stress_ann.py offline
+    harness reports, now under the driver's value-hash gate. A banding
+    or signature regression shows up as a recall drop here even when
+    both tiers individually still hash-match their own oracles' buckets.
+
+    Scale: both inputs are k-per-probe result sets (tiny); the metric
+    join is probe-keyed over 2·k·n_probes rows."""
+    exact = emb_cosine_topk(spark, sf_dir).select("probe_id", "cand_id")
+    ann = emb_ann_topk(spark, sf_dir).select("probe_id", "cand_id")
+    hits = exact.join(ann, ["probe_id", "cand_id"]).groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    per = exact.groupBy("probe_id").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        per.join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.col("k").cast("bigint").alias("k"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr("100 * coalesce(n_hits, 0) div k").cast("bigint").alias("recall_pct"),
+        )
+        .orderBy("probe_id")
+    )

@@ -94,6 +94,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_top_collocations",    # NEW: integer-PMI collocations, TakeOrdered
     "emb_knn_classify",        # NEW: kNN majority-label weak supervision
     "doc_semantic_dedup",      # NEW: SemDeDup keep-best over emb clusters
+    "emb_recall_at_k",         # NEW: in-engine ANN recall metric
     # -- headliners: keep the flagship pair inside every window ----------
     "revenue_by_nation",
     "pricing_summary",
