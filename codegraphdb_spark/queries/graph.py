@@ -1834,6 +1834,70 @@ def g_cypher_case(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g_cypher_write_roundtrip",
+    oracle=f"""
+    WITH {_merged_nodes_sql()}
+    SELECT * FROM (
+      SELECT 'pkgb.dog.Dog' AS fn,
+             (SELECT kind FROM merged WHERE full_name = 'pkgb.dog.Dog') AS kind,
+             (SELECT name FROM merged WHERE full_name = 'pkgb.dog.Dog') AS name,
+             CASE WHEN EXISTS (SELECT 1 FROM merged
+                               WHERE full_name = 'pkgb.dog.Dog')
+                  THEN 'patched/dog.py' ELSE 'created.py' END AS fp
+      UNION ALL
+      SELECT 'pkgb.dog.Robot', 'CLASS', 'Robot',
+             CASE WHEN EXISTS (SELECT 1 FROM merged
+                               WHERE full_name = 'pkgb.dog.Robot')
+                  THEN 'wrong.py' ELSE 'robot.py' END
+      UNION ALL
+      SELECT 'unsolved symbol', 'FUNCTION', 'unsolved symbol',
+             (SELECT file_path FROM merged WHERE full_name = 'unsolved symbol')
+    ) ORDER BY fn
+    """,
+)
+def g_cypher_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Cypher WRITE path under the value-hash gate (previously only
+    pytest-checked): three MERGE statements — a kind-less props update on
+    an existing node (ON MATCH branch taken; kind must NOT demote), an
+    upsert of a brand-new node (ON CREATE branch taken), and a B3 label
+    promotion of the 'none' placeholder — then a read of the v3-stamped
+    rows through the read compiler.
+
+    RECOMPUTING oracle: DuckDB re-derives the merge window and decides
+    each ON CREATE/ON MATCH branch from node EXISTENCE in the recomputed
+    facts (not from pinned outcomes); the untouched columns (Dog's kind
+    and name, the placeholder's file_path) come from the recomputation
+    too, so a merge regression that clobbers unrelated columns fails the
+    hash."""
+    from codegraphdb_spark.plans.cypher import run_cypher
+    from codegraphdb_spark.plans.cypher_write import run_cypher_write
+
+    nodes, edges, _ = _graph(spark)
+    n, e = run_cypher_write(
+        "MERGE (x {full_name: 'pkgb.dog.Dog'}) "
+        "ON MATCH SET x.file_path = 'patched/dog.py' "
+        "ON CREATE SET x.file_path = 'created.py'",
+        nodes, edges, version="v3",
+    )
+    n, e = run_cypher_write(
+        "MERGE (x:CLASS {full_name: 'pkgb.dog.Robot', name: 'Robot'}) "
+        "ON CREATE SET x.file_path = 'robot.py' "
+        "ON MATCH SET x.file_path = 'wrong.py'",
+        n, e, version="v3",
+    )
+    n, e = run_cypher_write(
+        "MERGE (x:FUNCTION {full_name: 'unsolved symbol', "
+        "name: 'unsolved symbol'})",
+        n, e, version="v3",
+    )
+    return run_cypher(
+        "MATCH (x:`v3`) RETURN x.full_name AS fn, x.kind AS kind, "
+        "x.name AS name, x.file_path AS fp ORDER BY fn",
+        n, e,
+    )
+
+
+@query(
     "g_cypher_with",
     oracle=f"""
     WITH RECURSIVE {_merged_nodes_sql()},

@@ -95,6 +95,7 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_knn_classify",        # NEW: kNN majority-label weak supervision
     "doc_semantic_dedup",      # NEW: SemDeDup keep-best over emb clusters
     "emb_recall_at_k",         # NEW: in-engine ANN recall metric
+    "g_cypher_write_roundtrip",  # NEW: MERGE/ON-branch writes under hash gate
     # -- headliners: keep the flagship pair inside every window ----------
     "revenue_by_nation",
     "pricing_summary",
