@@ -671,3 +671,54 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(20)
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT prev_type, sum(n) AS t FROM trans GROUP BY 1)
+    SELECT trans.prev_type, trans.next_type, CAST(trans.n AS BIGINT) AS n,
+           CAST((1000000 * trans.n) // tot.t AS BIGINT) AS p_scaled
+    FROM trans JOIN tot ON tot.prev_type = trans.prev_type
+    ORDER BY trans.prev_type, trans.next_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next | prev) as floor(1e6·n / row-total) — the behavioral-model
+    fit behind funnel simulation and anomaly scoring, in exact integer
+    arithmetic. lag() pairs consecutive events per user (ts, event_id
+    tie-break — same ordering contract as events_top_paths).
+
+    Scale: one user-keyed shuffle for the lag window; the transition agg
+    is event-type² bounded (map-side partials), the row-total join is a
+    broadcast of k² rows."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return (
+        trans.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("(1000000 * n) div t").cast("bigint").alias("p_scaled"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

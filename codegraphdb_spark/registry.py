@@ -96,6 +96,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_semantic_dedup",      # NEW: SemDeDup keep-best over emb clusters
     "emb_recall_at_k",         # NEW: in-engine ANN recall metric
     "g_cypher_write_roundtrip",  # NEW: MERGE/ON-branch writes under hash gate
+    "events_markov_transitions",  # NEW: integer-scaled transition matrix
     # -- headliners: keep the flagship pair inside every window ----------
     "revenue_by_nation",
     "pricing_summary",
