@@ -1154,3 +1154,183 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --- decision-support subquery shapes -----------------------------------------
+# The reference's retry branch (ast_manage.py:162-167) is an existence probe;
+# these queries declare the full subquery family a warehouse user expects:
+# EXISTS with a correlated non-equi condition, a correlated aggregate
+# threshold, and a scalar subquery feeding a filter — each decorrelated into
+# the join Catalyst would pick anyway, so the shapes survive 100 TB.
+
+@query(
+    "exists_late_shipment_orders",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def exists_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS decorrelated to a LEFT SEMI join
+    whose condition mixes the equi key (orderkey) with a non-equi
+    cross-table predicate (shipped >90 days after order date). The semi
+    join keeps at most one probe row per order — no fan-out — and the
+    date filter on orders is pushed to the scan. At 100 TB both sides
+    shuffle on orderkey once; nothing else moves."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    late = filtered.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "subquery_small_quantity_revenue",
+    oracle=f"""
+    WITH pa AS (
+      SELECT l_partkey, {sql_davg('l_quantity')} AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_small,
+           {sql_dsum('l_extendedprice')} AS revenue
+    FROM lineitem
+    JOIN pa USING (l_partkey)
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_quantity < 0.5 * avg_qty
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def subquery_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate threshold (rows below half
+    their part's average quantity), decorrelated into groupBy+join on the
+    correlation key. The per-part average is computed ONCE as an exact
+    decimal mean (davg — bit-identical double on both engines, so the
+    `<` boundary cannot flip cross-engine); 0.5× is a power-of-two scale,
+    exact in binary. At scale: one shuffle on l_partkey serves both the
+    aggregate and the re-join (co-partitioned), and the part dim joins on
+    the same key; AQE picks broadcast when the dim fits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pa = li.groupBy("l_partkey").agg(davg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_small"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "scalar_subquery_rich_inactive",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT {sql_davg('c_acctbal')} AS bal_threshold
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {sql_dsum('c_acctbal')} AS total_bal
+    FROM customer, avg_bal
+    WHERE c_acctbal > bal_threshold
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def scalar_subquery_rich_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global positive-balance average)
+    gating a NOT EXISTS anti join (above-average customers with no
+    finalized order). The scalar is a 1-row aggregate joined in via
+    broadcast (the only sound use of a cross join); the threshold is a
+    davg decimal mean so the `>` boundary is cross-engine exact. The
+    anti join shuffles on custkey — orders is filtered (status pushed to
+    the scan) and projects ONLY o_custkey into it, so at 100 TB the
+    probe side is one slim integer column."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    threshold = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(davg("c_acctbal").alias("bal_threshold"))
+    )
+    finalized = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("bal_threshold"))
+        .join(finalized, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "grouping_sets_report",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+             AS sum_totalprice
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither a rollup prefix chain nor a full
+    cube): per-status and per-priority marginals in one pass, two-phase
+    like rollup_orders_report — pre-aggregate to the finest grouping
+    (status × priority ≈ 15 rows at any SF), then Expand over the
+    partials only. Decimal partials re-aggregate exactly; gid is the
+    standard grouping bitmask (same bit order both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    detail = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,4)")).alias("_sum"),
+    )
+    return (
+        detail.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.sum("_n").alias("n_orders"),
+            F.sum("_sum").cast("double").alias("sum_totalprice"),
+        )
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )

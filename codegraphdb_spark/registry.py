@@ -97,6 +97,10 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_recall_at_k",         # NEW: in-engine ANN recall metric
     "g_cypher_write_roundtrip",  # NEW: MERGE/ON-branch writes under hash gate
     "events_markov_transitions",  # NEW: integer-scaled transition matrix
+    "exists_late_shipment_orders",     # NEW: correlated EXISTS → semi join
+    "subquery_small_quantity_revenue",  # NEW: Q17-shape avg threshold
+    "scalar_subquery_rich_inactive",   # NEW: scalar subquery + anti join
+    "grouping_sets_report",            # NEW: explicit GROUPING SETS
     # -- headliners: keep the flagship pair inside every window ----------
     "revenue_by_nation",
     "pricing_summary",

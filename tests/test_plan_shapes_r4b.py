@@ -1,0 +1,62 @@
+"""Plan-shape guards for the round-4b decision-support subquery shapes:
+each correlated-subquery form must decorrelate into the join Catalyst
+would pick by hand — no nested-loop re-execution, no cartesian blowup.
+"""
+
+from __future__ import annotations
+
+from codegraphdb_spark import registry
+
+
+def _plan(spark, sf_dir, name):
+    registry.load_all()
+    df = registry.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """Correlated EXISTS = one LEFT SEMI join on the correlation key with
+    the non-equi date predicate as a join condition; the order-date range
+    is pushed to the orders scan."""
+    plan = _plan(spark, sf_dir, "exists_late_shipment_orders")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") == 2, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_avg_threshold_reuses_partkey_exchange(spark, sf_dir):
+    """The per-part average and its re-join shuffle on the SAME key —
+    the partkey exchange is planned once and reused (Spark's ReusedExchange
+    or an aligned output partitioning), never a cartesian."""
+    plan = _plan(spark, sf_dir, "subquery_small_quantity_revenue")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # lineitem twice (agg + probe) and part once
+    assert plan.count("Scan parquet") == 3, plan
+
+
+def test_scalar_subquery_is_one_row_broadcast(spark, sf_dir):
+    """The global-average scalar reaches customers as a broadcast 1-row
+    product; the no-finalized-orders probe is a LEFT ANTI join whose build
+    side carries only o_custkey (pruned read schema)."""
+    plan = _plan(spark, sf_dir, "scalar_subquery_rich_inactive")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "ReadSchema: struct<o_custkey:bigint,o_orderstatus:string>" in plan, plan
+    assert "EqualTo(o_orderstatus,F)" in plan, plan
+
+
+def test_grouping_sets_expand_over_partials(spark, sf_dir):
+    """GROUPING SETS runs two-phase: Expand sits ABOVE the finest-grain
+    partial aggregate (~15 rows), so the row multiplication never touches
+    the fact table; exactly one orders scan."""
+    plan = _plan(spark, sf_dir, "grouping_sets_report")
+    assert "Expand" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    # Expand must appear before (above) the scan but after a HashAggregate
+    # pair that groups by both raw keys — assert the partial agg exists
+    # below the Expand by plan order: Expand's first occurrence is later
+    # in the string than the first HashAggregate that mentions both keys.
+    first_expand = plan.index("Expand")
+    assert "HashAggregate" in plan[first_expand:], plan
