@@ -722,3 +722,119 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+# --- time-series downsampling -------------------------------------------------
+
+@query(
+    "events_ohlc_bars",
+    oracle="""
+    WITH ranked AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar_day, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts), event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts), event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT bar_day, event_type,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE)
+                / 1000000 AS DOUBLE) AS volume
+    FROM ranked
+    GROUP BY bar_day, event_type
+    ORDER BY bar_day, event_type
+    """,
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC downsampling bars per event type — the hypertable /
+    financial-tick rollup shape. ONE shuffle: the two row_number windows
+    and the final groupBy share the same (day, type) partitioning, so
+    Spark plans a single exchange + per-partition sort; open/close are
+    picked (not summed) doubles with a unique (ts, event_id) tiebreak, and
+    volume sums exactly in the scaled-integer domain. At 100 TB the state
+    per group is O(1) and groups = days × instruments — this is the
+    canonical downsample that turns a tick firehose into a bounded table."""
+    e = load_table(spark, sf_dir, "events")
+    e = e.withColumn("bar_day", F.date_trunc("day", F.col("ts")))
+    w_a = Window.partitionBy("bar_day", "event_type").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("bar_day", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = e.select(
+        "bar_day",
+        "event_type",
+        "value",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    return (
+        ranked.groupBy("bar_day", "event_type")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+            isum("value").alias("volume"),
+        )
+        .orderBy("bar_day", "event_type")
+    )
+
+
+_EWMA_HORIZON = 8  # lags; weight of lag i is 2^(HORIZON-1-i) — alpha = 1/2
+
+
+@query(
+    "events_ewma",
+    oracle=f"""
+    WITH scaled AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS sv
+      FROM events),
+    lagged AS (
+      SELECT event_id, user_id, ts,
+             {', '.join(f"LAG(sv, {i}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sv_{i}" if i else "sv AS sv_0" for i in range(8))}
+      FROM scaled)
+    SELECT event_id, user_id, ts,
+           CAST(CAST({' + '.join(f"COALESCE(sv_{i} * {1 << (7 - i)}, 0)" for i in range(8))} AS DOUBLE)
+                / CAST({' + '.join(f"CASE WHEN sv_{i} IS NOT NULL THEN {1 << (7 - i)} ELSE 0 END" for i in range(8))} AS DOUBLE)
+                / 1000000.0 AS DOUBLE) AS ewma
+    FROM lagged
+    ORDER BY event_id
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (alpha = 1/2,
+    truncated at 8 lags) — smoothing for anomaly baselines. Exact
+    cross-engine: values scale to integers, the power-of-two weights
+    (128, 64, …, 1) keep the weighted sum in int64 (|sv| ≤ 5·10⁸ × 255
+    « 2⁶³), and the two final divisions are single exactly-rounded IEEE
+    ops. ONE shuffle on user_id; all 8 lags ride one window sort. The
+    truncation is what makes this scale: state per row is O(horizon),
+    not O(history), so the same plan runs as a streaming window."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sv = F.round(F.col("value") * 1000000).cast("bigint")
+    df = e.select("event_id", "user_id", "ts", sv.alias("sv_0"))
+    for i in range(1, _EWMA_HORIZON):
+        df = df.withColumn(f"sv_{i}", F.lag("sv_0", i).over(w))
+    num = None
+    den = None
+    for i in range(_EWMA_HORIZON):
+        weight = 1 << (_EWMA_HORIZON - 1 - i)
+        term = F.coalesce(F.col(f"sv_{i}") * weight, F.lit(0))
+        hit = F.when(F.col(f"sv_{i}").isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = hit if den is None else den + hit
+    return df.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (num.cast("double") / den.cast("double") / F.lit(1000000.0))
+        .cast("double")
+        .alias("ewma"),
+    ).orderBy("event_id")

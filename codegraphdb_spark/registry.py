@@ -101,6 +101,8 @@ _DRIVER_PRIORITY: list[str] = [
     "subquery_small_quantity_revenue",  # NEW: Q17-shape avg threshold
     "scalar_subquery_rich_inactive",   # NEW: scalar subquery + anti join
     "grouping_sets_report",            # NEW: explicit GROUPING SETS
+    "events_ohlc_bars",                # NEW: daily OHLC downsample bars
+    "events_ewma",                     # NEW: integer-exact truncated EWMA
     # -- headliners: keep the flagship pair inside every window ----------
     "revenue_by_nation",
     "pricing_summary",

@@ -60,3 +60,22 @@ def test_grouping_sets_expand_over_partials(spark, sf_dir):
     # in the string than the first HashAggregate that mentions both keys.
     first_expand = plan.index("Expand")
     assert "HashAggregate" in plan[first_expand:], plan
+
+
+def test_ohlc_single_exchange_for_windows_and_agg(spark, sf_dir):
+    """Both row_number windows and the OHLC aggregate share the
+    (day, type) partitioning: one hash exchange total (plus the output
+    range sort); one events scan."""
+    plan = _plan(spark, sf_dir, "events_ohlc_bars")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_ewma_one_user_shuffle_one_sort(spark, sf_dir):
+    """All 8 lags ride a single user_id window pass: one hash exchange,
+    one per-partition sort, no self-joins."""
+    plan = _plan(spark, sf_dir, "events_ewma")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
