@@ -196,3 +196,57 @@ def multimodal_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(batches, schema=_META_SCHEMA).orderBy("doc_id")
+
+
+@query(
+    "multimodal_resolution_filter",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
+               ELSE 'wav' END AS format,
+             CAST(CASE WHEN doc_id % 4 = 3 THEN 8000 + (doc_id % 8) * 4000
+                       ELSE 16 + doc_id % 64 END AS INT) AS width,
+             CAST(CASE WHEN doc_id % 4 = 3 THEN 1 + doc_id % 2
+                       ELSE 16 + (doc_id * 7) % 48 END AS INT) AS height
+      FROM documents)
+    SELECT format,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN width >= 32 AND height >= 32
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN width >= 32 AND height >= 32
+                         THEN CAST(width AS BIGINT) * height
+                         ELSE 0 END) AS BIGINT) AS kept_pixels,
+           CAST(MAX(width) AS INT) AS max_width
+    FROM meta
+    GROUP BY format
+    ORDER BY format
+    """,
+)
+def multimodal_resolution_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-gated corpus filter — the 'drop tiny images before the
+    expensive decode' step of a multimodal training pipeline. The REAL
+    parse_header kernel recovers geometry from genuine container headers
+    (same synthesized payloads as multimodal_meta_extract), then a
+    conditional aggregate reports keep-rates and kept-pixel volume per
+    format. The quality gate runs on header metadata ONLY — at 100 TB
+    this is the step that lets the pipeline skip full-payload decode for
+    rejected assets: one Arrow stage over headers, one tiny-key shuffle,
+    payload bytes never move."""
+    meta = multimodal_meta_extract(spark, sf_dir)
+    kept = (F.col("width") >= 32) & (F.col("height") >= 32)
+    return (
+        meta.groupBy("format")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(
+                F.when(kept, F.col("width").cast("bigint") * F.col("height")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("kept_pixels"),
+            F.max("width").cast("int").alias("max_width"),
+        )
+        .orderBy("format")
+    )

@@ -1577,3 +1577,37 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin_id")
     )
+
+
+@query(
+    "doc_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '\\b(customer|spark)\\b')) AS BIGINT) AS n_redactions,
+           md5(regexp_replace(text, '\\b(customer|spark)\\b',
+                '[REDACTED]', 'g')) AS scrub_md5,
+           CAST(length(regexp_replace(text, '\\b(customer|spark)\\b',
+                '[REDACTED]', 'g')) AS BIGINT) AS scrubbed_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist scrubbing — the PII-redaction shape of a training-data
+    pipeline (emails/phones in production; corpus terms here exercise the
+    identical plumbing): global regex replace + per-document redaction
+    count, verified end-to-end by hashing the scrubbed text (any
+    divergence in match boundaries or replacement order hash-fails).
+    Pattern is word-boundary alternation — identical semantics in Java
+    regex and RE2. Map-only: no shuffle before the presentation sort;
+    at 100 TB this runs at scan speed with zero state."""
+    d = load_table(spark, sf_dir, "documents")
+    pat = r"\b(customer|spark)\b"
+    scrubbed = F.regexp_replace(F.col("text"), pat, "[REDACTED]")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(pat)).cast("bigint").alias("n_redactions"),
+        F.md5(scrubbed.cast("binary")).alias("scrub_md5"),
+        F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
+    ).orderBy("doc_id")

@@ -103,6 +103,8 @@ _DRIVER_PRIORITY: list[str] = [
     "grouping_sets_report",            # NEW: explicit GROUPING SETS
     "events_ohlc_bars",                # NEW: daily OHLC downsample bars
     "events_ewma",                     # NEW: integer-exact truncated EWMA
+    "multimodal_resolution_filter",    # NEW: header-metadata quality gate
+    "doc_pii_scrub",                   # NEW: denylist redaction, md5-verified
     # -- headliners: keep the flagship pair inside every window ----------
     "revenue_by_nation",
     "pricing_summary",

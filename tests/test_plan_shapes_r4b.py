@@ -79,3 +79,20 @@ def test_ewma_one_user_shuffle_one_sort(spark, sf_dir):
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_pii_scrub_map_only(spark, sf_dir):
+    """Denylist scrubbing is scan-speed: no hash exchange anywhere —
+    the only exchange is the presentation sort's range partitioning."""
+    plan = _plan(spark, sf_dir, "doc_pii_scrub")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_resolution_filter_headers_only(spark, sf_dir):
+    """The metadata gate aggregates header geometry — one Arrow stage,
+    one tiny-key (format) shuffle; payload bytes never enter a shuffle."""
+    plan = _plan(spark, sf_dir, "multimodal_resolution_filter")
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
