@@ -1940,3 +1940,114 @@ def g_cypher_with(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes,
         edges,
     )
+
+
+_KCORE_ROUNDS = 8  # fixed h-index supersteps; converged long before
+_KCORE_ROUND_CTES = """
+    r1 AS (
+      SELECT a AS node, MAX(LEAST(rn, val)) AS val FROM (
+        SELECT e.a, r.val,
+               ROW_NUMBER() OVER (PARTITION BY e.a ORDER BY r.val DESC) AS rn
+        FROM sym e JOIN r0 r ON r.node = e.b)
+      GROUP BY a),
+    r2 AS (
+      SELECT a AS node, MAX(LEAST(rn, val)) AS val FROM (
+        SELECT e.a, r.val,
+               ROW_NUMBER() OVER (PARTITION BY e.a ORDER BY r.val DESC) AS rn
+        FROM sym e JOIN r1 r ON r.node = e.b)
+      GROUP BY a),
+    r3 AS (
+      SELECT a AS node, MAX(LEAST(rn, val)) AS val FROM (
+        SELECT e.a, r.val,
+               ROW_NUMBER() OVER (PARTITION BY e.a ORDER BY r.val DESC) AS rn
+        FROM sym e JOIN r2 r ON r.node = e.b)
+      GROUP BY a),
+    r4 AS (
+      SELECT a AS node, MAX(LEAST(rn, val)) AS val FROM (
+        SELECT e.a, r.val,
+               ROW_NUMBER() OVER (PARTITION BY e.a ORDER BY r.val DESC) AS rn
+        FROM sym e JOIN r3 r ON r.node = e.b)
+      GROUP BY a),
+    r5 AS (
+      SELECT a AS node, MAX(LEAST(rn, val)) AS val FROM (
+        SELECT e.a, r.val,
+               ROW_NUMBER() OVER (PARTITION BY e.a ORDER BY r.val DESC) AS rn
+        FROM sym e JOIN r4 r ON r.node = e.b)
+      GROUP BY a),
+    r6 AS (
+      SELECT a AS node, MAX(LEAST(rn, val)) AS val FROM (
+        SELECT e.a, r.val,
+               ROW_NUMBER() OVER (PARTITION BY e.a ORDER BY r.val DESC) AS rn
+        FROM sym e JOIN r5 r ON r.node = e.b)
+      GROUP BY a),
+    r7 AS (
+      SELECT a AS node, MAX(LEAST(rn, val)) AS val FROM (
+        SELECT e.a, r.val,
+               ROW_NUMBER() OVER (PARTITION BY e.a ORDER BY r.val DESC) AS rn
+        FROM sym e JOIN r6 r ON r.node = e.b)
+      GROUP BY a)"""
+
+
+@query(
+    "g_kcore",
+    oracle=f"""
+    WITH und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM (
+        SELECT src, dst FROM read_csv('{_FIX}/pre_closure_edges_v1.csv', header=true)
+        WHERE rel_type IN ('CONTAINS', 'INHERITS')
+          AND NOT (src LIKE 'zoo.%' OR src = 'zoo')
+        UNION ALL
+        SELECT src, dst FROM read_csv('{_FIX}/pre_closure_edges_v2.csv', header=true)
+        WHERE rel_type IN ('CONTAINS', 'INHERITS')
+          AND NOT (src LIKE 'zoo.%' OR src = 'zoo'))
+      WHERE src <> dst
+    ),
+    sym AS (
+      SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+    ),
+    r0 AS (
+      SELECT a AS node, COUNT(*) AS val FROM sym GROUP BY a
+    ),{_KCORE_ROUND_CTES}
+    SELECT node AS full_name, CAST(val AS INTEGER) AS core
+    FROM r7 ORDER BY full_name
+    """,
+)
+def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (coreness per node) of the undirected
+    CONTAINS+INHERITS graph — the density analytic behind graph-based
+    corpus sampling and junk-subgraph pruning. Computed by the iterative
+    H-INDEX method (Lu et al. 2016): start from degree, repeatedly replace
+    each node's value with the h-index of its neighbors' values; the
+    sequence is monotone non-increasing and converges to the core number.
+    Both engines run the SAME fixed 8 supersteps (converged long
+    before on this graph; extra rounds are fixpoint no-ops, so the fixed
+    count is bit-safe — the pagerank-oracle pattern). Semantic correctness
+    vs direct peeling is asserted in tests/test_analytics.py. Scale: each
+    superstep is one join + one window + one agg, all partitioned by the
+    SAME node key (one exchange per round); state is one int per node —
+    no global coordination, unlike the sequential peel which is inherently
+    ordered. RECOMPUTING oracle: DuckDB replays the supersteps as unrolled
+    CTEs from the committed pre-closure edge facts."""
+    _, edges, _ = _graph(spark)
+    und = (
+        edges.filter(F.col("rel_type").isin("CONTAINS", "INHERITS"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+    sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    vals = sym.groupBy("a").agg(F.count(F.lit(1)).alias("val")).withColumnRenamed("a", "node")
+    from pyspark.sql.window import Window as W
+
+    for _ in range(1, _KCORE_ROUNDS):
+        nb = sym.join(vals, sym["b"] == vals["node"]).select("a", "val")
+        rn = F.row_number().over(W.partitionBy("a").orderBy(F.col("val").desc()))
+        vals = (
+            nb.select("a", F.least(rn, F.col("val")).alias("h"))
+            .groupBy("a")
+            .agg(F.max("h").alias("val"))
+            .withColumnRenamed("a", "node")
+        )
+    return vals.select(
+        F.col("node").alias("full_name"), F.col("val").cast("int").alias("core")
+    ).orderBy("full_name")

@@ -105,6 +105,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_ewma",                     # NEW: integer-exact truncated EWMA
     "multimodal_resolution_filter",    # NEW: header-metadata quality gate
     "doc_pii_scrub",                   # NEW: denylist redaction, md5-verified
+    "g_kcore",                         # NEW: h-index coreness, unrolled oracle
     # -- headliners: keep the flagship pair inside every window ----------
     "revenue_by_nation",
     "pricing_summary",

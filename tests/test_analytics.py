@@ -59,3 +59,48 @@ def test_degree_stats(graph):
     assert d[("pkga.base.Animal", "INHERITS")] == (0, 1)
     # unsolved sentinel: CALL in-degree 1 (Puppy.whine)
     assert d[("unsolved symbol", "CALL")] == (0, 1)
+
+
+def test_kcore_matches_direct_peeling(spark, sf_dir):
+    """The fixed-superstep h-index iteration must equal the textbook
+    sequential peel (core number = largest k whose k-core contains the
+    node) — validating the convergence claim, not just cross-engine
+    agreement."""
+    from codegraphdb_spark import registry
+
+    registry.load_all()
+    got = {
+        r["full_name"]: r["core"]
+        for r in registry.QUERIES["g_kcore"](spark, sf_dir).collect()
+    }
+    # rebuild the same undirected edge set and peel in pure Python
+    from codegraphdb_spark.queries.graph import _graph
+    import pyspark.sql.functions as F
+
+    _, edges, _ = _graph(spark)
+    und = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in edges.filter(F.col("rel_type").isin("CONTAINS", "INHERITS"))
+        .select("src", "dst")
+        .collect()
+        if r["src"] != r["dst"]
+    }
+    adj: dict[str, set[str]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core = {v: len(ns) for v, ns in adj.items()}
+    live = dict(adj)
+    k = 0
+    while live:
+        k += 1
+        changed = True
+        while changed:
+            drop = [v for v, ns in live.items() if len(ns) < k]
+            changed = bool(drop)
+            for v in drop:
+                core[v] = k - 1
+                for u in live[v]:
+                    live[u].discard(v)
+                del live[v]
+    assert got == core
