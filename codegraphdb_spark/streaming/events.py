@@ -242,3 +242,38 @@ def purchase_click_stream_join(
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_gap}")),
         "inner",
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"), "p_ts", "c_ts")
+
+
+def ohlc_bars(
+    stream: DataFrame,
+    window: str = "1 day",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Watermarked OHLC downsampling bars — the streaming twin of
+    queries/events.py::events_ohlc_bars. Streaming state can't hold a
+    row_number sort, so open/close are declarative ``min_by``/``max_by``
+    with the same unique (ts, event_id) tiebreak struct; state per
+    (window × instrument) group is five scalars regardless of tick rate,
+    and the watermark expires bars once their window is past — bounded
+    state at any throughput."""
+    key = F.struct("ts", "event_id")
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            F.col("window.start").alias("bar_day"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+        )
+    )

@@ -422,3 +422,30 @@ def test_index_batch_takes_over_cli_bootstrapped_snapshot(spark, tmp_path):
     import os
 
     assert not os.path.exists(snap + ".stage")  # staged commit cleaned up
+
+
+def test_ohlc_bars_match_batch(spark, sf_dir, stream_dir):
+    """Streaming OHLC over the two-chunk replay (late data crosses the
+    boundary) equals the batch events_ohlc_bars picks exactly — open and
+    close survive out-of-order arrival because the tiebreak struct, not
+    arrival order, decides them."""
+    from codegraphdb_spark import registry
+
+    registry.load_all()
+    stream = se.read_events_stream(spark, stream_dir)
+    se.run_to_memory(
+        se.ohlc_bars(stream, watermark="365 days"), "t_ohlc", "complete"
+    )
+    got = {
+        (r["bar_day"], r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_ticks"]
+        )
+        for r in spark.sql("select * from t_ohlc").collect()
+    }
+    expected = {
+        (r["bar_day"], r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_ticks"]
+        )
+        for r in registry.QUERIES["events_ohlc_bars"](spark, sf_dir).collect()
+    }
+    assert got == expected
