@@ -18,6 +18,15 @@ Supported statements (one write clause per call):
         edge upsert keyed on (src, dst, rel_type) (B4 dedupe part);
         missing endpoints are synthesized as 'none' placeholders exactly
         like the engine does (B4, graphDB.py:133-153 parity).
+    CREATE (n:KIND {full_name: '...', prop: val, ...})
+    CREATE (a {full_name: '..'})-[:REL {props}]->(b {full_name: '..'})
+        strict insert. openCypher CREATE always makes a fresh node, but
+        this engine's node identity IS full_name (SURVEY §1.2) — a second
+        node with the same key is unrepresentable — so CREATE refuses
+        (CypherError) when the node key or the (src, dst, rel_type) edge
+        key already exists, and otherwise behaves exactly like the MERGE
+        create branch (edge endpoints are synthesized as 'none'
+        placeholders per B4). Use MERGE for upsert semantics.
     MATCH (n:KIND {props}) SET n.prop = val [, n.prop2 = val2]
         property update on matched nodes only — never creates (B2).
     MATCH (n:KIND {props}) DETACH DELETE n
@@ -73,6 +82,8 @@ def _split_assignments(s: str) -> list[str]:
             last = i + 1
     parts.append(s[last:])
     return parts
+
+_CREATE_RX = re.compile(r"(?is)^\s*CREATE\s+(?P<pattern>\(.*)\s*$")
 
 _NODE_COLS = [f.name for f in NODES_SCHEMA.fields]
 _PROP_COLS = [c for c in _NODE_COLS if c not in ("full_name", "kind", "versions")]
@@ -368,6 +379,42 @@ def run_cypher_write(
     """Execute one write statement; returns the new (nodes, edges)."""
     _PARAMS.d = params or {}
     try:
+        m = _CREATE_RX.fullmatch(query)
+        if m:
+            pattern = m.group("pattern").strip()
+            em = _EDGE_MERGE_RX.fullmatch(pattern)
+            if em:
+                _, _, a_props = _parse_single_node(em.group("a"))
+                _, _, b_props = _parse_single_node(em.group("b"))
+                e_props = _parse_props(em.group("props"))
+                src = _require_key(a_props, "CREATE (edge) left endpoint")
+                dst = _require_key(b_props, "CREATE (edge) right endpoint")
+                rel = em.group("rel")
+                exists = (
+                    edges.filter(
+                        (F.col("src") == src)
+                        & (F.col("dst") == dst)
+                        & (F.col("rel_type") == rel)
+                    )
+                    .limit(1)
+                    .count()
+                )
+                if exists:
+                    raise CypherError(
+                        f"CREATE would duplicate edge ({src!r})-[:{rel}]->"
+                        f"({dst!r}) — use MERGE for upsert"
+                    )
+                return _merge_edge(
+                    nodes, edges, a_props, rel, e_props, b_props, version
+                )
+            kind, _versions, props = _parse_single_node(pattern)
+            full_name = _require_key(props, "CREATE (node)")
+            if nodes.filter(F.col("full_name") == full_name).limit(1).count():
+                raise CypherError(
+                    f"CREATE would duplicate node identity {full_name!r} "
+                    "(full_name is the merge key) — use MERGE for upsert"
+                )
+            return _merge_node(nodes, kind, props, version), edges
         m = _MERGE_RX.fullmatch(query)
         if m is None:
             # edge MERGE patterns contain ')' mid-pattern — retry greedily
@@ -444,8 +491,8 @@ def run_cypher_write(
                 nodes, edges, kind, versions, props, bool(m.group("detach"))
             )
         raise CypherError(
-            "unsupported write statement (expected MERGE node/edge, "
-            "MATCH..SET, or MATCH..[DETACH] DELETE)"
+            "unsupported write statement (expected CREATE or MERGE "
+            "node/edge, MATCH..SET, or MATCH..[DETACH] DELETE)"
         )
     finally:
         _PARAMS.d = None

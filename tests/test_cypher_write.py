@@ -202,7 +202,9 @@ def test_set_with_params_and_errors(spark):
     with pytest.raises(CypherError):
         run_cypher_write("MERGE (n {name: 'no-key'})", nodes, edges)
     with pytest.raises(CypherError):
-        run_cypher_write("CREATE (n {full_name: 'x'})", nodes, edges)
+        # REMOVE stays outside the write subset
+        run_cypher_write("MATCH (n {full_name: 'm.C'}) REMOVE n.signature",
+                         nodes, edges)
 
 
 def test_kind_property_refused(spark):
@@ -266,3 +268,58 @@ def test_merge_pattern_with_parens_in_quoted_value(spark):
     row = n1.filter(F.col("full_name") == "m.g").collect()[0]
     assert row["signature"] == "def g(x):"
     assert row["code_start"] == 7
+
+
+def test_create_node_strict_insert(spark):
+    nodes, edges = _snapshot(spark)
+    n2, e2 = run_cypher_write(
+        "CREATE (n:FUNCTION {full_name: 'm.fresh', file_path: 'm.py'})",
+        nodes,
+        edges,
+        version="v2",
+    )
+    row = n2.filter(F.col("full_name") == "m.fresh").collect()[0]
+    assert row["kind"] == "FUNCTION"
+    assert row["name"] == "fresh"
+    assert row["versions"] == ["v2"]
+    assert n2.count() == nodes.count() + 1
+    assert _rows(e2) == _rows(edges)
+
+
+def test_create_refuses_duplicate_node_identity(spark):
+    nodes, edges = _snapshot(spark)
+    with pytest.raises(CypherError, match="duplicate node identity"):
+        run_cypher_write(
+            "CREATE (n:CLASS {full_name: 'm.C'})", nodes, edges, version="v2"
+        )
+
+
+def test_create_edge_synthesizes_endpoint_and_refuses_duplicate(spark):
+    nodes, edges = _snapshot(spark)
+    n2, e2 = run_cypher_write(
+        "CREATE (a {full_name: 'm.C.f'})-[:CALL]->(b {full_name: 'ext.fn'})",
+        nodes,
+        edges,
+        version="v2",
+    )
+    assert e2.filter(
+        (F.col("src") == "m.C.f") & (F.col("dst") == "ext.fn")
+        & (F.col("rel_type") == "CALL")
+    ).count() == 1
+    # B4 placeholder synthesis for the unknown endpoint
+    ghost = n2.filter(F.col("full_name") == "ext.fn").collect()[0]
+    assert ghost["kind"] == "none"
+    with pytest.raises(CypherError, match="duplicate edge"):
+        run_cypher_write(
+            "CREATE (a {full_name: 'm.C'})-[:CONTAINS]->(b {full_name: 'm.C.f'})"
+            .replace("CONTAINS", "HAS_METHOD"),
+            nodes,
+            edges,
+            version="v2",
+        )
+
+
+def test_create_requires_full_name(spark):
+    nodes, edges = _snapshot(spark)
+    with pytest.raises(CypherError, match="full_name"):
+        run_cypher_write("CREATE (n:CLASS {name: 'X'})", nodes, edges)
