@@ -327,9 +327,12 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_DF_CAP = 256
 
 
-def _jaccard_pairs_uncached(
+def _pair_overlap(
     spark: SparkSession, sf_dir: str, df_cap: int = NGRAM_DF_CAP
 ) -> DataFrame:
+    """(doc_a, doc_b, nsh_a, nsh_b, n_common) for every document pair with
+    at least one shared (df-capped) shingle — the inverted-index join all
+    set-overlap measures (Jaccard, containment) project from."""
     import hashlib
 
     import pandas as pd
@@ -379,7 +382,7 @@ def _jaccard_pairs_uncached(
         "nsh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
     a, b = inv.alias("a"), inv.alias("b")
-    common = (
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
@@ -389,6 +392,12 @@ def _jaccard_pairs_uncached(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+
+
+def _jaccard_pairs_uncached(
+    spark: SparkSession, sf_dir: str, df_cap: int = NGRAM_DF_CAP
+) -> DataFrame:
+    common = _pair_overlap(spark, sf_dir, df_cap)
     jac = F.col("n_common").cast("double") / (
         F.col("nsh_a") + F.col("nsh_b") - F.col("n_common")
     )
@@ -1611,3 +1620,58 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(scrubbed.cast("binary")).alias("scrub_md5"),
         F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
     ).orderBy("doc_id")
+
+
+@query(
+    "doc_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform({SQL_SHINGLES},
+                           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS shs
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, len(shs) AS nsh FROM sh
+    ), inv AS (
+      SELECT doc_id, UNNEST(shs) AS shingle FROM sh
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           CAST(c.n_common AS DOUBLE) / sa.nsh AS cont_a,
+           CAST(c.n_common AS DOUBLE) / sb.nsh AS cont_b
+    FROM common c
+    JOIN sizes sa ON c.doc_a = sa.doc_id
+    JOIN sizes sb ON c.doc_b = sb.doc_id
+    WHERE c.n_common * 2 >= sa.nsh OR c.n_common * 2 >= sb.nsh
+    ORDER BY doc_a, doc_b
+    """,
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT (|A∩B| / |A|) — catches the
+    subset/superset duplication Jaccard misses: a paragraph fully quoted
+    inside a much longer document has containment ≈ 1 but Jaccard ≈ 0,
+    so a Jaccard-only near-dedup keeps both copies of the quoted text.
+    Same df-capped inverted-index join as ngram_jaccard_pairs (candidate
+    generation is bucketed, never all-pairs); the ≥½ keep-filter compares
+    in INTEGER arithmetic (2·n_common ≥ |set|), so the cut is immune to
+    float-boundary divergence; the reported ratios are single exact int/int
+    divisions."""
+    common = _pair_overlap(spark, sf_dir)
+    keep = (F.col("n_common") * 2 >= F.col("nsh_a")) | (
+        F.col("n_common") * 2 >= F.col("nsh_b")
+    )
+    return (
+        common.filter(keep)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (F.col("n_common").cast("double") / F.col("nsh_a")).alias("cont_a"),
+            (F.col("n_common").cast("double") / F.col("nsh_b")).alias("cont_b"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

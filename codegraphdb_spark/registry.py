@@ -49,15 +49,26 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # covers ALL queries regardless — the rotation only governs the driver's
 # independent record.
 _DRIVER_PRIORITY: list[str] = [
-    # -- round 4: new or behavior-adjacent to this round's changes -------
+    # -- round 4, THIS session: newest, least-driver-validated first -----
+    "exists_late_shipment_orders",     # NEW: correlated EXISTS → semi join
+    "subquery_small_quantity_revenue",  # NEW: Q17-shape avg threshold
+    "scalar_subquery_rich_inactive",   # NEW: scalar subquery + anti join
+    "grouping_sets_report",            # NEW: explicit GROUPING SETS
+    "events_ohlc_bars",                # NEW: daily OHLC downsample bars
+    "events_ewma",                     # NEW: integer-exact truncated EWMA
+    "multimodal_resolution_filter",    # NEW: header-metadata quality gate
+    "doc_pii_scrub",                   # NEW: denylist redaction, md5-verified
+    "g_kcore",                         # NEW: h-index coreness, unrolled oracle
+    "doc_containment_pairs",           # NEW: asymmetric subset/superset dedup
+    "ngram_jaccard_pairs",             # behavior-adjacent: shared _pair_overlap refactor
+    "doc_dup_clusters",                # behavior-adjacent: same refactored pair source
+    "doc_dedup_keep_best",             # behavior-adjacent: same refactored pair source
+    "g_cypher_write_roundtrip",        # behavior-adjacent: CREATE added to write dispatch
+    # -- round 4, earlier sessions: new or behavior-adjacent -------------
     "g_bucketed_children",     # NEW: C4 on the bucketed snapshot layout
     "g_cypher_unwind_params",  # NEW: UNWIND + $params + =~ regex
     "g_cypher_shortest",       # NEW: shortestPath() + length(p)
-    "doc_dedup_keep_best",     # NEW: survivor selection per dup cluster
-    "doc_stratified_sample",   # NEW: exact per-stratum quota sampling
-    "events_pivot_daily",      # NEW: explicit-value-list pivot cross-tab
     "emb_whiten",              # NEW: bit-exact whitening apply
-    "g_triangle_count",        # NEW: recomputing-oracle triangle analytic
     "g_call_edges_deep",       # new goldens: alias bindings + non-__init__ field ctor
     "g_call_edges",            # resolver change (bare-name bind keys) touches all refs
     "g_uses_edges",            # same resolver surface
@@ -68,20 +79,12 @@ _DRIVER_PRIORITY: list[str] = [
     "g_cypher_varlen",         # relationship-uniqueness var-length change
     "g_cypher_match",          # compiler changed (params/regex/product guard)
     "g_cypher_extended",
-    "g_cypher_optional",
-    "g_cypher_with",
-    "g_cypher_grouped",
-    "g_cypher_exists_skip",
     "g_cypher_code",           # oracle REPLACED: code render recomputation
     "g_code_hydration",        # oracle REPLACED: slice+dedent recomputation
     "g_pagerank_top",          # oracle REPLACED: unrolled superstep replay
     "g_degree_centrality",     # oracle REPLACED: closure-degree recomputation
     "g_override_edges",        # oracle REPLACED: name-join over closure
-    "g_point_lookup",          # oracle REPLACED: merge-window recomputation
-    "g_filter_kind_name",      # oracle REPLACED: merge-window recomputation
-    "g_module_children",       # oracle REPLACED: edge-fact recomputation
     "approx_distinct_kmv",     # NEW: oracle-checked KMV sketch
-    "approx_distinct_kmv_by_flag",  # NEW: grouped KMV sketch
     "emb_ivfpq_topk",          # NEW: fifth ANN tier (residual PQ / ADC)
     "g_cypher_path",           # NEW: fixed-chain path projection
     "g_cypher_unwind_prop",    # NEW: UNWIND over array node property
@@ -95,20 +98,28 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_knn_classify",        # NEW: kNN majority-label weak supervision
     "doc_semantic_dedup",      # NEW: SemDeDup keep-best over emb clusters
     "emb_recall_at_k",         # NEW: in-engine ANN recall metric
-    "g_cypher_write_roundtrip",  # NEW: MERGE/ON-branch writes under hash gate
     "events_markov_transitions",  # NEW: integer-scaled transition matrix
-    "exists_late_shipment_orders",     # NEW: correlated EXISTS → semi join
-    "subquery_small_quantity_revenue",  # NEW: Q17-shape avg threshold
-    "scalar_subquery_rich_inactive",   # NEW: scalar subquery + anti join
-    "grouping_sets_report",            # NEW: explicit GROUPING SETS
-    "events_ohlc_bars",                # NEW: daily OHLC downsample bars
-    "events_ewma",                     # NEW: integer-exact truncated EWMA
-    "multimodal_resolution_filter",    # NEW: header-metadata quality gate
-    "doc_pii_scrub",                   # NEW: denylist redaction, md5-verified
-    "g_kcore",                         # NEW: h-index coreness, unrolled oracle
     # -- headliners: keep the flagship pair inside every window ----------
     "revenue_by_nation",
     "pricing_summary",
+    # ======================= 50-query window boundary ===================
+    # Spilled past the window this round (all green in the full local
+    # sweep at three SFs; lowest re-check risk: trivial point/filter
+    # shapes whose replaced oracles verified locally, one of two
+    # shared-fragment KMV variants, Cypher read shapes structurally
+    # identical to in-window siblings, and r4-early entries already
+    # locally green at all SFs):
+    "events_pivot_daily",      # r4-early NEW; single-table pivot, local green
+    "doc_stratified_sample",   # r4-early NEW; single-window quota sample
+    "g_triangle_count",        # r4-early NEW; recomputing oracle, local green
+    "approx_distinct_kmv_by_flag",  # shares SQL fragments with in-window KMV
+    "g_cypher_optional",       # same compiler surface as in-window match/extended
+    "g_cypher_with",
+    "g_cypher_grouped",
+    "g_cypher_exists_skip",
+    "g_point_lookup",          # trivial C1 shape, recomputing oracle local green
+    "g_filter_kind_name",      # trivial C2 shape
+    "g_module_children",       # trivial C4 shape
     "g_reexport_contains",     # fixture rebuilt with the extended zoo side
     "g_kind_census",           # same build; census values must hold
     "g_inherits_edges",

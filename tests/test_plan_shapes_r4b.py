@@ -96,3 +96,12 @@ def test_resolution_filter_headers_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "multimodal_resolution_filter")
     assert plan.count("MapInPandas") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_containment_pairs_inverted_index_never_cross(spark, sf_dir):
+    """Containment pairs come from the same df-capped inverted-index join
+    as Jaccard — a shared-shingle equi-join, never a document cross
+    product; the keep-cut is integer arithmetic inside the same stage."""
+    plan = _plan(spark, sf_dir, "doc_containment_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
