@@ -838,3 +838,160 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("ewma"),
     ).orderBy("event_id")
+
+
+@query(
+    "events_salted_type_stats",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {SQL_DSUM_V} AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over MAXIMALLY skewed keys (five event types over the
+    whole corpus — every key is hot) through operators/skew.py::
+    salted_aggregate: phase 1 groups on (key, content-derived salt) so
+    each hot key's partials spread over 16 reducers, phase 2 merges the
+    tiny (key × salt) table. Same result as plain groupBy — the oracle IS
+    the plain GROUP BY — but no single reducer ever sees a whole hot key,
+    which is the difference between a straggler and a flat stage profile
+    at 100 TB. All aggregates are algebraic (count/scaled-int-sum/min/max
+    re-merge exactly), so the two-phase split cannot change the answer."""
+    from codegraphdb_spark.operators.skew import salted_aggregate
+
+    e = load_table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        e.select("event_type", "value"),
+        ["event_type"],
+        partial_aggs={
+            "n_events": F.count(F.lit(1)),
+            "sv": F.sum(F.round(F.col("value") * 1000000).cast("bigint")),
+            "min_value": F.min("value"),
+            "max_value": F.max("value"),
+        },
+        merge_aggs={
+            "n_events": F.sum("n_events").cast("bigint"),
+            "sv": F.sum("sv"),
+            "min_value": F.min("min_value"),
+            "max_value": F.max("max_value"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        (F.col("sv").cast("double") / 1000000).cast("double").alias("total_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("event_type")
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS sv,
+             epoch_ms(ts) AS ms,
+             LEAD(epoch_ms(ts)) OVER (
+               PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts, event_id) AS next_ms
+      FROM events)
+    SELECT user_id, day,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(CAST(SUM(sv * (next_ms - ms)) AS DOUBLE)
+                / CAST(SUM(next_ms - ms) AS DOUBLE) / 100.0 AS DOUBLE) AS twa
+    FROM seq
+    WHERE next_ms IS NOT NULL
+    GROUP BY user_id, day
+    HAVING SUM(next_ms - ms) > 0
+    ORDER BY user_id, day
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over IRREGULAR samples (the timescale
+    `time_weight` shape): each reading is weighted by how long it was the
+    latest value (left-Riemann over intra-day gaps; the day's last reading
+    carries no interval). Exact cross-engine: 2-dp values scale to ints,
+    weights are epoch-millisecond deltas, num/den are int64 sums
+    (49002 × 86.4e6 ms × events/day ≪ 2⁶³) and the two divisions are
+    single exactly-rounded IEEE ops. ONE shuffle on (user, day): the
+    LEAD window and the aggregate share the partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        day.alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("sv"),
+        F.unix_millis("ts").alias("ms"),
+        "ts",
+        "event_id",
+    ).withColumn("next_ms", F.lead("ms").over(w))
+    dt = F.col("next_ms") - F.col("ms")
+    return (
+        seq.filter(F.col("next_ms").isNotNull())
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum(F.col("sv") * dt).alias("num"),
+            F.sum(dt).alias("den"),
+        )
+        .filter(F.col("den") > 0)
+        .select(
+            "user_id",
+            "day",
+            "n_intervals",
+            (F.col("num").cast("double") / F.col("den").cast("double") / F.lit(100.0))
+            .cast("double")
+            .alias("twa"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+@query(
+    "events_rollup_two_level",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {SQL_DSUM_V} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate reuse (the hypertable rollup pattern): DAILY
+    bars computed FROM HOURLY partials instead of raw ticks — counts and
+    scaled-int sums re-aggregate exactly, so the two-level result is
+    bit-identical to the direct daily aggregate (which is what the oracle
+    computes). At 100 TB this is the difference between re-scanning the
+    tick firehose for every coarser resolution and folding 24 hourly rows
+    per day: materialize the finest rollup once, derive every coarser one
+    from it. The scaled sum stays an INTEGER through the partial level —
+    dividing only at the end is what makes re-aggregation lossless."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 1000000).cast("bigint")).alias("sv"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("hour")).alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            (F.sum("sv").cast("double") / 1000000).cast("double").alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )

@@ -64,6 +64,9 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_dup_clusters",                # behavior-adjacent: same refactored pair source
     "doc_dedup_keep_best",             # behavior-adjacent: same refactored pair source
     "g_cypher_write_roundtrip",        # behavior-adjacent: CREATE added to write dispatch
+    "events_salted_type_stats",        # NEW: two-phase salted hot-key agg
+    "events_time_weighted_avg",        # NEW: integer-exact irregular TWA
+    "events_rollup_two_level",         # NEW: continuous-aggregate reuse
     # -- round 4, earlier sessions: new or behavior-adjacent -------------
     "g_bucketed_children",     # NEW: C4 on the bucketed snapshot layout
     "g_cypher_unwind_params",  # NEW: UNWIND + $params + =~ regex
@@ -78,11 +81,8 @@ _DRIVER_PRIORITY: list[str] = [
     "g_inherit_components",    # oracle REPLACED: recursive components
     "g_cypher_varlen",         # relationship-uniqueness var-length change
     "g_cypher_match",          # compiler changed (params/regex/product guard)
-    "g_cypher_extended",
     "g_cypher_code",           # oracle REPLACED: code render recomputation
-    "g_code_hydration",        # oracle REPLACED: slice+dedent recomputation
     "g_pagerank_top",          # oracle REPLACED: unrolled superstep replay
-    "g_degree_centrality",     # oracle REPLACED: closure-degree recomputation
     "g_override_edges",        # oracle REPLACED: name-join over closure
     "approx_distinct_kmv",     # NEW: oracle-checked KMV sketch
     "emb_ivfpq_topk",          # NEW: fifth ANN tier (residual PQ / ADC)
@@ -109,6 +109,9 @@ _DRIVER_PRIORITY: list[str] = [
     # shared-fragment KMV variants, Cypher read shapes structurally
     # identical to in-window siblings, and r4-early entries already
     # locally green at all SFs):
+    "g_cypher_extended",       # sibling of in-window g_cypher_match
+    "g_code_hydration",        # sibling render of in-window g_cypher_code
+    "g_degree_centrality",     # sibling analytic of in-window g_pagerank_top
     "events_pivot_daily",      # r4-early NEW; single-table pivot, local green
     "doc_stratified_sample",   # r4-early NEW; single-window quota sample
     "g_triangle_count",        # r4-early NEW; recomputing oracle, local green

@@ -105,3 +105,29 @@ def test_containment_pairs_inverted_index_never_cross(spark, sf_dir):
     plan = _plan(spark, sf_dir, "doc_containment_pairs")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_salted_agg_two_phase_visible_in_plan(spark, sf_dir):
+    """Skew salting is structural: phase 1 groups on (key, __salt) —
+    the salt column appears in the first aggregate's grouping — and the
+    merge phase re-exchanges on the key alone: exactly two hash
+    exchanges, one scan."""
+    plan = _plan(spark, sf_dir, "events_salted_type_stats")
+    assert "__salt" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_twa_window_and_agg_share_partitioning(spark, sf_dir):
+    """The LEAD window and the (user, day) aggregate ride ONE exchange."""
+    plan = _plan(spark, sf_dir, "events_time_weighted_avg")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_two_level_rollup_reaggregates_partials(spark, sf_dir):
+    """Daily bars fold hourly partials: two aggregate levels, two hash
+    exchanges, single scan of the tick table."""
+    plan = _plan(spark, sf_dir, "events_rollup_two_level")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Scan parquet") == 1, plan
