@@ -35,6 +35,9 @@ queries run verbatim:
         WHERE m.name = 'fetch' } RETURN c.name           -- EXISTS subquery
     MATCH (c:CLASS)-[:HAS_METHOD]->(m) RETURN count(DISTINCT m.name),
         CASE WHEN c.name = 'Animal' THEN 'root' ELSE 'derived' END AS tier
+    MATCH (n:METHOD) RETURN toUpper(n.name), size(n.versions),
+        coalesce(n.file_path, '<none>'), substring(n.full_name, 0, 4),
+        replace(n.name, 'o', '0')          -- scalar string/list functions
 
 Label semantics mirror the reference: a label that is a known KIND filters
 ``kind``; any other label is a version tag and filters
@@ -1056,6 +1059,90 @@ def _case_col(raw_item: str, binds, plain):
     return col.alias(cm.group("alias") or "case")
 
 
+_SCALAR_FNS = ("coalesce", "size", "toupper", "tolower", "substring",
+               "replace", "trim")
+_SCALAR_FN_RX = re.compile(
+    r"(?is)^\s*(?P<fn>" + "|".join(_SCALAR_FNS) + r")\s*\((?P<args>.*)\)"
+    r"\s*(?:AS\s+(?P<alias>\w+))?\s*$"
+)
+
+
+def _scalar_fn_col(raw_item: str, binds, plain, df):
+    """Scalar-function RETURN item → aliased Column, or None if the item
+    is not one. openCypher string/list scalars: ``coalesce(a, b, ...)``,
+    ``size(x)`` (list length on array properties, character length on
+    strings — resolved from the column's actual type), ``toUpper(s)`` /
+    ``toLower(s)`` / ``trim(s)``, ``substring(s, start[, len])``
+    (0-based start per Cypher), ``replace(s, search, repl)`` (literal,
+    not regex). Arguments are var.prop / WITH-UNWIND bare columns /
+    literals — not nested calls (documented bound; the spark.sql escape
+    hatch covers arbitrary expression trees)."""
+    fm = _SCALAR_FN_RX.match(raw_item)
+    if fm is None:
+        return None
+    fn = fm.group("fn").lower()
+    raw_args = [a for a in _split_items(fm.group("args")) if a.strip()]
+    if not raw_args:
+        raise CypherError(f"{fn}() needs at least one argument")
+
+    first = raw_args[0].strip()
+    vm = re.fullmatch(r"(?P<var>\w+)\.(?P<prop>\w+)", first)
+    default_alias = (
+        f"{fn}_{vm.group('var')}_{vm.group('prop')}" if vm else fn
+    )
+    alias = fm.group("alias") or default_alias
+
+    if fn == "coalesce":
+        cols = [_value_col(a, binds, plain) for a in raw_args]
+        return F.coalesce(*cols).alias(alias)
+    col = _value_col(first, binds, plain)
+    if fn == "size":
+        if len(raw_args) != 1:
+            raise CypherError("size() takes exactly one argument")
+        # list vs string size from the bound column's real type
+        from pyspark.sql.types import ArrayType
+
+        name = None
+        if vm and vm.group("var") in binds:
+            name = f"{binds[vm.group('var')]}__{vm.group('prop')}"
+        elif first in plain:
+            name = first
+        is_array = name is not None and isinstance(
+            df.schema[name].dataType, ArrayType
+        )
+        sized = F.size(col) if is_array else F.length(col)
+        return sized.cast("int").alias(alias)
+    if fn in ("toupper", "tolower", "trim"):
+        if len(raw_args) != 1:
+            raise CypherError(f"{fn}() takes exactly one argument")
+        return {
+            "toupper": F.upper, "tolower": F.lower, "trim": F.trim
+        }[fn](col).alias(alias)
+    if fn == "substring":
+        if len(raw_args) not in (2, 3):
+            raise CypherError("substring() takes (s, start[, length])")
+        start = _literal(raw_args[1])
+        if not isinstance(start, int) or start < 0:
+            raise CypherError("substring() start must be a non-negative int")
+        if len(raw_args) == 3:
+            length = _literal(raw_args[2])
+            if not isinstance(length, int) or length < 0:
+                raise CypherError("substring() length must be a non-negative int")
+        else:
+            length = 2_147_483_647 - (start + 1)  # to end of string
+        # Cypher substring is 0-based; Spark's is 1-based
+        return F.substring(col, start + 1, length).alias(alias)
+    if fn == "replace":
+        if len(raw_args) != 3:
+            raise CypherError("replace() takes (s, search, replacement)")
+        search = _literal(raw_args[1])
+        repl = _literal(raw_args[2])
+        if not isinstance(search, str) or not isinstance(repl, str):
+            raise CypherError("replace() search/replacement must be strings")
+        return F.replace(col, F.lit(search), F.lit(repl)).alias(alias)
+    raise CypherError(f"unsupported scalar function {fn!r}")  # unreachable
+
+
 def run_cypher(
     cypher: str,
     nodes: DataFrame,
@@ -1185,6 +1272,10 @@ def _run_cypher_inner(
         case = _case_col(raw_item, binds, plain)
         if case is not None:
             cols.append(case)
+            continue
+        fn_col = _scalar_fn_col(raw_item, binds, plain, df)
+        if fn_col is not None:
+            cols.append(fn_col)
             continue
         it = _ITEM.match(raw_item)
         if not it:

@@ -2051,3 +2051,44 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vals.select(
         F.col("node").alias("full_name"), F.col("val").cast("int").alias("core")
     ).orderBy("full_name")
+
+
+@query(
+    "g_cypher_scalar_fns",
+    oracle=f"""
+    WITH {_merged_nodes_sql()}
+    SELECT name,
+           upper(name) AS uname,
+           CAST(len(string_split(versions, ',')) AS INTEGER) AS n_versions,
+           coalesce(file_path, '<none>') AS fp,
+           substr(full_name, 1, 4) AS prefix,
+           replace(name, 'o', '0') AS leet
+    FROM merged
+    WHERE kind = 'METHOD' AND full_name LIKE 'pkgb.dog.%'
+    ORDER BY name
+    """,
+)
+def g_cypher_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 extension: openCypher scalar string/list functions in RETURN —
+    toUpper, size() (list length on the versions ARRAY, resolved from the
+    column's real type), coalesce, 0-based substring, literal replace.
+    All compile to JVM-side built-ins (upper/size/coalesce/substring/
+    replace) — no Python in the plan, so the projection rides the scan.
+
+    RECOMPUTING oracle: DuckDB re-derives the merge window and applies
+    the same functions; size(versions) must equal the version-membership
+    count the merge recomputation produces."""
+    from codegraphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges, _ = _graph(spark)
+    return run_cypher(
+        "MATCH (n:METHOD) WHERE n.full_name STARTS WITH 'pkgb.dog.' "
+        "RETURN n.name AS name, toUpper(n.name) AS uname, "
+        "size(n.versions) AS n_versions, "
+        "coalesce(n.file_path, '<none>') AS fp, "
+        "substring(n.full_name, 0, 4) AS prefix, "
+        "replace(n.name, 'o', '0') AS leet "
+        "ORDER BY name",
+        nodes,
+        edges,
+    )

@@ -975,3 +975,44 @@ def test_count_and_collect_distinct(graph):
     r = out[0]
     assert r["n_all"] > r["n_uniq"]
     assert sorted(set(r["names"])) == sorted(r["names"])  # deduped, sorted
+
+
+def test_scalar_functions(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS {name: 'Dog'}) "
+        "RETURN c.name AS n, toUpper(c.name) AS up, toLower(c.name) AS lo, "
+        "size(c.versions) AS nv, size(c.name) AS slen, "
+        "coalesce(c.signature, 'none') AS sig, "
+        "substring(c.full_name, 0, 4) AS pre4, "
+        "substring(c.full_name, 5) AS rest, "
+        "replace(c.name, 'o', '0') AS leet, trim(c.name) AS t",
+        nodes,
+        edges,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["up"] == "DOG" and r["lo"] == "dog"
+    assert r["nv"] == 1          # array property → list size
+    assert r["slen"] == 3        # string property → char length
+    assert r["pre4"] == "pkgb"   # 0-based start, Cypher semantics
+    assert r["rest"] == "dog.Dog"
+    assert r["leet"] == "D0g"
+    assert r["t"] == "Dog"
+    assert r["sig"].startswith("class Dog")
+
+
+def test_scalar_function_errors(graph):
+    nodes, edges = graph
+    with pytest.raises(CypherError, match="start must be"):
+        run_cypher(
+            "MATCH (c:CLASS) RETURN substring(c.name, -1, 2)", nodes, edges
+        )
+    with pytest.raises(CypherError, match="exactly one"):
+        run_cypher("MATCH (c:CLASS) RETURN size(c.name, c.name)", nodes, edges)
+    with pytest.raises(CypherError):
+        # nested calls are outside the subset — must refuse, not mis-parse
+        run_cypher(
+            "MATCH (c:CLASS) RETURN toUpper(substring(c.name, 0, 2))",
+            nodes, edges,
+        )
