@@ -327,7 +327,26 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_DF_CAP = 256
 
 
-def _pair_overlap(
+_OVERLAP_CACHE: dict[tuple[object, str], DataFrame] = {}
+
+
+def _pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (doc_a, doc_b, nsh_a, nsh_b, n_common) — the
+    inverted-index join is the expensive intermediate every set-overlap
+    measure (Jaccard, containment) projects from; computing it once per
+    (session, sf_dir) is exactly what a production dedup pipeline does."""
+    key = (spark, sf_dir)
+    if key not in _OVERLAP_CACHE:
+        from codegraphdb_spark.queries.graph import _evict_old
+
+        _OVERLAP_CACHE[key] = _pair_overlap_uncached(spark, sf_dir).localCheckpoint(
+            eager=False
+        )
+        _evict_old(_OVERLAP_CACHE, keep=6)
+    return _OVERLAP_CACHE[key]
+
+
+def _pair_overlap_uncached(
     spark: SparkSession, sf_dir: str, df_cap: int = NGRAM_DF_CAP
 ) -> DataFrame:
     """(doc_a, doc_b, nsh_a, nsh_b, n_common) for every document pair with
@@ -397,7 +416,11 @@ def _pair_overlap(
 def _jaccard_pairs_uncached(
     spark: SparkSession, sf_dir: str, df_cap: int = NGRAM_DF_CAP
 ) -> DataFrame:
-    common = _pair_overlap(spark, sf_dir, df_cap)
+    common = (
+        _pair_overlap(spark, sf_dir)
+        if df_cap == NGRAM_DF_CAP
+        else _pair_overlap_uncached(spark, sf_dir, df_cap)
+    )
     jac = F.col("n_common").cast("double") / (
         F.col("nsh_a") + F.col("nsh_b") - F.col("n_common")
     )

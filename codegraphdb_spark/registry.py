@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_salted_type_stats",        # NEW: two-phase salted hot-key agg
     "events_time_weighted_avg",        # NEW: integer-exact irregular TWA
     "events_rollup_two_level",         # NEW: continuous-aggregate reuse
+    "g_cypher_scalar_fns",             # NEW: scalar string/list functions
     # -- round 4, earlier sessions: new or behavior-adjacent -------------
     "g_bucketed_children",     # NEW: C4 on the bucketed snapshot layout
     "g_cypher_unwind_params",  # NEW: UNWIND + $params + =~ regex
@@ -87,7 +88,6 @@ _DRIVER_PRIORITY: list[str] = [
     "approx_distinct_kmv",     # NEW: oracle-checked KMV sketch
     "emb_ivfpq_topk",          # NEW: fifth ANN tier (residual PQ / ADC)
     "g_cypher_path",           # NEW: fixed-chain path projection
-    "g_cypher_unwind_prop",    # NEW: UNWIND over array node property
     "simhash_near_dup_pairs",  # NEW: banded 60-bit simhash candidate pairs
     "g_cypher_pattern_pred",   # NEW: WHERE pattern predicates (semi/anti)
     "doc_bigram_lm_quality",   # NEW: corpus bigram-MLE quality (int-scaled)
@@ -109,6 +109,7 @@ _DRIVER_PRIORITY: list[str] = [
     # shared-fragment KMV variants, Cypher read shapes structurally
     # identical to in-window siblings, and r4-early entries already
     # locally green at all SFs):
+    "g_cypher_unwind_prop",    # sibling of in-window unwind_params
     "g_cypher_extended",       # sibling of in-window g_cypher_match
     "g_code_hydration",        # sibling render of in-window g_cypher_code
     "g_degree_centrality",     # sibling analytic of in-window g_pagerank_top
