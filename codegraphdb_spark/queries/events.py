@@ -995,3 +995,60 @@ def events_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "events_hourly_full_outer",
+    oracle="""
+    WITH p AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    e AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'error' GROUP BY 1)
+    SELECT coalesce(p.h, e.h) AS hour,
+           p.n AS n_purchases,
+           e.n AS n_errors,
+           CAST(coalesce(p.n, 0) - coalesce(e.n, 0) AS BIGINT) AS purchase_surplus
+    FROM p FULL OUTER JOIN e ON p.h = e.h
+    ORDER BY hour
+    """,
+)
+def events_hourly_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one join type §2.G's inner/left/semi/anti rows
+    didn't cover): hourly purchase vs error counts, keeping hours where
+    either side is absent — sparse-series alignment, the co-analysis shape
+    reporting stacks hit constantly. NULL counts stay NULL (absence ≠
+    zero) while the surplus coalesces explicitly. Both inputs aggregate
+    BEFORE the join, so the full-outer matches tiny per-hour partials,
+    not raw events; the two aggregates and the join all hash on the same
+    hour key."""
+    e = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(hour.alias("h_p"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+    )
+    er = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(hour.alias("h_e"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_errors"))
+    )
+    return (
+        p.join(er, F.col("h_p") == F.col("h_e"), "full_outer")
+        .select(
+            F.coalesce("h_p", "h_e").alias("hour"),
+            "n_purchases",
+            "n_errors",
+            (
+                F.coalesce("n_purchases", F.lit(0))
+                - F.coalesce("n_errors", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("purchase_surplus"),
+        )
+        .orderBy("hour")
+    )

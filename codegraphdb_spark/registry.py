@@ -68,6 +68,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_time_weighted_avg",        # NEW: integer-exact irregular TWA
     "events_rollup_two_level",         # NEW: continuous-aggregate reuse
     "g_cypher_scalar_fns",             # NEW: scalar string/list functions
+    "events_hourly_full_outer",        # NEW: full-outer sparse alignment
     # -- round 4, earlier sessions: new or behavior-adjacent -------------
     "g_bucketed_children",     # NEW: C4 on the bucketed snapshot layout
     "g_cypher_unwind_params",  # NEW: UNWIND + $params + =~ regex
@@ -87,7 +88,6 @@ _DRIVER_PRIORITY: list[str] = [
     "g_override_edges",        # oracle REPLACED: name-join over closure
     "approx_distinct_kmv",     # NEW: oracle-checked KMV sketch
     "emb_ivfpq_topk",          # NEW: fifth ANN tier (residual PQ / ADC)
-    "g_cypher_path",           # NEW: fixed-chain path projection
     "simhash_near_dup_pairs",  # NEW: banded 60-bit simhash candidate pairs
     "g_cypher_pattern_pred",   # NEW: WHERE pattern predicates (semi/anti)
     "doc_bigram_lm_quality",   # NEW: corpus bigram-MLE quality (int-scaled)
@@ -109,6 +109,7 @@ _DRIVER_PRIORITY: list[str] = [
     # shared-fragment KMV variants, Cypher read shapes structurally
     # identical to in-window siblings, and r4-early entries already
     # locally green at all SFs):
+    "g_cypher_path",           # shares chain machinery with in-window shortest
     "g_cypher_unwind_prop",    # sibling of in-window unwind_params
     "g_cypher_extended",       # sibling of in-window g_cypher_match
     "g_code_hydration",        # sibling render of in-window g_cypher_code
