@@ -1698,3 +1698,92 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "doc_minhash_jaccard_est",
+    oracle=f"""
+    WITH osh AS (
+      SELECT doc_id,
+             list_distinct(list_transform({SQL_SHINGLES},
+                           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS shs
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, len(shs) AS nsh FROM osh
+    ), inv AS (
+      SELECT doc_id, UNNEST(shs) AS shingle FROM osh
+    ), commonx AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), msh AS (
+      SELECT doc_id,
+             list_transform(list_distinct({SQL_SHINGLES}), s -> {_sql_h28('s')}) AS shs_h
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id, {_sql_minhash_sig()} AS sig FROM msh
+    ), bands AS (
+      SELECT doc_id, sig, b.band_idx,
+             sig[b.band_idx * 4 + 1] || ':' || sig[b.band_idx * 4 + 2] || ':' ||
+             sig[b.band_idx * 4 + 3] || ':' || sig[b.band_idx * 4 + 4] AS band_key
+      FROM sigs, (SELECT UNNEST(generate_series(0, {LSH_BANDS - 1})) AS band_idx) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), est AS (
+      SELECT doc_a, doc_b,
+             CAST({' + '.join(f'CASE WHEN sig_a[{i + 1}] = sig_b[{i + 1}] THEN 1 ELSE 0 END' for i in range(NUM_MINHASH))} AS INT) AS n_equal_minhash
+      FROM cand
+    )
+    SELECT e.doc_a, e.doc_b, e.n_equal_minhash,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           CAST(sa.nsh + sb.nsh - c.n_common AS BIGINT) AS union_size,
+           CAST(abs(e.n_equal_minhash * (sa.nsh + sb.nsh - c.n_common)
+                    - {NUM_MINHASH} * c.n_common) AS BIGINT) AS err_num,
+           CAST({NUM_MINHASH} * (sa.nsh + sb.nsh - c.n_common) AS BIGINT) AS err_den
+    FROM est e
+    JOIN commonx c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+    JOIN sizes sa ON sa.doc_id = e.doc_a
+    JOIN sizes sb ON sb.doc_id = e.doc_b
+    ORDER BY e.doc_a, e.doc_b
+    """,
+)
+def doc_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine MinHash ESTIMATOR-QUALITY metric — the dedup analog of
+    emb_recall_at_k: for every LSH candidate pair, the signature-agreement
+    estimate (n_equal/16) is compared against the exact shingle Jaccard
+    (n_common/union), as the rational error |est − exact| =
+    err_num/err_den held in PURE INTEGERS (err_num = |e·u − 16·c|,
+    err_den = 16·u) — no float ever enters, so the metric cannot drift
+    between engines. This is the sketch-calibration measurement a real
+    pipeline runs before trusting MinHash at 100 TB, where the exact side
+    is computed on a sampled slice. Candidates whose pair shares no
+    uncapped shingle (possible only via hash collision or the df cap)
+    drop from the metric — identically on both engines. The exact side
+    rides the session-cached overlap frame; the estimate side is the same
+    banded-LSH join as minhash_lsh_candidates."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = _minhash_sigs_pandas(d).localCheckpoint(eager=False)
+    cand = lsh_candidate_pairs(sigs)
+    overlap = _pair_overlap(spark, sf_dir)
+    union_sz = F.col("nsh_a") + F.col("nsh_b") - F.col("n_common")
+    return (
+        cand.join(overlap, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_equal_minhash",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            union_sz.cast("bigint").alias("union_size"),
+            F.abs(
+                F.col("n_equal_minhash") * union_sz - NUM_MINHASH * F.col("n_common")
+            )
+            .cast("bigint")
+            .alias("err_num"),
+            (F.lit(NUM_MINHASH) * union_sz).cast("bigint").alias("err_den"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -69,6 +69,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_rollup_two_level",         # NEW: continuous-aggregate reuse
     "g_cypher_scalar_fns",             # NEW: scalar string/list functions
     "events_hourly_full_outer",        # NEW: full-outer sparse alignment
+    "doc_minhash_jaccard_est",         # NEW: integer-rational sketch error
     # -- round 4, earlier sessions: new or behavior-adjacent -------------
     "g_bucketed_children",     # NEW: C4 on the bucketed snapshot layout
     "g_cypher_unwind_params",  # NEW: UNWIND + $params + =~ regex
@@ -88,7 +89,6 @@ _DRIVER_PRIORITY: list[str] = [
     "g_override_edges",        # oracle REPLACED: name-join over closure
     "approx_distinct_kmv",     # NEW: oracle-checked KMV sketch
     "emb_ivfpq_topk",          # NEW: fifth ANN tier (residual PQ / ADC)
-    "simhash_near_dup_pairs",  # NEW: banded 60-bit simhash candidate pairs
     "g_cypher_pattern_pred",   # NEW: WHERE pattern predicates (semi/anti)
     "doc_bigram_lm_quality",   # NEW: corpus bigram-MLE quality (int-scaled)
     "events_top_paths",        # NEW: first-5 path mining, TakeOrdered top-20
@@ -109,6 +109,7 @@ _DRIVER_PRIORITY: list[str] = [
     # shared-fragment KMV variants, Cypher read shapes structurally
     # identical to in-window siblings, and r4-early entries already
     # locally green at all SFs):
+    "simhash_near_dup_pairs",  # sibling banding shape of in-window minhash est
     "g_cypher_path",           # shares chain machinery with in-window shortest
     "g_cypher_unwind_prop",    # sibling of in-window unwind_params
     "g_cypher_extended",       # sibling of in-window g_cypher_match
