@@ -899,6 +899,30 @@ def _apply_with(
     with_text, rest = (clause[: mm.start()], clause[mm.start():]) if mm else (clause, "")
     items_text, having = _split_where(with_text)
 
+    # WITH-level pagination sub-clauses (Neo4j: ORDER BY / SKIP / LIMIT
+    # apply to the WITH projection, BEFORE a following WHERE filters it).
+    # SKIP/LIMIT without ORDER BY is refused — an unordered cut is
+    # nondeterministic under any shuffle, the refuse-loudly policy.
+    order_s, skip_n, limit_n = None, None, None
+    m_ol = re.search(
+        r"(?is)\bORDER\s+BY\s+(?P<order>.*?)"
+        r"(?P<tail>(?:\s+SKIP\s+\d+)?(?:\s+LIMIT\s+\d+)?)\s*$",
+        items_text,
+    )
+    if m_ol:
+        order_s = m_ol.group("order")
+        tail = m_ol.group("tail") or ""
+        items_text = items_text[: m_ol.start()]
+        ms = re.search(r"(?i)SKIP\s+(\d+)", tail)
+        skip_n = int(ms.group(1)) if ms else None
+        ml = re.search(r"(?i)LIMIT\s+(\d+)", tail)
+        limit_n = int(ml.group(1)) if ml else None
+    elif re.search(r"(?is)\b(?:SKIP|LIMIT)\s+\d+\s*$", items_text):
+        raise CypherError(
+            "SKIP/LIMIT inside WITH requires ORDER BY — an unordered cut "
+            "is nondeterministic"
+        )
+
     carried: list[str] = []  # prefixes of bare-carried variables
     new_binds: dict[str, str] = {}
     plain_items: list = []  # non-aggregate projected columns
@@ -951,6 +975,31 @@ def _apply_with(
         df = df.groupBy(*carried_cols, *plain_items).agg(*aggs)
     else:
         df = df.select(*carried_cols, *plain_items)
+    if order_s is not None:
+        order_cols = []
+        for raw in order_s.split(","):
+            om = _ORDER_ITEM.match(raw)
+            if not om:
+                raise CypherError(f"cannot parse WITH ORDER BY item: {raw.strip()!r}")
+            var, prop = om.group("var"), om.group("prop")
+            if prop is None and var in df.columns:
+                name = var
+            elif prop is not None and var in new_binds:
+                name = f"{new_binds[var]}__{prop}"
+            else:
+                raise CypherError(
+                    f"WITH ORDER BY {raw.strip()!r} must reference a "
+                    "projected column or carried variable property"
+                )
+            c = F.col(name)
+            if om.group("dir") and om.group("dir").upper() == "DESC":
+                c = c.desc()
+            order_cols.append(c)
+        df = df.orderBy(*order_cols)
+        if skip_n:
+            df = df.offset(skip_n)
+        if limit_n is not None:
+            df = df.limit(limit_n)
     if having:
         df = df.filter(_where_condition(having, new_binds, new_plain))
     binds.clear()

@@ -1052,3 +1052,43 @@ def events_hourly_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@query(
+    "events_unpivot_daily",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+)
+def events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: the wide daily cross-tab folded back to long form,
+    absent cells dropped. The oracle is the DIRECT long-form aggregate —
+    asserting the algebraic identity unpivot(pivot(x)) = groupBy(x),
+    which is the real guarantee a reporting stack needs before trusting
+    melt on a 100 TB cross-tab. Spark's ``unpivot`` is a zero-shuffle
+    Expand over the already-tiny wide table (one row per day), so the
+    round-trip costs one extra narrow stage, not a second scan of the
+    corpus."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        e.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+    )
+    return (
+        wide.unpivot(
+            ids=["day"],
+            values=types,
+            variableColumnName="event_type",
+            valueColumnName="n",
+        )
+        .filter(F.col("n") > 0)
+        .select("day", "event_type", F.col("n").cast("bigint").alias("n"))
+        .orderBy("day", "event_type")
+    )

@@ -2092,3 +2092,41 @@ def g_cypher_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes,
         edges,
     )
+
+
+@query(
+    "g_cypher_with_topn",
+    oracle=f"""
+    WITH RECURSIVE {_merged_nodes_sql()},
+    {_CLOSURE_HM_SQL}
+    SELECT fn, CAST(n AS BIGINT) AS n FROM (
+      SELECT cm.full_name AS fn, COUNT(*) AS n
+      FROM hm
+      JOIN merged cm ON cm.full_name = hm.src
+      WHERE cm.kind = 'CLASS'
+        AND NOT (cm.full_name LIKE 'zoo.%' OR cm.full_name = 'zoo')
+      GROUP BY 1
+      ORDER BY n DESC, fn
+      LIMIT 2)
+    ORDER BY fn
+    """,
+)
+def g_cypher_with_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 extension: mid-pipeline top-N — ``WITH … ORDER BY … LIMIT``
+    cuts the aggregated scope to the 2 method-richest classes before the
+    final projection (Neo4j WITH sub-clause semantics; unique-key
+    tiebreak keeps the cut deterministic; SKIP/LIMIT without ORDER BY is
+    refused). Spark executes the cut as TakeOrdered over the aggregate —
+    no global sort. RECOMPUTING oracle: merge window + E1 closure +
+    the same ranked cut in SQL."""
+    from codegraphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges, _ = _graph(spark)
+    return run_cypher(
+        "MATCH (c:CLASS)-[:HAS_METHOD]->(m) "
+        "WITH c.full_name AS fn, count(m) AS n "
+        "ORDER BY n DESC, fn LIMIT 2 "
+        "RETURN fn, n ORDER BY fn",
+        nodes,
+        edges,
+    )

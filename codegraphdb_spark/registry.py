@@ -70,6 +70,8 @@ _DRIVER_PRIORITY: list[str] = [
     "g_cypher_scalar_fns",             # NEW: scalar string/list functions
     "events_hourly_full_outer",        # NEW: full-outer sparse alignment
     "doc_minhash_jaccard_est",         # NEW: integer-rational sketch error
+    "events_unpivot_daily",            # NEW: unpivot(pivot) identity
+    "g_cypher_with_topn",              # NEW: WITH ORDER BY/SKIP/LIMIT
     # -- round 4, earlier sessions: new or behavior-adjacent -------------
     "g_bucketed_children",     # NEW: C4 on the bucketed snapshot layout
     "g_cypher_unwind_params",  # NEW: UNWIND + $params + =~ regex
@@ -94,8 +96,6 @@ _DRIVER_PRIORITY: list[str] = [
     "events_top_paths",        # NEW: first-5 path mining, TakeOrdered top-20
     "g_cypher_case",           # NEW: searched CASE + DISTINCT aggregates
     "emb_mmr_diversify",       # NEW: integer-exact MMR re-rank, bounded pool
-    "doc_top_collocations",    # NEW: integer-PMI collocations, TakeOrdered
-    "emb_knn_classify",        # NEW: kNN majority-label weak supervision
     "doc_semantic_dedup",      # NEW: SemDeDup keep-best over emb clusters
     "emb_recall_at_k",         # NEW: in-engine ANN recall metric
     "events_markov_transitions",  # NEW: integer-scaled transition matrix
@@ -109,6 +109,8 @@ _DRIVER_PRIORITY: list[str] = [
     # shared-fragment KMV variants, Cypher read shapes structurally
     # identical to in-window siblings, and r4-early entries already
     # locally green at all SFs):
+    "doc_top_collocations",    # shares bigram CTE with in-window lm_quality
+    "emb_knn_classify",        # sibling broadcast-probe shape of in-window recall
     "simhash_near_dup_pairs",  # sibling banding shape of in-window minhash est
     "g_cypher_path",           # shares chain machinery with in-window shortest
     "g_cypher_unwind_prop",    # sibling of in-window unwind_params

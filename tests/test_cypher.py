@@ -1016,3 +1016,47 @@ def test_scalar_function_errors(graph):
             "MATCH (c:CLASS) RETURN toUpper(substring(c.name, 0, 2))",
             nodes, edges,
         )
+
+
+def test_with_order_by_limit(graph):
+    """Mid-pipeline top-N: WITH ... ORDER BY ... LIMIT cuts the carried
+    scope before the next MATCH (Neo4j sub-clause semantics)."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS)-[:HAS_METHOD]->(m) "
+        "WITH c, count(m) AS n ORDER BY n DESC, c.full_name LIMIT 1 "
+        "MATCH (c)-[:HAS_METHOD]->(m2) RETURN c.name AS cls, m2.name AS meth "
+        "ORDER BY meth",
+        nodes,
+        edges,
+    ).collect()
+    classes = {r["cls"] for r in out}
+    assert len(classes) == 1  # only the top-1 class survived the WITH cut
+    assert len(out) >= 2
+
+
+def test_with_order_by_skip_and_where_after_limit(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS) "
+        "WITH c.full_name AS fn ORDER BY fn SKIP 1 LIMIT 2 "
+        "WHERE fn STARTS WITH 'pkg' RETURN fn",
+        nodes,
+        edges,
+    ).collect()
+    all_fns = sorted(
+        r["fn"]
+        for r in run_cypher(
+            "MATCH (c:CLASS) RETURN c.full_name AS fn", nodes, edges
+        ).collect()
+    )
+    expected = [fn for fn in all_fns[1:3] if fn.startswith("pkg")]
+    assert [r["fn"] for r in out] == expected
+
+
+def test_with_limit_without_order_refused(graph):
+    nodes, edges = graph
+    with pytest.raises(CypherError, match="requires ORDER BY"):
+        run_cypher(
+            "MATCH (c:CLASS) WITH c LIMIT 2 RETURN c.name", nodes, edges
+        )
