@@ -76,7 +76,7 @@ _SHORTEST_RX = re.compile(
     r"(?is)^\s*(?P<pvar>\w+)\s*=\s*shortestPath\s*\(\s*(?P<inner>.*)\s*\)\s*$"
 )
 _ITEM = re.compile(
-    r"^\s*(?:(?P<func>labels|count|collect|min|max|length|nodes|relationships)\s*\(\s*"
+    r"^\s*(?:(?P<func>labels|count|collect|min|max|sum|avg|length|nodes|relationships)\s*\(\s*"
     r"(?P<farg>\*|(?:DISTINCT\s+)?\w+(?:\.\w+)?)\s*\)"
     r"|(?P<var>\w+)(?:\.(?P<prop>\w+))?)"
     r"(?:\s+AS\s+(?P<alias>\w+))?\s*$",
@@ -934,7 +934,7 @@ def _apply_with(
             raise CypherError(f"cannot parse WITH item: {raw_item!r}")
         alias = it.group("alias")
         func = (it.group("func") or "").lower()
-        if func in ("count", "collect", "min", "max"):
+        if func in ("count", "collect", "min", "max", "sum", "avg"):
             agg_col, agg_name = _agg_expr(func, it.group("farg"), alias, binds, plain)
             aggs.append(agg_col)
             new_plain.add(agg_name)
@@ -1034,6 +1034,16 @@ def _agg_expr(func: str, arg: str, alias: str | None, binds, plain):
         agg = F.min(c)  # DISTINCT is a no-op for min/max
     elif func == "max":
         agg = F.max(c)
+    elif func in ("sum", "avg"):
+        # Cypher sum/avg: numeric properties only — a non-numeric column
+        # surfaces Spark's analysis error (type mismatch), which is the
+        # loud failure we want; DISTINCT dedupes before aggregating.
+        if func == "sum":
+            agg = F.sum_distinct(c) if distinct else F.sum(c)
+        else:
+            if distinct:
+                raise CypherError("avg(DISTINCT ...) is not supported")
+            agg = F.avg(c)  # int sum / count — exactly-rounded division
     else:
         # Cypher collect() has no defined order — sort for a
         # deterministic, engine-stable result
@@ -1331,7 +1341,7 @@ def _run_cypher_inner(
             raise CypherError(f"cannot parse RETURN item: {raw_item!r}")
         alias = it.group("alias")
         func = (it.group("func") or "").lower()
-        if func in ("count", "collect", "min", "max"):
+        if func in ("count", "collect", "min", "max", "sum", "avg"):
             agg_col, _ = _agg_expr(func, it.group("farg"), alias, binds, plain)
             agg_cols.append(agg_col)
         elif func == "labels":

@@ -1787,3 +1787,42 @@ def doc_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "doc_lang_confusion",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> x IN ('the','a','of'))) AS en_score,
+             len(list_filter(toks, x -> x IN ('data','query','table'))) AS tech_score,
+             len(toks) AS n
+      FROM t
+    ), pred AS (
+      SELECT lang AS lang_tagged,
+             CASE WHEN en_score * 20 >= n THEN 'en-like'
+                  WHEN tech_score * 10 >= n THEN 'tech'
+                  ELSE 'other' END AS lang_pred
+      FROM scored
+    )
+    SELECT lang_tagged, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred
+    GROUP BY 1, 2
+    ORDER BY lang_tagged, lang_pred
+    """,
+)
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix: the language-ID heuristic's
+    predictions cross-tabulated against the corpus's tagged labels — the
+    eval step any weak-supervision labeling pipeline runs before trusting
+    a heuristic at 100 TB. Reuses doc_lang_heuristic's scoring exactly
+    (one projection per doc, integer threshold arithmetic), then one
+    tiny-key shuffle (labels × predictions ≈ a dozen cells)."""
+    pred = doc_lang_heuristic(spark, sf_dir).select("lang_tagged", "lang_pred")
+    return (
+        pred.groupBy("lang_tagged", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("lang_tagged", "lang_pred")
+    )

@@ -72,6 +72,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_minhash_jaccard_est",         # NEW: integer-rational sketch error
     "events_unpivot_daily",            # NEW: unpivot(pivot) identity
     "g_cypher_with_topn",              # NEW: WITH ORDER BY/SKIP/LIMIT
+    "doc_lang_confusion",              # NEW: heuristic-vs-label confusion
     # -- round 4, earlier sessions: new or behavior-adjacent -------------
     "g_bucketed_children",     # NEW: C4 on the bucketed snapshot layout
     "g_cypher_unwind_params",  # NEW: UNWIND + $params + =~ regex
@@ -93,7 +94,6 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_ivfpq_topk",          # NEW: fifth ANN tier (residual PQ / ADC)
     "g_cypher_pattern_pred",   # NEW: WHERE pattern predicates (semi/anti)
     "doc_bigram_lm_quality",   # NEW: corpus bigram-MLE quality (int-scaled)
-    "events_top_paths",        # NEW: first-5 path mining, TakeOrdered top-20
     "g_cypher_case",           # NEW: searched CASE + DISTINCT aggregates
     "emb_mmr_diversify",       # NEW: integer-exact MMR re-rank, bounded pool
     "doc_semantic_dedup",      # NEW: SemDeDup keep-best over emb clusters
@@ -109,6 +109,7 @@ _DRIVER_PRIORITY: list[str] = [
     # shared-fragment KMV variants, Cypher read shapes structurally
     # identical to in-window siblings, and r4-early entries already
     # locally green at all SFs):
+    "events_top_paths",        # TakeOrdered shape shared with in-window topn
     "doc_top_collocations",    # shares bigram CTE with in-window lm_quality
     "emb_knn_classify",        # sibling broadcast-probe shape of in-window recall
     "simhash_near_dup_pairs",  # sibling banding shape of in-window minhash est

@@ -1060,3 +1060,21 @@ def test_with_limit_without_order_refused(graph):
         run_cypher(
             "MATCH (c:CLASS) WITH c LIMIT 2 RETURN c.name", nodes, edges
         )
+
+
+def test_sum_avg_aggregates(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS {name: 'Dog'})-[:HAS_METHOD]->(m) "
+        "RETURN sum(m.code_start) AS s, avg(m.code_start) AS a, "
+        "count(m) AS n",
+        nodes,
+        edges,
+    ).collect()[0]
+    assert out["s"] is not None and out["n"] > 0
+    assert abs(out["a"] - out["s"] / out["n"]) < 1e-12
+    with pytest.raises(CypherError, match="avg\\(DISTINCT"):
+        run_cypher(
+            "MATCH (c:CLASS)-[:HAS_METHOD]->(m) RETURN avg(DISTINCT m.code_start)",
+            nodes, edges,
+        )
