@@ -38,6 +38,10 @@ queries run verbatim:
     MATCH (n:METHOD) RETURN toUpper(n.name), size(n.versions),
         coalesce(n.file_path, '<none>'), substring(n.full_name, 0, 4),
         replace(n.name, 'o', '0')          -- scalar string/list functions
+    MATCH (m:MODULE)-[r:CONTAINS]->(c) WHERE r.association_type = 'CLASS'
+        RETURN c.full_name, r.association_type  -- relationship variables
+    MATCH (c:CLASS)-[:HAS_METHOD]->(m) WITH c, count(m) AS n
+        ORDER BY n DESC, c.full_name LIMIT 2 MATCH ...  -- WITH pagination
 
 Label semantics mirror the reference: a label that is a known KIND filters
 ``kind``; any other label is a version tag and filters
@@ -67,7 +71,7 @@ _NODE = re.compile(
     r"\(\s*(?P<var>\w+)?\s*(?P<labels>(?::(?:`[^`]+`|[\w/.]+))*)\s*(?:\{(?P<props>[^}]*)\})?\s*\)"
 )
 _EDGE = re.compile(
-    r"(?P<left><)?-\s*\[\s*:(?P<rel>\w+)\s*"
+    r"(?P<left><)?-\s*\[\s*(?P<evar>\w+)?\s*:(?P<rel>\w+)\s*"
     r"(?:\*\s*(?P<lo>\d+)?\s*(?:\.\.\s*(?P<hi>\d+)?)?)?\s*"
     r"(?:\{(?P<props>[^}]*)\})?\s*\]\s*-(?P<right>>)?"
 )
@@ -595,6 +599,26 @@ def _compile_pattern(
                     raise CypherError(f"bad hop range *{lo}..{hi}")
                 ealias = f"e{state['anon']}"
                 state["anon"] += 1
+                evar = tok.group("evar")
+                if evar is not None:
+                    undirected_hop = not left and not right
+                    if lo_s is not None or hi_s is not None or "*" in tok.group(0):
+                        raise CypherError(
+                            "a relationship variable needs a single hop — a "
+                            "var-length pattern has no one relationship to bind"
+                        )
+                    if undirected_hop:
+                        raise CypherError(
+                            "bind the relationship on a DIRECTED pattern — an "
+                            "undirected hop dedupes to orientation-free pairs "
+                            "and drops relationship properties"
+                        )
+                    if evar in local_binds or evar in outer_binds:
+                        raise CypherError(
+                            f"relationship variable {evar!r} is already bound"
+                        )
+                    local_binds[evar] = ealias
+                    state.setdefault("edge_vars", set()).add(evar)
                 chain_rels.append(rel)
                 if not (lo == 1 and hi == 1):
                     chain_has_varlen = True
@@ -1392,6 +1416,11 @@ def _run_cypher_inner(
                 continue
             if var not in binds:
                 raise CypherError(f"unbound variable {var!r}")
+            if prop is None and var in state.get("edge_vars", set()):
+                raise CypherError(
+                    f"return a relationship property ({var}.rel_type / "
+                    f"{var}.association_type), not the relationship itself"
+                )
             p = binds[var]
             if alias:
                 prop_alias[(var, prop)] = alias

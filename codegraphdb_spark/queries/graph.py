@@ -2130,3 +2130,37 @@ def g_cypher_with_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes,
         edges,
     )
+
+
+@query(
+    "g_cypher_rel_props",
+    oracle=f"""
+    WITH {_merged_nodes_sql()},
+    {_EDGES_UNION_SQL}
+    SELECT e.dst AS child, e.association_type AS assoc
+    FROM (SELECT DISTINCT src, dst, association_type FROM e_all
+          WHERE rel_type = 'CONTAINS' AND src = 'pkga.base'
+            AND association_type = 'CLASS') e
+    ORDER BY child
+    """,
+)
+def g_cypher_rel_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 extension: relationship VARIABLES — ``[r:CONTAINS]`` binds the
+    hop's edge so ``r.association_type`` is filterable in WHERE and
+    projectable in RETURN (the reference writes edge params,
+    myClient.py:187-194, and its C4 helper filters on them,
+    ast_manage.py:106-121 — this is that surface in Cypher spelling).
+    Bound only on single directed hops; var-length and undirected
+    bindings refuse loudly (no single relationship / orientation-deduped
+    pairs). RECOMPUTING oracle over the committed edge facts."""
+    from codegraphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges, _ = _graph(spark)
+    return run_cypher(
+        "MATCH (m:MODULE {full_name: 'pkga.base'})-[r:CONTAINS]->(c) "
+        "WHERE r.association_type = 'CLASS' "
+        "RETURN c.full_name AS child, r.association_type AS assoc "
+        "ORDER BY child",
+        nodes,
+        edges,
+    )

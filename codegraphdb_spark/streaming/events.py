@@ -277,3 +277,72 @@ def ohlc_bars(
             "n_ticks",
         )
     )
+
+
+def ewma_stream(stream: DataFrame, timeout_ms: int | None = None) -> DataFrame:
+    """Streaming twin of queries/events.py::events_ewma — truncated EWMA
+    (alpha = 1/2, 8 power-of-two lag weights) as a custom stateful
+    operator. State per user is the last 7 scaled readings — O(horizon),
+    never O(history) — which is exactly why the batch query's truncation
+    matters: the same arithmetic becomes a bounded-state stream.
+
+    ORDER CONTRACT: EWMA is order-SENSITIVE, so rows are event-time-sorted
+    WITHIN each micro-batch (ts, event_id — the batch query's total
+    order), but a reading that arrives in a later micro-batch than a
+    younger sibling is smoothed in arrival order — the documented
+    bounded-state tradeoff (reordering across batches would need unbounded
+    buffering; use the batch query for post-hoc exactness). Under in-order
+    replay the stream equals the batch result bit-for-bit
+    (tests/test_streaming.py::test_ewma_stream_matches_batch_in_order).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, ewma DOUBLE"
+    state_schema = (
+        "h0 BIGINT, h1 BIGINT, h2 BIGINT, h3 BIGINT, h4 BIGINT, h5 BIGINT, h6 BIGINT"
+    )
+    horizon = 8
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        # state.get returns the lag tuple newest-first; None = absent lag
+        lags = list(state.get) if state.exists else [None] * (horizon - 1)
+        rows = {"event_id": [], "user_id": [], "ts": [], "ewma": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ev, ts, val in zip(pdf["event_id"], pdf["ts"], pdf["value"]):
+                sv = int(round(float(val) * 1000000))
+                window = [sv] + lags
+                num = 0
+                den = 0
+                for i, v in enumerate(window):
+                    if v is not None:
+                        w = 1 << (horizon - 1 - i)
+                        num += v * w
+                        den += w
+                rows["event_id"].append(int(ev))
+                rows["user_id"].append(key[0])
+                rows["ts"].append(ts)
+                rows["ewma"].append(float(num) / float(den) / 1000000.0)
+                lags = window[: horizon - 1]
+        state.update(tuple(lags))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if rows["event_id"]:
+            yield pd.DataFrame(rows)
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -1078,3 +1078,33 @@ def test_sum_avg_aggregates(graph):
             "MATCH (c:CLASS)-[:HAS_METHOD]->(m) RETURN avg(DISTINCT m.code_start)",
             nodes, edges,
         )
+
+
+def test_relationship_variable_props(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (m:MODULE {full_name: 'pkga.base'})-[r:CONTAINS]->(c) "
+        "WHERE r.association_type = 'CLASS' "
+        "RETURN c.full_name AS child, r.association_type AS assoc "
+        "ORDER BY child",
+        nodes,
+        edges,
+    ).collect()
+    assert out and all(r["assoc"] == "CLASS" for r in out)
+    assert all(r["child"].startswith("pkga.base.") for r in out)
+
+
+def test_relationship_variable_refusals(graph):
+    nodes, edges = graph
+    with pytest.raises(CypherError, match="single hop"):
+        run_cypher(
+            "MATCH (a)-[r:INHERITS*1..2]->(b) RETURN r.rel_type", nodes, edges
+        )
+    with pytest.raises(CypherError, match="DIRECTED"):
+        run_cypher(
+            "MATCH (a)-[r:INHERITS]-(b) RETURN r.rel_type", nodes, edges
+        )
+    with pytest.raises(CypherError, match="not the relationship itself"):
+        run_cypher(
+            "MATCH (a)-[r:INHERITS]->(b) RETURN r", nodes, edges
+        )

@@ -449,3 +449,52 @@ def test_ohlc_bars_match_batch(spark, sf_dir, stream_dir):
         for r in registry.QUERIES["events_ohlc_bars"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+@pytest.fixture(scope="module")
+def ordered_stream_dir(spark, sf_dir):
+    """events replayed IN event-time order, split into two chunks — the
+    order-sensitive stateful twins (EWMA) are exact under in-order
+    arrival; the late-data stream_dir fixture covers the other twins."""
+    d = tempfile.mkdtemp(prefix="events_ordered_")
+    rows = load_table(spark, sf_dir, "events").orderBy("ts", "event_id").collect()
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        with open(f"{d}/chunk{i}.json", "w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": r["event_id"],
+                            "ts": r["ts"].isoformat(sep=" "),
+                            "user_id": r["user_id"],
+                            "event_type": r["event_type"],
+                            "value": r["value"],
+                            "props": r["props"],
+                        }
+                    )
+                    + "\n"
+                )
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ewma_stream_matches_batch_in_order(spark, sf_dir, ordered_stream_dir):
+    """Under in-order replay (two chunks, maxFilesPerTrigger=1 so state
+    genuinely crosses a micro-batch boundary) the streaming EWMA equals
+    the batch query bit-for-bit — same integer arithmetic, same
+    divisions, state carrying the lag window across batches."""
+    from codegraphdb_spark import registry
+
+    registry.load_all()
+    stream = se.read_events_stream(spark, ordered_stream_dir, max_files_per_trigger=1)
+    se.run_to_memory(se.ewma_stream(stream), "t_ewma", "append")
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in spark.sql("select * from t_ewma").collect()
+    }
+    expected = {
+        r["event_id"]: r["ewma"]
+        for r in registry.QUERIES["events_ewma"](spark, sf_dir).collect()
+    }
+    assert got == expected
