@@ -1334,3 +1334,86 @@ def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+@query(
+    "promo_revenue_ratio",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+           {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+             AS promo_revenue,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue,
+           CAST({sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+                / {sql_dsum('l_extendedprice * (1 - l_discount)')} AS DOUBLE)
+             AS promo_share
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY 1
+    ORDER BY ship_month
+    """,
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share
+    per ship month) — numerator and denominator are exact decimal sums
+    computed in ONE aggregation pass (a CASE inside the sum, not a second
+    scan or self-join); the share is a single exactly-rounded double
+    division of two bit-identical doubles. The part join shuffles on
+    partkey once; AQE broadcasts the dim when it fits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_net = F.when(F.col("p_type") == "PROMO", net).otherwise(F.lit(0))
+    out = (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            dsum(promo_net).alias("promo_revenue"),
+            dsum(net).alias("total_revenue"),
+        )
+    )
+    return out.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        (F.col("promo_revenue") / F.col("total_revenue"))
+        .cast("double")
+        .alias("promo_share"),
+    ).orderBy("ship_month")
+
+
+@query(
+    "having_share_threshold",
+    oracle=f"""
+    WITH per_nation AS (
+      SELECT n_name, {sql_dsum('s_acctbal')} AS nation_value
+      FROM supplier JOIN nation ON n_nationkey = s_nationkey
+      GROUP BY n_name),
+    total AS (
+      SELECT {sql_dsum('s_acctbal')} AS total_value FROM supplier)
+    SELECT n_name, nation_value
+    FROM per_nation, total
+    WHERE nation_value > total_value * 0.0625
+    ORDER BY n_name
+    """,
+)
+def having_share_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a scalar subquery — nations whose
+    supplier balance exceeds a fixed share (1/16) of the GLOBAL total.
+    Both sides are exact decimal sums (bit-identical doubles), the
+    threshold multiplier is a power of two (exact in binary), and the
+    global scalar reaches the per-nation aggregate as a broadcast 1-row
+    product. Same decorrelation family as scalar_subquery_rich_inactive,
+    but gating an AGGREGATE, not a row filter."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum("s_acctbal").alias("nation_value"))
+    )
+    total = s.agg(dsum("s_acctbal").alias("total_value"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("nation_value") > F.col("total_value") * 0.0625)
+        .select("n_name", "nation_value")
+        .orderBy("n_name")
+    )

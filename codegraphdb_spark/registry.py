@@ -74,6 +74,8 @@ _DRIVER_PRIORITY: list[str] = [
     "g_cypher_with_topn",              # NEW: WITH ORDER BY/SKIP/LIMIT
     "doc_lang_confusion",              # NEW: heuristic-vs-label confusion
     "g_cypher_rel_props",              # NEW: relationship variables
+    "promo_revenue_ratio",             # NEW: Q14 conditional-sum ratio
+    "having_share_threshold",          # NEW: Q11 HAVING vs global scalar
     # -- round 4, earlier sessions: new or behavior-adjacent -------------
     "g_bucketed_children",     # NEW: C4 on the bucketed snapshot layout
     "g_cypher_unwind_params",  # NEW: UNWIND + $params + =~ regex
@@ -94,9 +96,7 @@ _DRIVER_PRIORITY: list[str] = [
     "approx_distinct_kmv",     # NEW: oracle-checked KMV sketch
     "emb_ivfpq_topk",          # NEW: fifth ANN tier (residual PQ / ADC)
     "g_cypher_pattern_pred",   # NEW: WHERE pattern predicates (semi/anti)
-    "doc_bigram_lm_quality",   # NEW: corpus bigram-MLE quality (int-scaled)
     "g_cypher_case",           # NEW: searched CASE + DISTINCT aggregates
-    "emb_mmr_diversify",       # NEW: integer-exact MMR re-rank, bounded pool
     "emb_recall_at_k",         # NEW: in-engine ANN recall metric
     "events_markov_transitions",  # NEW: integer-scaled transition matrix
     # -- headliners: keep the flagship pair inside every window ----------
@@ -109,6 +109,8 @@ _DRIVER_PRIORITY: list[str] = [
     # shared-fragment KMV variants, Cypher read shapes structurally
     # identical to in-window siblings, and r4-early entries already
     # locally green at all SFs):
+    "emb_mmr_diversify",       # bounded-pool shape shared with in-window recall
+    "doc_bigram_lm_quality",   # shares bigram CTE with spilled collocations
     "doc_semantic_dedup",      # shares component CTE with in-window emb family
     "events_top_paths",        # TakeOrdered shape shared with in-window topn
     "doc_top_collocations",    # shares bigram CTE with in-window lm_quality
