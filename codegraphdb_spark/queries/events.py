@@ -1092,3 +1092,41 @@ def events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "event_type", F.col("n").cast("bigint").alias("n"))
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "events_value_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, CAST(quantile_cont(value, 0.5) AS DOUBLE) AS median_value
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, m.median_value,
+           CAST(quantile_cont(abs(e.value - m.median_value), 0.5) AS DOUBLE) AS mad
+    FROM events e JOIN med m ON m.event_type = e.event_type
+    GROUP BY e.event_type, m.median_value
+    ORDER BY e.event_type
+    """,
+)
+def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion: median absolute deviation per event type — the
+    outlier-resistant sibling of events_anomaly_zscore's moments. Two
+    exact percentile passes (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, bit-identical sort-and-interpolate); the residual
+    |x − median| is one exactly-rounded IEEE op, and the 5-row median
+    table re-enters as a broadcast join. At 100 TB both passes swap for
+    t-digest ``percentile_approx`` — kept exact here for the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    med = (
+        e.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").cast("double").alias("median_value"))
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "median_value")
+        .agg(
+            F.expr("percentile(abs(value - median_value), 0.5)")
+            .cast("double")
+            .alias("mad")
+        )
+        .orderBy("event_type")
+    )
