@@ -29,6 +29,9 @@ Supported statements (one write clause per call):
         placeholders per B4). Use MERGE for upsert semantics.
     MATCH (n:KIND {props}) SET n.prop = val [, n.prop2 = val2]
         property update on matched nodes only — never creates (B2).
+    MATCH (n:KIND {props}) REMOVE n.prop [, n.prop2]
+        null out properties on matched nodes (full_name/kind/versions
+        are structural and refuse).
     MATCH (n:KIND {props}) DETACH DELETE n
         delete matched nodes and cascade every edge touching them
         (B5-style DETACH semantics).
@@ -102,6 +105,9 @@ _ON_CLAUSE_RX = re.compile(
 )
 _SET_RX = re.compile(
     r"(?is)^\s*MATCH\s+(?P<pattern>\(.*?\))\s+SET\s+(?P<assigns>.+?)\s*$"
+)
+_REMOVE_RX = re.compile(
+    r"(?is)^\s*MATCH\s+(?P<pattern>\(.*?\))\s+REMOVE\s+(?P<items>.+?)\s*$"
 )
 _DELETE_RX = re.compile(
     r"(?is)^\s*MATCH\s+(?P<pattern>\(.*?\))\s+(?P<detach>DETACH\s+)?DELETE\s+"
@@ -329,6 +335,47 @@ def _set_props(
     return df.drop("__hit").select(*_NODE_COLS)
 
 
+def _remove_props(
+    nodes: DataFrame,
+    kind: str | None,
+    versions: list[str],
+    props: dict,
+    var: str,
+    items: str,
+) -> DataFrame:
+    """REMOVE n.prop — null out properties on matched nodes (openCypher
+    REMOVE; the identity/kind/versions columns are structural, not
+    removable properties, and refuse like SET does)."""
+    targets: list[str] = []
+    for part in _split_assignments(items):
+        m = re.fullmatch(r"\s*(?P<var>\w+)\.(?P<prop>\w+)\s*", part)
+        if not m:
+            raise CypherError(f"cannot parse REMOVE item {part.strip()!r}")
+        if m.group("var") != var:
+            raise CypherError(
+                f"REMOVE variable {m.group('var')!r} is not the matched {var!r}"
+            )
+        prop = m.group("prop")
+        if prop in ("full_name", "kind", "versions") or prop not in _NODE_COLS:
+            raise CypherError(f"{prop!r} is not a removable property")
+        targets.append(prop)
+    matched = F.broadcast(
+        _node_filter(nodes, kind, versions, props)
+        .select("full_name")
+        .withColumn("__hit", F.lit(True))
+    )
+    types = {f.name: f.dataType for f in NODES_SCHEMA.fields}
+    df = nodes.join(matched, "full_name", "left")
+    for prop in targets:
+        df = df.withColumn(
+            prop,
+            F.when(F.col("__hit"), F.lit(None).cast(types[prop])).otherwise(
+                F.col(prop)
+            ),
+        )
+    return df.drop("__hit").select(*_NODE_COLS)
+
+
 def _delete(
     nodes: DataFrame,
     edges: DataFrame,
@@ -473,6 +520,22 @@ def run_cypher_write(
                 _set_props(nodes, kind, versions, props, var, m.group("assigns")),
                 edges,
             )
+        m = _REMOVE_RX.fullmatch(query)
+        if m:
+            nm = _NODE.fullmatch(m.group("pattern").strip())
+            if not nm:
+                raise CypherError(
+                    f"cannot parse MATCH pattern {m.group('pattern')!r}"
+                )
+            kind, versions = _parse_labels(nm.group("labels") or "")
+            props = _parse_props(nm.group("props"))
+            var = nm.group("var")
+            if not var:
+                raise CypherError("REMOVE requires a named node variable")
+            return (
+                _remove_props(nodes, kind, versions, props, var, m.group("items")),
+                edges,
+            )
         m = _DELETE_RX.fullmatch(query)
         if m:
             nm = _NODE.fullmatch(m.group("pattern").strip())
@@ -491,8 +554,8 @@ def run_cypher_write(
                 nodes, edges, kind, versions, props, bool(m.group("detach"))
             )
         raise CypherError(
-            "unsupported write statement (expected CREATE or MERGE "
-            "node/edge, MATCH..SET, or MATCH..[DETACH] DELETE)"
+            "unsupported write statement (expected CREATE or MERGE node/edge, "
+            "MATCH..SET, MATCH..REMOVE, or MATCH..[DETACH] DELETE)"
         )
     finally:
         _PARAMS.d = None

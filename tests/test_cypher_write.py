@@ -202,9 +202,8 @@ def test_set_with_params_and_errors(spark):
     with pytest.raises(CypherError):
         run_cypher_write("MERGE (n {name: 'no-key'})", nodes, edges)
     with pytest.raises(CypherError):
-        # REMOVE stays outside the write subset
-        run_cypher_write("MATCH (n {full_name: 'm.C'}) REMOVE n.signature",
-                         nodes, edges)
+        # FOREACH stays outside the write subset
+        run_cypher_write("FOREACH (x IN [1] | SET n.p = 1)", nodes, edges)
 
 
 def test_kind_property_refused(spark):
@@ -323,3 +322,27 @@ def test_create_requires_full_name(spark):
     nodes, edges = _snapshot(spark)
     with pytest.raises(CypherError, match="full_name"):
         run_cypher_write("CREATE (n:CLASS {name: 'X'})", nodes, edges)
+
+
+
+def test_remove_nulls_matched_property_only(spark):
+    nodes, edges = _snapshot(spark)
+    n2, e2 = run_cypher_write(
+        "MATCH (n:METHOD {full_name: 'm.C.f'}) REMOVE n.signature",
+        nodes,
+        edges,
+    )
+    assert (
+        n2.filter(F.col("full_name") == "m.C.f").collect()[0]["signature"] is None
+    )
+    # untouched node keeps its property; edges untouched
+    assert (
+        n2.filter(F.col("full_name") == "m.C").collect()[0]["file_path"] == "m.py"
+    )
+    assert _rows(e2) == _rows(edges)
+    with pytest.raises(CypherError, match="not a removable"):
+        run_cypher_write("MATCH (n {full_name: 'm.C'}) REMOVE n.versions",
+                         nodes, edges)
+    with pytest.raises(CypherError, match="not a removable"):
+        run_cypher_write("MATCH (n {full_name: 'm.C'}) REMOVE n.full_name",
+                         nodes, edges)
