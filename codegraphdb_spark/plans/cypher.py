@@ -76,8 +76,12 @@ _EDGE = re.compile(
     r"(?:\{(?P<props>[^}]*)\})?\s*\]\s*-(?P<right>>)?"
 )
 _PROP = re.compile(r"(\w+)\s*:\s*(?:'([^']*)'|\"([^\"]*)\"|(\d+)|\$(\w+))")
+# allShortestPaths accepted as an alias: the compiled projection is the
+# per-pair MINIMUM hop distance (length(p)); Neo4j's distinction — one
+# witness path vs every witness path — only matters when projecting the
+# path OBJECT, which var-length chains refuse anyway (see plain_pvar).
 _SHORTEST_RX = re.compile(
-    r"(?is)^\s*(?P<pvar>\w+)\s*=\s*shortestPath\s*\(\s*(?P<inner>.*)\s*\)\s*$"
+    r"(?is)^\s*(?P<pvar>\w+)\s*=\s*(?:all)?shortestPaths?\s*\(\s*(?P<inner>.*)\s*\)\s*$"
 )
 _ITEM = re.compile(
     r"^\s*(?:(?P<func>labels|count|collect|min|max|sum|avg|length|nodes|relationships)\s*\(\s*"
@@ -1083,7 +1087,7 @@ def _agg_expr(func: str, arg: str, alias: str | None, binds, plain):
 
 
 _CASE_RX = re.compile(
-    r"(?is)^\s*CASE\s+(?P<body>WHEN\b.*)\bEND\s*(?:\s*AS\s+(?P<alias>\w+))?\s*$"
+    r"(?is)^\s*CASE\s+(?P<body>.+)\bEND\s*(?:\s*AS\s+(?P<alias>\w+))?\s*$"
 )
 
 
@@ -1104,18 +1108,23 @@ def _value_col(raw: str, binds, plain):
 
 def _case_col(raw_item: str, binds, plain):
     """Searched-CASE RETURN item → aliased Column, or None if the item is
-    not a CASE expression. ``CASE WHEN cond THEN val ... [ELSE val] END
-    [AS alias]``; conditions reuse the full WHERE boolean grammar, values
-    are properties/bare columns/literals. (The simple form ``CASE expr
-    WHEN val`` is not compiled — use searched CASE.)"""
+    not a CASE expression. Searched form ``CASE WHEN cond THEN val ...
+    [ELSE val] END [AS alias]`` — conditions reuse the full WHERE boolean
+    grammar; simple form ``CASE test WHEN val THEN ... END`` — each arm an
+    equality against the leading comparand (openCypher). Values are
+    properties/bare columns/literals."""
     cm = _CASE_RX.match(raw_item)
     if cm is None:
         return None
     parts = _split_bool(cm.group("body"), "WHEN")
-    if parts[0].strip():
-        raise CypherError(
-            "only searched CASE (CASE WHEN cond THEN ...) is supported"
-        )
+    # simple form `CASE test WHEN val THEN ...`: the leading expression is
+    # the comparand, each WHEN arm an equality against it (openCypher);
+    # empty leading text = searched form, arms are full boolean conditions
+    test_col = (
+        _value_col(parts[0], binds, plain) if parts[0].strip() else None
+    )
+    if len(parts) < 2:
+        raise CypherError("CASE needs at least one WHEN arm")
     branches: list[tuple] = []
     else_col = None
     n = len(parts) - 1
@@ -1131,9 +1140,11 @@ def _case_col(raw_item: str, binds, plain):
                 else_col = _value_col(else_s, binds, plain)
             elif len(ev) > 2:
                 raise CypherError("CASE has more than one ELSE")
-        branches.append(
-            (_where_condition(cond_s, binds, plain), _value_col(val_s, binds, plain))
-        )
+        if test_col is not None:
+            cond = test_col == _value_col(cond_s, binds, plain)
+        else:
+            cond = _where_condition(cond_s, binds, plain)
+        branches.append((cond, _value_col(val_s, binds, plain)))
     col = None
     for cond, val in branches:
         col = F.when(cond, val) if col is None else col.when(cond, val)

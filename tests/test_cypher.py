@@ -1108,3 +1108,31 @@ def test_relationship_variable_refusals(graph):
         run_cypher(
             "MATCH (a)-[r:INHERITS]->(b) RETURN r", nodes, edges
         )
+
+
+def test_simple_case_and_all_shortest_alias(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (c:CLASS) RETURN c.name AS n, "
+        "CASE c.name WHEN 'Dog' THEN 'canine' WHEN 'Animal' THEN 'root' "
+        "ELSE 'other' END AS tier ORDER BY n",
+        nodes,
+        edges,
+    ).collect()
+    tiers = {r["n"]: r["tier"] for r in out}
+    assert tiers["Dog"] == "canine" and tiers["Animal"] == "root"
+    assert all(v == "other" for k, v in tiers.items() if k not in ("Dog", "Animal"))
+    # allShortestPaths alias compiles to the same min-dist projection
+    a = run_cypher(
+        "MATCH p = allShortestPaths((a:CLASS {name: 'Dog'})-[:INHERITS*1..3]->(b)) "
+        "RETURN b.name AS base, length(p) AS d ORDER BY base",
+        nodes,
+        edges,
+    ).collect()
+    s = run_cypher(
+        "MATCH p = shortestPath((a:CLASS {name: 'Dog'})-[:INHERITS*1..3]->(b)) "
+        "RETURN b.name AS base, length(p) AS d ORDER BY base",
+        nodes,
+        edges,
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in s] and a
