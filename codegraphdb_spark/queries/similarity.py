@@ -1532,3 +1532,63 @@ def emb_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+@query(
+    "emb_centroid_affinity",
+    oracle="""
+    WITH expl AS (
+      SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, (SELECT UNNEST(generate_series(1, 64)) AS i)
+    ), cent AS (
+      SELECT label, pos,
+             CAST(CAST(SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) AS DOUBLE)
+                  / COUNT(*) / 1000000000 AS DOUBLE) AS cval
+      FROM expl GROUP BY label, pos
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(CAST(SUM(CAST(ROUND(a.cval * b.cval * 1000000) AS BIGINT))
+                AS DOUBLE) / 1000000 AS DOUBLE) AS dot
+    FROM cent a JOIN cent b ON a.pos = b.pos AND a.label <= b.label
+    GROUP BY a.label, b.label
+    ORDER BY label_a, label_b
+    """,
+)
+def emb_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-cluster affinity matrix: pairwise dot products between the
+    per-label centroids — the diagnostic that tells you which label
+    clusters overlap before trusting label-blocked dedup or IVF routing.
+    Exactness chain: centroid components are scaled-int-exact means
+    (identical doubles both engines), each cross term is ONE double
+    multiply rounded back into the scaled-int domain, and the 64-term
+    reduction is an int64 sum — order-free. The join is centroid-sized
+    (labels × 64 rows) — at 100 TB this runs on the aggregate of the
+    corpus, never the corpus; no sqrt anywhere (libm-unsafe), so the
+    matrix is raw dot products, with self-affinity on the diagonal."""
+    cent = emb_centroid_by_label(spark, sf_dir).withColumnRenamed(
+        "centroid_val", "cval"
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("cval").alias("cval_a")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("cval").alias("cval_b")
+    )
+    return (
+        a.join(b, "pos")
+        .filter(F.col("label_a") <= F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("cval_a") * F.col("cval_b") * 1_000_000).cast(
+                        "bigint"
+                    )
+                ).cast("double")
+                / 1_000_000
+            )
+            .cast("double")
+            .alias("dot")
+        )
+        .orderBy("label_a", "label_b")
+    )

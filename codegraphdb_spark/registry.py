@@ -77,6 +77,7 @@ _DRIVER_PRIORITY: list[str] = [
     "promo_revenue_ratio",             # NEW: Q14 conditional-sum ratio
     "having_share_threshold",          # NEW: Q11 HAVING vs global scalar
     "events_value_mad",                # NEW: robust MAD, exact percentiles
+    "emb_centroid_affinity",           # NEW: inter-cluster dot matrix
     # -- round 4, earlier sessions: new or behavior-adjacent -------------
     "g_bucketed_children",     # NEW: C4 on the bucketed snapshot layout
     "g_cypher_unwind_params",  # NEW: UNWIND + $params + =~ regex
@@ -96,7 +97,6 @@ _DRIVER_PRIORITY: list[str] = [
     "g_override_edges",        # oracle REPLACED: name-join over closure
     "approx_distinct_kmv",     # NEW: oracle-checked KMV sketch
     "emb_ivfpq_topk",          # NEW: fifth ANN tier (residual PQ / ADC)
-    "g_cypher_pattern_pred",   # NEW: WHERE pattern predicates (semi/anti)
     "emb_recall_at_k",         # NEW: in-engine ANN recall metric
     "events_markov_transitions",  # NEW: integer-scaled transition matrix
     # -- headliners: keep the flagship pair inside every window ----------
@@ -109,6 +109,7 @@ _DRIVER_PRIORITY: list[str] = [
     # shared-fragment KMV variants, Cypher read shapes structurally
     # identical to in-window siblings, and r4-early entries already
     # locally green at all SFs):
+    "g_cypher_pattern_pred",   # semi/anti machinery shared with in-window EXISTS shapes
     "g_cypher_case",           # CASE machinery shared with in-window scalar_fns
     "emb_mmr_diversify",       # bounded-pool shape shared with in-window recall
     "doc_bigram_lm_quality",   # shares bigram CTE with spilled collocations
