@@ -1417,3 +1417,105 @@ def having_share_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "nation_value")
         .orderBy("n_name")
     )
+
+
+@query(
+    "exclusive_late_supplier",
+    oracle="""
+    WITH per_ls AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS was_late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY l_orderkey, l_suppkey),
+    per_order AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_suppliers,
+             SUM(was_late) AS n_late
+      FROM per_ls GROUP BY l_orderkey)
+    SELECT s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_exclusive_late_orders
+    FROM per_ls
+    JOIN per_order USING (l_orderkey)
+    JOIN supplier s ON s.s_suppkey = per_ls.l_suppkey
+    WHERE per_order.n_suppliers > 1
+      AND per_order.n_late = 1
+      AND per_ls.was_late = 1
+    GROUP BY s.s_name
+    ORDER BY n_exclusive_late_orders DESC, s_name
+    """,
+)
+def exclusive_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS + NOT-EXISTS correlated pair ("another
+    supplier on the order" / "no OTHER supplier was late") decorrelated
+    into two grouped aggregates — per-(order, supplier) lateness, then
+    per-order supplier/late counts — and a filter, instead of two
+    re-executed correlated probes. Both aggregates share the orderkey
+    shuffle; the supplier dim joins at the end on the already-tiny
+    result. The 60-day lateness predicate mixes columns of both tables,
+    so it evaluates post-join (not pushable) — the join itself stays the
+    single orderkey-keyed hash join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+    ).otherwise(0)
+    per_ls = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("was_late"))
+    )
+    per_order = per_ls.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("was_late").alias("n_late"),
+    )
+    return (
+        per_ls.join(per_order, "l_orderkey")
+        .filter(
+            (F.col("n_suppliers") > 1)
+            & (F.col("n_late") == 1)
+            & (F.col("was_late") == 1)
+        )
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exclusive_late_orders"))
+        .orderBy(F.col("n_exclusive_late_orders").desc(), "s_name")
+    )
+
+
+@query(
+    "value_range_window",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+                               RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING)
+                AS BIGINT) AS n_peers_within_100
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def value_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based RANGE frame (not a time interval): for each customer,
+    how many same-segment customers sit within ±100 of their balance —
+    the density-neighborhood window §2.G's ROWS/interval frames didn't
+    cover. The frame bound is an exact double offset (100 is binary-exact
+    and the 2-dp balances compare identically on both engines). One
+    shuffle on the segment key; the range frame is evaluated in the same
+    sort pass — no self-join, which is what makes the neighborhood count
+    O(n log n) instead of the O(n²) band join a naive formulation pays."""
+    c = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal")
+        .rangeBetween(-100, 100)
+    )
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_peers_within_100"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -78,9 +78,10 @@ _DRIVER_PRIORITY: list[str] = [
     "having_share_threshold",          # NEW: Q11 HAVING vs global scalar
     "events_value_mad",                # NEW: robust MAD, exact percentiles
     "emb_centroid_affinity",           # NEW: inter-cluster dot matrix
+    "exclusive_late_supplier",         # NEW: Q21 EXISTS/NOT-EXISTS pair
+    "value_range_window",              # NEW: value-based RANGE frame
     # -- round 4, earlier sessions: new or behavior-adjacent -------------
     "g_bucketed_children",     # NEW: C4 on the bucketed snapshot layout
-    "g_cypher_unwind_params",  # NEW: UNWIND + $params + =~ regex
     "g_cypher_shortest",       # NEW: shortestPath() + length(p)
     "emb_whiten",              # NEW: bit-exact whitening apply
     "g_call_edges_deep",       # new goldens: alias bindings + non-__init__ field ctor
@@ -97,7 +98,6 @@ _DRIVER_PRIORITY: list[str] = [
     "g_override_edges",        # oracle REPLACED: name-join over closure
     "approx_distinct_kmv",     # NEW: oracle-checked KMV sketch
     "emb_ivfpq_topk",          # NEW: fifth ANN tier (residual PQ / ADC)
-    "emb_recall_at_k",         # NEW: in-engine ANN recall metric
     "events_markov_transitions",  # NEW: integer-scaled transition matrix
     # -- headliners: keep the flagship pair inside every window ----------
     "revenue_by_nation",
@@ -109,6 +109,8 @@ _DRIVER_PRIORITY: list[str] = [
     # shared-fragment KMV variants, Cypher read shapes structurally
     # identical to in-window siblings, and r4-early entries already
     # locally green at all SFs):
+    "emb_recall_at_k",         # embeds sibling oracles of in-window ANN tiers
+    "g_cypher_unwind_params",  # params/UNWIND machinery exercised by in-window topn
     "g_cypher_pattern_pred",   # semi/anti machinery shared with in-window EXISTS shapes
     "g_cypher_case",           # CASE machinery shared with in-window scalar_fns
     "emb_mmr_diversify",       # bounded-pool shape shared with in-window recall
