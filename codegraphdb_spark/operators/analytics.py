@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 SCALE = 10**12
 DAMP_NUM = 85
@@ -110,3 +111,24 @@ def pagerank_int_reference(edge_list: list[tuple[str, str]], iterations: int = 1
             inflow[d] += ranks[s] // outdeg[s]
         ranks = {v: base + DAMP_NUM * inflow[v] // DAMP_DEN for v in vertices}
     return ranks
+
+
+def kcore_superstep(sym: DataFrame, vals: DataFrame) -> DataFrame:
+    """ONE h-index superstep of the k-core iteration (Lu et al. 2016):
+    replace each node's value with the h-index of its neighbors' values.
+    THE shared kernel — queries/graph.py::g_kcore (fixed unroll matching
+    the DuckDB oracle) and tools/stress_kcore.py (run to convergence at
+    scale) both call this, so the iteration can never drift between the
+    shipped query and its scale evidence.
+
+    ``sym``: symmetrized edge list (a, b); ``vals``: (node, val).
+    One join + one window + one agg, all keyed on the same node column —
+    one exchange per superstep at any scale."""
+    nb = sym.join(vals, sym["b"] == vals["node"]).select("a", "val")
+    rn = F.row_number().over(Window.partitionBy("a").orderBy(F.col("val").desc()))
+    return (
+        nb.select("a", F.least(rn, F.col("val")).alias("h"))
+        .groupBy("a")
+        .agg(F.max("h").alias("val"))
+        .withColumnRenamed("a", "node")
+    )

@@ -147,6 +147,24 @@ def _parse_assignments(assigns: str, var: str) -> dict[str, object]:
     return updates
 
 
+def _refuse_ignored_labels(
+    kind: str | None, versions: list[str], where: str, allow_kind: bool
+) -> None:
+    """Write patterns stamp versions from the ``version`` argument and (for
+    edge endpoints) never apply kinds — a label the statement would
+    silently ignore is refused instead (the refuse-loudly policy)."""
+    if versions:
+        raise CypherError(
+            f"{where}: version label(s) {versions!r} are not applied by "
+            "write statements — pass version= to run_cypher_write instead"
+        )
+    if kind is not None and not allow_kind:
+        raise CypherError(
+            f"{where}: a kind label on an edge endpoint is not applied — "
+            "MERGE/CREATE the node itself to set its kind"
+        )
+
+
 def _parse_single_node(pattern: str) -> tuple[str | None, list[str], dict]:
     m = _NODE.fullmatch(pattern.strip())
     if not m:
@@ -431,8 +449,10 @@ def run_cypher_write(
             pattern = m.group("pattern").strip()
             em = _EDGE_MERGE_RX.fullmatch(pattern)
             if em:
-                _, _, a_props = _parse_single_node(em.group("a"))
-                _, _, b_props = _parse_single_node(em.group("b"))
+                a_kind, a_vers, a_props = _parse_single_node(em.group("a"))
+                b_kind, b_vers, b_props = _parse_single_node(em.group("b"))
+                _refuse_ignored_labels(a_kind, a_vers, "CREATE (edge) left endpoint", False)
+                _refuse_ignored_labels(b_kind, b_vers, "CREATE (edge) right endpoint", False)
                 e_props = _parse_props(em.group("props"))
                 src = _require_key(a_props, "CREATE (edge) left endpoint")
                 dst = _require_key(b_props, "CREATE (edge) right endpoint")
@@ -455,6 +475,7 @@ def run_cypher_write(
                     nodes, edges, a_props, rel, e_props, b_props, version
                 )
             kind, _versions, props = _parse_single_node(pattern)
+            _refuse_ignored_labels(kind, _versions, "CREATE (node)", True)
             full_name = _require_key(props, "CREATE (node)")
             if nodes.filter(F.col("full_name") == full_name).limit(1).count():
                 raise CypherError(
@@ -475,14 +496,17 @@ def run_cypher_write(
             clauses = m.groupdict().get("clauses") or ""
             em = _EDGE_MERGE_RX.fullmatch(pattern)
             if em:
-                _, _, a_props = _parse_single_node(em.group("a"))
-                _, _, b_props = _parse_single_node(em.group("b"))
+                a_kind, a_vers, a_props = _parse_single_node(em.group("a"))
+                b_kind, b_vers, b_props = _parse_single_node(em.group("b"))
+                _refuse_ignored_labels(a_kind, a_vers, "MERGE (edge) left endpoint", False)
+                _refuse_ignored_labels(b_kind, b_vers, "MERGE (edge) right endpoint", False)
                 e_props = _parse_props(em.group("props"))
                 return _merge_edge(
                     nodes, edges, a_props, em.group("rel"), e_props, b_props,
                     version,
                 )
             kind, _versions, props = _parse_single_node(pattern)
+            _refuse_ignored_labels(kind, _versions, "MERGE (node)", True)
             nm = _NODE.fullmatch(pattern)
             var = nm.group("var") if nm else None
             on_create: dict = {}

@@ -1943,49 +1943,18 @@ def g_cypher_with(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KCORE_ROUNDS = 8  # fixed h-index supersteps; converged long before
-_KCORE_ROUND_CTES = """
-    r1 AS (
+# one generated CTE per superstep (the events_ewma-style generated form —
+# a single template cannot drift between rounds)
+_KCORE_ROUND_CTES = ",".join(
+    f"""
+    r{i} AS (
       SELECT a AS node, MAX(LEAST(rn, val)) AS val FROM (
         SELECT e.a, r.val,
                ROW_NUMBER() OVER (PARTITION BY e.a ORDER BY r.val DESC) AS rn
-        FROM sym e JOIN r0 r ON r.node = e.b)
-      GROUP BY a),
-    r2 AS (
-      SELECT a AS node, MAX(LEAST(rn, val)) AS val FROM (
-        SELECT e.a, r.val,
-               ROW_NUMBER() OVER (PARTITION BY e.a ORDER BY r.val DESC) AS rn
-        FROM sym e JOIN r1 r ON r.node = e.b)
-      GROUP BY a),
-    r3 AS (
-      SELECT a AS node, MAX(LEAST(rn, val)) AS val FROM (
-        SELECT e.a, r.val,
-               ROW_NUMBER() OVER (PARTITION BY e.a ORDER BY r.val DESC) AS rn
-        FROM sym e JOIN r2 r ON r.node = e.b)
-      GROUP BY a),
-    r4 AS (
-      SELECT a AS node, MAX(LEAST(rn, val)) AS val FROM (
-        SELECT e.a, r.val,
-               ROW_NUMBER() OVER (PARTITION BY e.a ORDER BY r.val DESC) AS rn
-        FROM sym e JOIN r3 r ON r.node = e.b)
-      GROUP BY a),
-    r5 AS (
-      SELECT a AS node, MAX(LEAST(rn, val)) AS val FROM (
-        SELECT e.a, r.val,
-               ROW_NUMBER() OVER (PARTITION BY e.a ORDER BY r.val DESC) AS rn
-        FROM sym e JOIN r4 r ON r.node = e.b)
-      GROUP BY a),
-    r6 AS (
-      SELECT a AS node, MAX(LEAST(rn, val)) AS val FROM (
-        SELECT e.a, r.val,
-               ROW_NUMBER() OVER (PARTITION BY e.a ORDER BY r.val DESC) AS rn
-        FROM sym e JOIN r5 r ON r.node = e.b)
-      GROUP BY a),
-    r7 AS (
-      SELECT a AS node, MAX(LEAST(rn, val)) AS val FROM (
-        SELECT e.a, r.val,
-               ROW_NUMBER() OVER (PARTITION BY e.a ORDER BY r.val DESC) AS rn
-        FROM sym e JOIN r6 r ON r.node = e.b)
+        FROM sym e JOIN r{i - 1} r ON r.node = e.b)
       GROUP BY a)"""
+    for i in range(1, _KCORE_ROUNDS)
+)
 
 
 @query(
@@ -2035,19 +2004,12 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates()
     )
+    from codegraphdb_spark.operators.analytics import kcore_superstep
+
     sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     vals = sym.groupBy("a").agg(F.count(F.lit(1)).alias("val")).withColumnRenamed("a", "node")
-    from pyspark.sql.window import Window as W
-
     for _ in range(1, _KCORE_ROUNDS):
-        nb = sym.join(vals, sym["b"] == vals["node"]).select("a", "val")
-        rn = F.row_number().over(W.partitionBy("a").orderBy(F.col("val").desc()))
-        vals = (
-            nb.select("a", F.least(rn, F.col("val")).alias("h"))
-            .groupBy("a")
-            .agg(F.max("h").alias("val"))
-            .withColumnRenamed("a", "node")
-        )
+        vals = kcore_superstep(sym, vals)
     return vals.select(
         F.col("node").alias("full_name"), F.col("val").cast("int").alias("core")
     ).orderBy("full_name")

@@ -304,6 +304,8 @@ def ewma_stream(stream: DataFrame, timeout_ms: int | None = None) -> DataFrame:
     horizon = 8
 
     def update(key, pdfs, state: GroupState):
+        from decimal import ROUND_HALF_UP, Decimal
+
         import pandas as pd
 
         if state.hasTimedOut:
@@ -312,10 +314,23 @@ def ewma_stream(stream: DataFrame, timeout_ms: int | None = None) -> DataFrame:
         # state.get returns the lag tuple newest-first; None = absent lag
         lags = list(state.get) if state.exists else [None] * (horizon - 1)
         rows = {"event_id": [], "user_id": [], "ts": [], "ewma": []}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ev, ts, val in zip(pdf["event_id"], pdf["ts"], pdf["value"]):
-                sv = int(round(float(val) * 1000000))
+        # pdfs is an ITERATOR of Arrow chunks (split at
+        # maxRecordsPerBatch): sorting each chunk independently would
+        # break the within-micro-batch event-time order for groups larger
+        # than one chunk — concatenate FIRST, sort the whole batch once
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for ev, ts, val in zip(whole["event_id"], whole["ts"], whole["value"]):
+                # Spark's F.round = BigDecimal HALF_UP on the double's
+                # exact binary expansion; Decimal(float) reproduces that
+                # exactly (Python round() is HALF_EVEN and diverges on
+                # exact halves)
+                sv = int(
+                    Decimal(float(val) * 1000000).quantize(
+                        Decimal(1), rounding=ROUND_HALF_UP
+                    )
+                )
                 window = [sv] + lags
                 num = 0
                 den = 0

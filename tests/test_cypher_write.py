@@ -346,3 +346,17 @@ def test_remove_nulls_matched_property_only(spark):
     with pytest.raises(CypherError, match="not a removable"):
         run_cypher_write("MATCH (n {full_name: 'm.C'}) REMOVE n.full_name",
                          nodes, edges)
+
+
+def test_ignored_labels_refused(spark):
+    nodes, edges = _snapshot(spark)
+    with pytest.raises(CypherError, match="version label"):
+        run_cypher_write("CREATE (n:CLASS:v9 {full_name: 'x'})", nodes, edges)
+    with pytest.raises(CypherError, match="version label"):
+        run_cypher_write("MERGE (n:FUNCTION:v9 {full_name: 'x'})", nodes, edges)
+    with pytest.raises(CypherError, match="edge endpoint"):
+        run_cypher_write(
+            "MERGE (a:CLASS {full_name: 'm.C'})-[:INHERITS]->(b {full_name: 'y'})",
+            nodes,
+            edges,
+        )

@@ -23,8 +23,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
-from pyspark.sql.window import Window  # noqa: E402
-
 from codegraphdb_spark.session import get_spark  # noqa: E402
 
 
@@ -43,7 +41,9 @@ def synth_edges(n_nodes: int, m: int) -> list[tuple[int, int]]:
     return sorted(edges)
 
 
-def kcore_distributed(spark, pairs, checkpoint_every: int = 4):
+def kcore_distributed(spark, pairs):
+    from codegraphdb_spark.operators.analytics import kcore_superstep
+
     und = spark.createDataFrame(pairs, "a BIGINT, b BIGINT")
     sym = und.unionAll(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -56,15 +56,8 @@ def kcore_distributed(spark, pairs, checkpoint_every: int = 4):
     rounds = 0
     while True:
         rounds += 1
-        nb = sym.join(vals, sym["b"] == vals["node"]).select("a", "val")
-        rn = F.row_number().over(Window.partitionBy("a").orderBy(F.col("val").desc()))
-        nxt = (
-            nb.select("a", F.least(rn, F.col("val")).alias("h"))
-            .groupBy("a")
-            .agg(F.max("h").alias("val"))
-            .withColumnRenamed("a", "node")
-        )
-        nxt = nxt.localCheckpoint(eager=True)
+        # THE shared superstep kernel from the shipped query
+        nxt = kcore_superstep(sym, vals).localCheckpoint(eager=True)
         changed = (
             nxt.alias("n")
             .join(vals.alias("o"), "node")
