@@ -156,9 +156,15 @@ def main() -> None:
     # pruned-update scale validation (~2k files, 10-file change) — set
     # SPARK_GRAFT_PRUNED_PKGS=0 to skip while iterating locally
     pruned_pkgs = int(os.environ.get("SPARK_GRAFT_PRUNED_PKGS", "667"))
-    pruned_rec = (
-        _pruned_update_bench(spark, pruned_pkgs) if pruned_pkgs > 0 else None
-    )
+    if pruned_pkgs > 0:
+        # the catalog sweep leaves hundreds of pinned checkpoint blocks;
+        # the lifecycle phase must not pay their heap pressure
+        from codegraphdb_spark.session import clear_session_caches
+
+        clear_session_caches(spark)
+        pruned_rec = _pruned_update_bench(spark, pruned_pkgs)
+    else:
+        pruned_rec = None
 
     total = round(sum(timings.values()), 3)
     record = {

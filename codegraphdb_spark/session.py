@@ -40,3 +40,32 @@ def get_spark(app_name: str = "codegraphdb-spark", cpus: str | int | None = None
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
     return builder.getOrCreate()
+
+
+def clear_session_caches(spark) -> None:
+    """Drop every module-level cached/checkpointed intermediate the query
+    catalogs hold for this session, then clear Spark's own caches.
+
+    The caches exist so a query FLEET shares expensive intermediates
+    (pair overlap, LSH signatures, the built graph); but the held
+    references pin localCheckpoint RDD blocks in the block manager, and a
+    long session that has run the whole catalog carries hundreds of such
+    blocks — enough heap pressure to slow later many-tiny-stage jobs
+    several-fold (measured: the bench's pruned-update phase ran 8.9 s in
+    a fresh session vs 66.9 s after 154 queries). Lifecycle phases that
+    follow a query sweep should call this first."""
+    from codegraphdb_spark.queries import graph, similarity, text
+
+    for cache in (
+        graph._CACHE,
+        graph._FACTS_CACHE,
+        graph._DEEP_CACHE,
+        similarity._EMB_PAIRS_CACHE,
+        text._PAIRS_CACHE,
+        text._OVERLAP_CACHE,
+    ):
+        cache.clear()
+    spark.catalog.clearCache()
+    import gc
+
+    gc.collect()  # release checkpointed RDDs the cleared dicts referenced
