@@ -1592,3 +1592,68 @@ def emb_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+@query(
+    "emb_label_outliers",
+    oracle="""
+    WITH expl AS (
+      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, (SELECT UNNEST(generate_series(1, 64)) AS i)
+    ), cent AS (
+      SELECT label, pos,
+             CAST(CAST(SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) AS DOUBLE)
+                  / COUNT(*) / 1000000000 AS DOUBLE) AS cval
+      FROM expl GROUP BY label, pos
+    ), affinity AS (
+      SELECT e.vec_id, e.label,
+             SUM(CAST(ROUND(e.x * c.cval * 1000000) AS BIGINT)) AS dot_scaled
+      FROM expl e JOIN cent c ON c.label = e.label AND c.pos = e.pos
+      GROUP BY e.vec_id, e.label
+    )
+    SELECT vec_id, label,
+           CAST(dot_scaled AS BIGINT) AS dot_scaled,
+           CAST(rnk AS INT) AS outlier_rank
+    FROM (
+      SELECT vec_id, label, dot_scaled,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY dot_scaled, vec_id) AS rnk
+      FROM affinity)
+    WHERE rnk <= 5
+    ORDER BY label, outlier_rank
+    """,
+)
+def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screening: the 5 vectors LEAST aligned with their own
+    label's centroid (lowest centroid dot product) per label — the
+    cheap first-pass mislabel/outlier filter a labeling pipeline runs
+    before training. Exactness: centroid components are scaled-int means,
+    each vector×centroid term rounds into the scaled-int domain before
+    the order-free int64 sum, and the per-label ranking breaks ties on
+    vec_id. One corpus-keyed aggregate + one label-partitioned window;
+    the centroid side is labels × 64 rows (broadcast at any scale)."""
+    v = load_table(spark, sf_dir, "embeddings")
+    expl = v.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x"),
+    ).select("vec_id", "label", (F.col("pos0") + 1).cast("int").alias("pos"), "x")
+    cent = emb_centroid_by_label(spark, sf_dir).withColumnRenamed(
+        "centroid_val", "cval"
+    )
+    affinity = (
+        expl.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.round(F.col("x") * F.col("cval") * 1_000_000).cast("bigint")
+            ).alias("dot_scaled")
+        )
+    )
+    w = Window.partitionBy("label").orderBy("dot_scaled", "vec_id")
+    return (
+        affinity.withColumn("outlier_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("outlier_rank") <= 5)
+        .select("vec_id", "label", "dot_scaled", "outlier_rank")
+        .orderBy("label", "outlier_rank")
+    )

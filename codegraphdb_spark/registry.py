@@ -78,12 +78,12 @@ _DRIVER_PRIORITY: list[str] = [
     "having_share_threshold",          # NEW: Q11 HAVING vs global scalar
     "events_value_mad",                # NEW: robust MAD, exact percentiles
     "emb_centroid_affinity",           # NEW: inter-cluster dot matrix
+    "emb_label_outliers",              # NEW: label-noise screening
     "exclusive_late_supplier",         # NEW: Q21 EXISTS/NOT-EXISTS pair
     "value_range_window",              # NEW: value-based RANGE frame
     # -- round 4, earlier sessions: new or behavior-adjacent -------------
     "g_bucketed_children",     # NEW: C4 on the bucketed snapshot layout
     "g_cypher_shortest",       # NEW: shortestPath() + length(p)
-    "emb_whiten",              # NEW: bit-exact whitening apply
     "g_call_edges_deep",       # new goldens: alias bindings + non-__init__ field ctor
     "g_call_edges",            # resolver change (bare-name bind keys) touches all refs
     "g_uses_edges",            # same resolver surface
@@ -109,6 +109,7 @@ _DRIVER_PRIORITY: list[str] = [
     # shared-fragment KMV variants, Cypher read shapes structurally
     # identical to in-window siblings, and r4-early entries already
     # locally green at all SFs):
+    "emb_whiten",              # broadcast-moments shape like in-window affinity
     "emb_recall_at_k",         # embeds sibling oracles of in-window ANN tiers
     "g_cypher_unwind_params",  # params/UNWIND machinery exercised by in-window topn
     "g_cypher_pattern_pred",   # semi/anti machinery shared with in-window EXISTS shapes
