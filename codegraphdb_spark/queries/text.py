@@ -1826,3 +1826,87 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("lang_tagged", "lang_pred")
     )
+
+
+@query(
+    "doc_shingle_novelty",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform({SQL_SHINGLES},
+                           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS shs
+      FROM documents
+    ), inv AS (
+      SELECT doc_id, UNNEST(shs) AS shingle FROM sh
+    ), first_seen AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM inv GROUP BY shingle
+    )
+    SELECT i.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(CAST(SUM(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END)
+                     AS DOUBLE) / COUNT(*) AS DOUBLE) AS novelty
+    FROM inv i JOIN first_seen f ON f.shingle = i.shingle
+    GROUP BY i.doc_id
+    ORDER BY i.doc_id
+    """,
+)
+def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: per document (in doc_id ingestion order), the
+    fraction of its shingles never seen in ANY earlier document — the
+    diversity/diminishing-returns diagnostic a data-curation pipeline
+    reads before deciding whether more of a source is worth ingesting.
+    First-seen attribution is a shingle-keyed MIN aggregate (one shuffle
+    over 8-byte hashes) joined back to the inverted index — never a
+    quadratic earlier-docs comparison; novelty is an exact int/int
+    division. Shares the shingle arithmetic (and hash space) with the
+    Jaccard family so the metrics compose."""
+    import hashlib
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def shingle_hashes(it):
+        for pdf in it:
+            ids, arrs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split(" ")
+                if len(toks) >= 3:
+                    shingles = {
+                        f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
+                        for i in range(len(toks) - 2)
+                    }
+                else:
+                    shingles = {text}
+                ids.append(doc_id)
+                arrs.append(
+                    [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shingles]
+                )
+            yield pd.DataFrame({"doc_id": ids, "shs": arrs})
+
+    inv = (
+        d.select("doc_id", "text")
+        .mapInPandas(shingle_hashes, schema="doc_id BIGINT, shs ARRAY<BIGINT>")
+        .select("doc_id", F.explode("shs").alias("shingle"))
+    )
+    first_seen = inv.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        inv.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles"))
+            .cast("double")
+            .alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

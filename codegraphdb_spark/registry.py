@@ -79,10 +79,10 @@ _DRIVER_PRIORITY: list[str] = [
     "events_value_mad",                # NEW: robust MAD, exact percentiles
     "emb_centroid_affinity",           # NEW: inter-cluster dot matrix
     "emb_label_outliers",              # NEW: label-noise screening
+    "doc_shingle_novelty",             # NEW: corpus novelty curve
     "exclusive_late_supplier",         # NEW: Q21 EXISTS/NOT-EXISTS pair
     "value_range_window",              # NEW: value-based RANGE frame
     # -- round 4, earlier sessions: new or behavior-adjacent -------------
-    "g_bucketed_children",     # NEW: C4 on the bucketed snapshot layout
     "g_cypher_shortest",       # NEW: shortestPath() + length(p)
     "g_call_edges_deep",       # new goldens: alias bindings + non-__init__ field ctor
     "g_call_edges",            # resolver change (bare-name bind keys) touches all refs
@@ -109,6 +109,7 @@ _DRIVER_PRIORITY: list[str] = [
     # shared-fragment KMV variants, Cypher read shapes structurally
     # identical to in-window siblings, and r4-early entries already
     # locally green at all SFs):
+    "g_bucketed_children",     # bucketed layout; plan property also pytest-asserted
     "emb_whiten",              # broadcast-moments shape like in-window affinity
     "emb_recall_at_k",         # embeds sibling oracles of in-window ANN tiers
     "g_cypher_unwind_params",  # params/UNWIND machinery exercised by in-window topn
