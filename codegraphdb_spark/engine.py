@@ -87,6 +87,95 @@ def safe_table_swap(fs, jvm, src: str, dst: str) -> None:
     fs.delete(trash, True)
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A second writer committed (or holds the commit lock) between this
+    writer's read and its attempted snapshot promote."""
+
+
+def read_snapshot_generation(spark, path: str) -> int:
+    """Monotonic commit counter of an atomic snapshot dir (0 = never
+    committed / pre-generation snapshot)."""
+    from codegraphdb_spark.streaming.repo_index import _hadoop_fs
+
+    fs, _ = _hadoop_fs(spark, path)
+    gen_path = spark._jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/_GENERATION"
+    )
+    if not fs.exists(gen_path):
+        return 0
+    stream = fs.open(gen_path)
+    try:
+        raw = bytes(
+            stream.readAllBytes()
+            if hasattr(stream, "readAllBytes")
+            else b""
+        )
+    finally:
+        stream.close()
+    if not raw:  # fallback for FS clients without readAllBytes
+        import subprocess  # pragma: no cover - local-fs fallback
+
+        raw = subprocess.check_output(["cat", path.rstrip("/") + "/_GENERATION"])
+    return int(raw.decode().split()[0])
+
+
+def _write_generation(spark, fs, path: str, generation: int) -> None:
+    jvm = spark._jvm
+    gen_path = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_GENERATION")
+    out = fs.create(gen_path, True)
+    try:
+        out.write(f"{generation}\n".encode())
+    finally:
+        out.close()
+
+
+class _CommitLock:
+    """Create-exclusive commit lock for optimistic snapshot writes.
+
+    ``fs.createNewFile`` is atomic on HDFS and on the local POSIX client
+    (O_CREAT|O_EXCL), so exactly one writer can enter the
+    check-generation → swap → bump-generation critical section. A writer
+    that dies inside leaves the lock behind; a later writer sees it and
+    raises ConcurrentWriteError with the lock's age — breaking a known-
+    stale lock is an explicit operator decision (``break_stale_after_s``),
+    never an automatic guess."""
+
+    def __init__(self, spark, path: str, break_stale_after_s: float | None):
+        from codegraphdb_spark.streaming.repo_index import _hadoop_fs
+
+        self.jvm = spark._jvm
+        self.fs, _ = _hadoop_fs(spark, path)
+        self.lock = self.jvm.org.apache.hadoop.fs.Path(
+            path.rstrip("/") + "/_COMMIT_LOCK"
+        )
+        self.break_stale_after_s = break_stale_after_s
+
+    def __enter__(self):
+        import time as _time
+
+        if self.fs.exists(self.lock):
+            age = _time.time() - self.fs.getFileStatus(
+                self.lock
+            ).getModificationTime() / 1000.0
+            if self.break_stale_after_s is not None and age > self.break_stale_after_s:
+                self.fs.delete(self.lock, False)
+            else:
+                raise ConcurrentWriteError(
+                    f"another writer holds the snapshot commit lock "
+                    f"({age:.0f}s old) — retry, or pass break_stale_after_s "
+                    f"if the holder is known dead"
+                )
+        if not self.fs.createNewFile(self.lock):
+            raise ConcurrentWriteError(
+                "lost the commit-lock race to a concurrent writer — retry"
+            )
+        return self
+
+    def __exit__(self, *exc):
+        self.fs.delete(self.lock, False)
+        return False
+
+
 def _priority_merge(
     local_edges: DataFrame,
     reexports: DataFrame,
@@ -630,7 +719,13 @@ class GraphEngine:
     # -- persistence -----------------------------------------------------------
 
     def write_snapshot(
-        self, nodes: DataFrame, edges: DataFrame, path: str, atomic: bool = False
+        self,
+        nodes: DataFrame,
+        edges: DataFrame,
+        path: str,
+        atomic: bool = False,
+        expected_generation: int | None = None,
+        break_stale_after_s: float | None = None,
     ) -> None:
         """Parquet snapshot partitioned by kind/rel_type (partition pruning
         for label-filtered queries — the reference's C2 shape) and sorted
@@ -647,10 +742,25 @@ class GraphEngine:
         returns false rather than throwing) so no failure mode deletes
         the only surviving copy — but a reader racing the swap can still
         observe new nodes with old edges for the instant between the two
-        table moves. Single-writer semantics (the design replaces the
-        reference's global write lock with deterministic merge jobs);
-        concurrent writers or cross-table atomicity would need a
-        log-structured table format (Delta/Iceberg) on top."""
+        table moves.
+
+        Writer concurrency: by default single-writer (the design replaces
+        the reference's global write lock with deterministic merge jobs).
+        ``expected_generation`` adds OPTIMISTIC concurrency on top
+        (requires atomic=True): pass the generation you read
+        (``read_snapshot_generation``) when you loaded the snapshot this
+        write derives from; the commit then (1) stages fully outside any
+        lock, (2) takes the create-exclusive ``_COMMIT_LOCK``
+        (fs.createNewFile — atomic on HDFS and local POSIX), (3) re-checks
+        the generation — a mismatch means another writer committed since
+        your read and raises ConcurrentWriteError with the staged write
+        intact for a rebase-retry, (4) swaps and bumps ``_GENERATION``.
+        That is Delta's commit protocol in miniature (stage anywhere,
+        conflict-check inside one atomic primitive); cross-table
+        snapshot-isolated READS during a swap would still need a real
+        log-structured format."""
+        if expected_generation is not None and not atomic:
+            raise ValueError("expected_generation requires atomic=True")
         if atomic:
             from codegraphdb_spark.streaming.repo_index import _hadoop_fs
 
@@ -660,11 +770,27 @@ class GraphEngine:
             self.write_snapshot(nodes, edges, stage, atomic=False)
             jvm = self.spark._jvm
             fs.mkdirs(jvm.org.apache.hadoop.fs.Path(path))
-            for name in ("nodes", "edges"):
-                safe_table_swap(
-                    fs, jvm, f"{stage}/{name}", f"{path.rstrip('/')}/{name}"
-                )
-            fs.delete(stage_path, True)
+
+            def _swap_tables() -> None:
+                for name in ("nodes", "edges"):
+                    safe_table_swap(
+                        fs, jvm, f"{stage}/{name}", f"{path.rstrip('/')}/{name}"
+                    )
+                fs.delete(stage_path, True)
+
+            if expected_generation is None:
+                _swap_tables()
+                return
+            with _CommitLock(self.spark, path, break_stale_after_s):
+                current = read_snapshot_generation(self.spark, path)
+                if current != expected_generation:
+                    raise ConcurrentWriteError(
+                        f"snapshot advanced to generation {current} since "
+                        f"this write's base {expected_generation} — reload, "
+                        f"re-derive, retry (staged write kept at {stage})"
+                    )
+                _swap_tables()
+                _write_generation(self.spark, fs, path, expected_generation + 1)
             return
         (
             nodes.repartition("kind")

@@ -91,3 +91,57 @@ def test_atomic_snapshot_swap(spark, tmp_path):
     assert not os.path.exists(path + ".stage")
     n2, e2 = eng.read_snapshot(path)
     assert n2.count() == nodes.count() and e2.count() == edges.count()
+
+
+def test_optimistic_generation_commits(built, tmp_path):
+    from codegraphdb_spark.engine import (
+        ConcurrentWriteError,
+        read_snapshot_generation,
+    )
+
+    eng, nodes, edges = built
+    path = str(tmp_path / "gen_snap")
+    assert read_snapshot_generation(eng.spark, path) == 0
+    eng.write_snapshot(nodes, edges, path, atomic=True, expected_generation=0)
+    assert read_snapshot_generation(eng.spark, path) == 1
+    eng.write_snapshot(nodes, edges, path, atomic=True, expected_generation=1)
+    assert read_snapshot_generation(eng.spark, path) == 2
+    # a writer whose base is stale must NOT commit, and the live snapshot
+    # must be untouched
+    before = eng.read_snapshot(path)[0].count()
+    with pytest.raises(ConcurrentWriteError, match="generation 2"):
+        eng.write_snapshot(
+            nodes.limit(1), edges, path, atomic=True, expected_generation=0
+        )
+    assert read_snapshot_generation(eng.spark, path) == 2
+    assert eng.read_snapshot(path)[0].count() == before
+
+
+def test_commit_lock_blocks_and_stale_break(built, tmp_path):
+    from codegraphdb_spark.engine import ConcurrentWriteError
+
+    eng, nodes, edges = built
+    path = str(tmp_path / "lock_snap")
+    eng.write_snapshot(nodes, edges, path, atomic=True, expected_generation=0)
+    # simulate a writer that died holding the lock
+    os.makedirs(path, exist_ok=True)
+    open(os.path.join(path, "_COMMIT_LOCK"), "w").close()
+    with pytest.raises(ConcurrentWriteError, match="commit lock"):
+        eng.write_snapshot(nodes, edges, path, atomic=True, expected_generation=1)
+    # explicit stale-break is an operator decision, then the commit lands
+    eng.write_snapshot(
+        nodes, edges, path, atomic=True, expected_generation=1,
+        break_stale_after_s=0.0,
+    )
+    from codegraphdb_spark.engine import read_snapshot_generation
+
+    assert read_snapshot_generation(eng.spark, path) == 2
+    assert not os.path.exists(os.path.join(path, "_COMMIT_LOCK"))
+
+
+def test_expected_generation_requires_atomic(built, tmp_path):
+    eng, nodes, edges = built
+    with pytest.raises(ValueError, match="atomic"):
+        eng.write_snapshot(
+            nodes, edges, str(tmp_path / "x"), expected_generation=0
+        )
