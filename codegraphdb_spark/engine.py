@@ -105,17 +105,9 @@ def read_snapshot_generation(spark, path: str) -> int:
         return 0
     stream = fs.open(gen_path)
     try:
-        raw = bytes(
-            stream.readAllBytes()
-            if hasattr(stream, "readAllBytes")
-            else b""
-        )
+        raw = bytes(stream.readAllBytes())  # Java 9+ InputStream API
     finally:
         stream.close()
-    if not raw:  # fallback for FS clients without readAllBytes
-        import subprocess  # pragma: no cover - local-fs fallback
-
-        raw = subprocess.check_output(["cat", path.rstrip("/") + "/_GENERATION"])
     return int(raw.decode().split()[0])
 
 

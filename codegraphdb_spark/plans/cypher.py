@@ -84,7 +84,7 @@ _SHORTEST_RX = re.compile(
     r"(?is)^\s*(?P<pvar>\w+)\s*=\s*(?:all)?shortestPaths?\s*\(\s*(?P<inner>.*)\s*\)\s*$"
 )
 _ITEM = re.compile(
-    r"^\s*(?:(?P<func>labels|count|collect|min|max|sum|avg|length|nodes|relationships)\s*\(\s*"
+    r"^\s*(?:(?P<func>labels|count|collect|min|max|sum|avg|length|nodes|relationships|type)\s*\(\s*"
     r"(?P<farg>\*|(?:DISTINCT\s+)?\w+(?:\.\w+)?)\s*\)"
     r"|(?P<var>\w+)(?:\.(?P<prop>\w+))?)"
     r"(?:\s+AS\s+(?P<alias>\w+))?\s*$",
@@ -951,6 +951,12 @@ def _apply_with(
             "is nondeterministic"
         )
 
+    distinct_with = False
+    dm = re.match(r"(?is)^\s*DISTINCT\s+(?P<rest>.*)$", items_text)
+    if dm:
+        distinct_with = True
+        items_text = dm.group("rest")
+
     carried: list[str] = []  # prefixes of bare-carried variables
     new_binds: dict[str, str] = {}
     plain_items: list = []  # non-aggregate projected columns
@@ -997,12 +1003,19 @@ def _apply_with(
         F.col(c) for p in carried for c in df.columns if c.startswith(f"{p}__")
     ]
     if aggs:
+        if distinct_with:
+            raise CypherError(
+                "WITH DISTINCT cannot combine with aggregates (the implicit "
+                "grouping already dedupes keys)"
+            )
         # implicit grouping: every carried column is functionally dependent
         # on the variable's identity, so grouping by the full prefix set
         # preserves var.prop access downstream without a re-join
         df = df.groupBy(*carried_cols, *plain_items).agg(*aggs)
     else:
         df = df.select(*carried_cols, *plain_items)
+        if distinct_with:
+            df = df.dropDuplicates()
     if order_s is not None:
         order_cols = []
         for raw in order_s.split(","):
@@ -1384,6 +1397,15 @@ def _run_cypher_inner(
             if var not in binds:
                 raise CypherError(f"unbound variable {var!r}")
             cols.append(_labels_col(binds[var]).alias(alias or f"labels_{var}"))
+        elif func == "type":
+            var = it.group("farg")
+            if var not in state.get("edge_vars", set()):
+                raise CypherError(
+                    f"type() needs a relationship variable; {var!r} is not one"
+                )
+            cols.append(
+                F.col(f"{binds[var]}__rel_type").alias(alias or f"type_{var}")
+            )
         elif func == "length":
             var = it.group("farg")
             paths = state.get("paths", {})

@@ -1136,3 +1136,25 @@ def test_simple_case_and_all_shortest_alias(graph):
         edges,
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in s] and a
+
+
+def test_type_function_and_with_distinct(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (m:MODULE)-[r:CONTAINS]->(c) RETURN type(r) AS t, c.full_name "
+        "ORDER BY c.full_name",
+        nodes,
+        edges,
+    ).collect()
+    assert out and all(r["t"] == "CONTAINS" for r in out)
+    with pytest.raises(CypherError, match="relationship variable"):
+        run_cypher("MATCH (c:CLASS) RETURN type(c)", nodes, edges)
+    # WITH DISTINCT dedupes the projection
+    rows = run_cypher(
+        "MATCH (m:MODULE)-[:CONTAINS]->(c) WITH DISTINCT m.full_name AS mod "
+        "RETURN mod ORDER BY mod",
+        nodes,
+        edges,
+    ).collect()
+    mods = [r["mod"] for r in rows]
+    assert mods == sorted(set(mods)) and len(mods) >= 2
