@@ -1130,3 +1130,46 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_seasonality_profile",
+    oracle=f"""
+    SELECT CAST(isodow(ts) AS INT) AS day_of_week,
+           CAST(hour(ts) AS INT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {SQL_DSUM_V} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day_of_week, hour_of_day
+    """,
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality fingerprint: (ISO day-of-week × hour-of-day) activity
+    profile — the 168-cell heatmap behind load forecasting and
+    anomaly-baseline seasonal adjustment. One shuffle over at most 168
+    keys with map-side partials doing nearly all the work: at 100 TB the
+    exchange moves a few thousand partial rows, full stop. Scaled-int
+    value sums keep the cells hashable cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.dayofweek(F.col("ts")).alias("dow_raw"),
+            F.hour(F.col("ts")).cast("int").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            isum("value").alias("total_value"),
+        )
+        .select(
+            # Spark dayofweek: 1=Sunday; ISO (DuckDB isodow): 1=Monday
+            F.when(F.col("dow_raw") == 1, 7)
+            .otherwise(F.col("dow_raw") - 1)
+            .cast("int")
+            .alias("day_of_week"),
+            "hour_of_day",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("day_of_week", "hour_of_day")
+    )

@@ -1519,3 +1519,48 @@ def value_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "orders_monthly_growth",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             {sql_dsum('o_totalprice')} AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT month, revenue, n_orders,
+           LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
+           CAST(revenue - LAG(revenue) OVER (ORDER BY month) AS DOUBLE)
+             AS revenue_delta
+    FROM monthly
+    ORDER BY month
+    """,
+)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth report: the aggregate-then-window reporting
+    staple. The LAG window runs over the ALREADY-AGGREGATED monthly table
+    (dozens of rows at any corpus size), so the unpartitioned window —
+    normally a scale red flag — is safe by construction; revenues are
+    exact decimal sums, their difference one exactly-rounded double op."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            dsum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.select(
+            "month",
+            "revenue",
+            "n_orders",
+            F.lag("revenue").over(w).alias("prev_revenue"),
+            (F.col("revenue") - F.lag("revenue").over(w))
+            .cast("double")
+            .alias("revenue_delta"),
+        )
+        .orderBy("month")
+    )

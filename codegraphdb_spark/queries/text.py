@@ -1910,3 +1910,40 @@ def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "doc_length_histogram",
+    oracle="""
+    SELECT CAST(length(printf('%b', n_chars)) AS INT) AS log2_bucket,
+           CAST(POWER(2, length(printf('%b', n_chars)) - 1) AS BIGINT)
+             AS bucket_floor_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE n_chars > 0
+    GROUP BY 1, 2
+    ORDER BY log2_bucket
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram — the distribution shape a
+    curation pipeline reads before choosing chunk sizes and length
+    filters. The log-spaced bucket is computed WITHOUT libm (floor(log2)
+    is cross-engine-unsafe): the length of the integer's binary
+    representation is floor(log2(n))+1 exactly, in pure integer/string
+    ops on both engines. Single tiny-key aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    log2_bucket = F.length(F.bin(F.col("n_chars"))).cast("int")
+    return (
+        d.filter(F.col("n_chars") > 0)
+        .groupBy(
+            log2_bucket.alias("log2_bucket"),
+            F.pow(F.lit(2), log2_bucket - 1).cast("bigint").alias("bucket_floor_chars"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("log2_bucket")
+    )

@@ -80,17 +80,17 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_centroid_affinity",           # NEW: inter-cluster dot matrix
     "emb_label_outliers",              # NEW: label-noise screening
     "doc_shingle_novelty",             # NEW: corpus novelty curve
+    "events_seasonality_profile",      # NEW: dow x hour heatmap
+    "doc_length_histogram",            # NEW: libm-free log2 buckets
+    "orders_monthly_growth",           # NEW: aggregate-then-window MoM
     "exclusive_late_supplier",         # NEW: Q21 EXISTS/NOT-EXISTS pair
     "value_range_window",              # NEW: value-based RANGE frame
     # -- round 4, earlier sessions: new or behavior-adjacent -------------
-    "g_cypher_shortest",       # NEW: shortestPath() + length(p)
     "g_call_edges_deep",       # new goldens: alias bindings + non-__init__ field ctor
     "g_call_edges",            # resolver change (bare-name bind keys) touches all refs
     "g_uses_edges",            # same resolver surface
     "g_methods_of_class",      # oracle REPLACED: recursive-CTE recomputation
     "g_version_stamping",      # oracle REPLACED: merge-window recomputation
-    "g_call_closure",          # oracle REPLACED: recursive reachability
-    "g_inherit_components",    # oracle REPLACED: recursive components
     "g_cypher_varlen",         # relationship-uniqueness var-length change
     "g_cypher_match",          # compiler changed (params/regex/product guard)
     "g_cypher_code",           # oracle REPLACED: code render recomputation
@@ -109,6 +109,9 @@ _DRIVER_PRIORITY: list[str] = [
     # shared-fragment KMV variants, Cypher read shapes structurally
     # identical to in-window siblings, and r4-early entries already
     # locally green at all SFs):
+    "g_cypher_shortest",       # shares varlen machinery with in-window varlen
+    "g_call_closure",          # recursive-oracle sibling of in-window methods/stamping
+    "g_inherit_components",    # recursive-oracle sibling of the same family
     "g_bucketed_children",     # bucketed layout; plan property also pytest-asserted
     "emb_whiten",              # broadcast-moments shape like in-window affinity
     "emb_recall_at_k",         # embeds sibling oracles of in-window ANN tiers
