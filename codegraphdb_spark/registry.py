@@ -49,7 +49,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # covers ALL queries regardless — the rotation only governs the driver's
 # independent record.
 _DRIVER_PRIORITY: list[str] = [
-    # -- round 4, THIS session: newest, least-driver-validated first -----
+    # -- round 4, session r4d: TPC-H decision-support completion ---------
+    "shipping_priority_topk",          # NEW: Q3 top-k over 3-way join
+    "region_volume_shipping",          # NEW: Q7 direction-paired dims
+    "market_share_by_year",            # NEW: Q8 share-of-total ratio
+    "product_type_profit",             # NEW: Q9 two-term profit delta
+    "returned_item_report",            # NEW: Q10 returned-revenue top-k
+    "late_shipment_priority_counts",   # NEW: Q12 conditional counts
+    "customer_order_distribution",     # NEW: Q13 outer-join distribution
+    "top_revenue_supplier",            # NEW: Q15 agg-equality scalar
+    "part_supplier_counts",            # NEW: Q16 distinct-agg + anti join
+    "large_volume_customers",          # NEW: Q18 HAVING-then-join
+    "disjunctive_bracket_revenue",     # NEW: Q19 OR-bracket pushdown
+    "best_balance_part_supplier",      # NEW: Q2 per-group window argmax
+    # -- round 4, session r4c: newest, least-driver-validated first ------
     "exists_late_shipment_orders",     # NEW: correlated EXISTS → semi join
     "subquery_small_quantity_revenue",  # NEW: Q17-shape avg threshold
     "scalar_subquery_rich_inactive",   # NEW: scalar subquery + anti join
@@ -192,6 +205,7 @@ def _reorder() -> None:
 def load_all() -> None:
     """Import every catalog module so decorators run. Idempotent."""
     import codegraphdb_spark.queries.relational  # noqa: F401
+    import codegraphdb_spark.queries.decision_support  # noqa: F401
     import codegraphdb_spark.queries.events  # noqa: F401
     import codegraphdb_spark.queries.text  # noqa: F401
     import codegraphdb_spark.queries.similarity  # noqa: F401

@@ -570,11 +570,26 @@ def test_double_with_stage_chain(graph):
     )
 
 
-def test_with_distinct_rejected_cleanly(graph):
+def test_with_distinct_node_variable_dedupes(graph):
+    """WITH DISTINCT over a bare node variable dedupes on the node's full
+    column set: a class with several methods appears once downstream.
+    (Was a refusal test before WITH DISTINCT projection support landed.)"""
     nodes, edges = graph
+    rows = run_cypher(
+        "MATCH (c:CLASS)-[:HAS_METHOD]->(m) WITH DISTINCT c "
+        "RETURN c.name ORDER BY c.name",
+        nodes,
+        edges,
+    ).collect()
+    names = [r[0] for r in rows]
+    assert names == sorted(set(names)) and names
+    # DISTINCT alongside an aggregate stays refused (implicit grouping
+    # already dedupes keys)
     with pytest.raises(CypherError):
         run_cypher(
-            "MATCH (c:CLASS) WITH DISTINCT c RETURN c.name", nodes, edges
+            "MATCH (c:CLASS) WITH DISTINCT c, count(c) AS n RETURN n",
+            nodes,
+            edges,
         )
 
 
