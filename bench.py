@@ -132,6 +132,24 @@ def main() -> None:
     ).collect()  # regex/json expression-class codegen (g_code_hydration path)
     spark.range(2).mapInPandas(lambda it: it, "id LONG").collect()  # Python workers
 
+    # pruned-update scale validation (~6k files, 10-file change) — set
+    # SPARK_GRAFT_PRUNED_PKGS=0 to skip while iterating locally. Measured
+    # BEFORE the catalog sweep: lifecycle jobs are many tiny stages, and
+    # the sweep leaves hundreds of pinned checkpoint blocks whose heap
+    # pressure inflates exactly that stage shape (measured 8.7 s pristine
+    # vs 18.5 s after 171 queries even WITH clear_session_caches — the
+    # JVM's ContextCleaner releases blocks asynchronously, so clearing at
+    # that point can't restore a pristine heap). A real incremental update
+    # runs in its own session; the pristine measurement is the honest one.
+    pruned_pkgs = int(os.environ.get("SPARK_GRAFT_PRUNED_PKGS", "2000"))
+    if pruned_pkgs > 0:
+        pruned_rec = _pruned_update_bench(spark, pruned_pkgs)
+        import gc
+
+        gc.collect()  # let ContextCleaner reclaim the synthetic graph
+    else:
+        pruned_rec = None
+
     # The code-graph snapshot is built once per session (a lifecycle job,
     # not a query); time it separately so g_* timings measure query latency.
     from codegraphdb_spark.queries.graph import _graph
@@ -152,19 +170,6 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).collect()
         warm[name] = round(time.time() - t0, 3)
-
-    # pruned-update scale validation (~2k files, 10-file change) — set
-    # SPARK_GRAFT_PRUNED_PKGS=0 to skip while iterating locally
-    pruned_pkgs = int(os.environ.get("SPARK_GRAFT_PRUNED_PKGS", "667"))
-    if pruned_pkgs > 0:
-        # the catalog sweep leaves hundreds of pinned checkpoint blocks;
-        # the lifecycle phase must not pay their heap pressure
-        from codegraphdb_spark.session import clear_session_caches
-
-        clear_session_caches(spark)
-        pruned_rec = _pruned_update_bench(spark, pruned_pkgs)
-    else:
-        pruned_rec = None
 
     total = round(sum(timings.values()), 3)
     record = {

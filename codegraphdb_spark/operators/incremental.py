@@ -16,10 +16,14 @@ you must import (something from) M, and transitive effects (D2 inherits D1
 inherits changed B; x = factory() whose class lives two modules away)
 ride CHAINS of imports. Hence modules that can reach a changed module in
 the module-level import graph form a conservative superset of everything
-whose compiled output can change. Reachability reuses the same hybrid
-closure as E1 (driver BFS under DRIVER_CLOSURE_LIMIT, min-plus path
-doubling above it) — the import graph is modules × imports, always tiny
-relative to the corpus.
+whose compiled output can change. Reachability is a REVERSE BFS from the
+changed set (who transitively imports these modules?), never an all-pairs
+closure — the affected cone is O(its own edges) while the import graph's
+full closure is quadratic in reach. Driver-side BFS under
+DRIVER_CLOSURE_LIMIT import edges (one collect of a modules × imports
+table); above it, a distributed frontier semi-join per import-depth level
+(bounded by MAX_IMPORT_DEPTH, refuse-loudly on non-convergence — the same
+stance as the union-find and var-length caps).
 
 The one deliberate globalization: ``returns`` facts (function return-type
 annotations) are resolved globally in the pruned compile, because an
@@ -39,7 +43,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from codegraphdb_spark.operators.closure import transitive_bases
+from codegraphdb_spark.operators.closure import DRIVER_CLOSURE_LIMIT
+
+# Frontier-BFS iteration cap for the distributed reverse-reachability
+# path. One iteration per import-graph DEPTH level, not per module — a
+# 1000-deep import chain is already pathological code; refuse loudly
+# rather than loop silently (MAX_VARLEN_HOPS stance, plans/cypher.py).
+MAX_IMPORT_DEPTH = 1000
 
 
 def _dotted_prefixes(col: Column) -> Column:
@@ -64,8 +74,77 @@ def import_dependency_edges(imports: DataFrame) -> DataFrame:
     return (
         imports.select(F.col("module").alias("src"), F.explode(_dotted_prefixes(tgt)).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .withColumn("rel_type", F.lit("INHERITS"))  # transitive_bases' filter key
-    )  # no dropDuplicates here: transitive_bases dedups its input itself
+    )  # no dropDuplicates here: _dependent_modules dedups its input itself
+
+
+def _dependent_modules(
+    dep: DataFrame, changed_mods: DataFrame, force_distributed: bool = False
+) -> DataFrame:
+    """Modules that transitively import any changed module: reverse BFS
+    from the changed set over the (src=importer, dst=imported) graph.
+
+    Never the all-pairs closure: the import graph's transitive closure is
+    quadratic in reach (a 10k-module chain closes to 50M pairs), while the
+    affected CONE costs only its own edges. Hybrid like the E1 closure:
+    under DRIVER_CLOSURE_LIMIT import edges, one collect + a driver BFS
+    (the import table is modules × import statements — tiny relative to
+    the corpus); above it, one distributed semi-join per import-depth
+    level, each frontier checkpointed. Result may include the seeds
+    themselves; the caller unions + dedups with the changed set anyway."""
+    spark = dep.sparkSession
+    edges = dep.select("src", "dst").dropDuplicates()
+    sample = (
+        []
+        if force_distributed
+        else edges.limit(DRIVER_CLOSURE_LIMIT + 1).collect()
+    )
+    if not force_distributed and len(sample) <= DRIVER_CLOSURE_LIMIT:
+        from collections import defaultdict, deque
+
+        seeds = {r.full_name for r in changed_mods.collect()}
+        radj: dict[str, list[str]] = defaultdict(list)
+        for r in sample:
+            radj[r.dst].append(r.src)
+        seen: set[str] = set()
+        q = deque(seeds)
+        while q:
+            for importer in radj.get(q.popleft(), ()):
+                if importer not in seen and importer not in seeds:
+                    seen.add(importer)
+                    q.append(importer)
+        if not seen:
+            return spark.createDataFrame([], "full_name string")
+        import pandas as pd
+
+        # pandas input → JVM LocalTableScan (same rationale as the E1
+        # driver closure: a plain-list createDataFrame replans as a
+        # pickled-Python-RDD scan on every downstream action)
+        return spark.createDataFrame(pd.DataFrame({"full_name": sorted(seen)}))
+
+    reached = (
+        changed_mods.select("full_name").dropDuplicates().localCheckpoint(eager=True)
+    )
+    frontier = reached
+    for _ in range(MAX_IMPORT_DEPTH):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("full_name", "dst"), "dst", "left_semi"
+            )
+            .select(F.col("src").alias("full_name"))
+            .dropDuplicates()
+            .join(reached, "full_name", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            return reached
+        reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    raise RuntimeError(
+        f"import-graph reverse reachability did not converge within "
+        f"{MAX_IMPORT_DEPTH} depth levels — the import graph has a "
+        f"pathologically deep chain (or the frontier is cycling, which "
+        f"the anti-join should prevent); refusing to loop silently"
+    )
 
 
 def affected_files(
@@ -73,8 +152,9 @@ def affected_files(
 ) -> DataFrame:
     """One-column DataFrame ``file_path`` of every file whose compiled
     output may change: the changed files plus every file whose module
-    reaches a changed module in the import graph (transitive, via the E1
-    hybrid closure). Checkpointed — callers semi-join facts against it."""
+    reaches a changed module in the import graph (transitive, via reverse
+    BFS from the changed set — _dependent_modules). Checkpointed —
+    callers semi-join facts against it."""
     mod_nodes_new = facts_new.filter(
         (F.col("fact") == "node") & (F.col("kind") == "MODULE")
     ).select("full_name", "file_path")
@@ -92,16 +172,7 @@ def affected_files(
     )
 
     dep = import_dependency_edges(facts_new.filter(F.col("fact") == "import"))
-    reach = transitive_bases(dep)  # (cls=importer module, ancestor=imported, dist)
-    dependent_mods = (
-        reach.join(
-            changed_mods.withColumnRenamed("full_name", "ancestor"),
-            "ancestor",
-            "left_semi",
-        )
-        .select(F.col("cls").alias("full_name"))
-        .dropDuplicates()
-    )
+    dependent_mods = _dependent_modules(dep, changed_mods)
     aff_mods = dependent_mods.unionByName(changed_mods).dropDuplicates()
 
     spark = facts_new.sparkSession

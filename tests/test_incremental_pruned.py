@@ -227,3 +227,31 @@ def test_pruned_equals_full_with_submodule_reexport(spark):
         ("other.py", "X = 1\n"),
     ]
     _build_and_compare(spark, v1, [("other.py", "X = 2\n")], ["other.py"])
+
+
+def test_dependent_modules_driver_vs_distributed(spark):
+    """The reverse-reachability BFS must return the same affected-module
+    set on both strategies: driver-side BFS (under DRIVER_CLOSURE_LIMIT)
+    and the distributed frontier semi-join loop. Graph: a chain
+    m0 <- m1 <- ... <- m5 (mi imports m{i-1}), a diamond onto m0, and a
+    disconnected pair — seeds {m0} must reach exactly the chain + diamond,
+    never the disconnected pair, on both paths."""
+    from codegraphdb_spark.operators.incremental import _dependent_modules
+
+    edges = [(f"m{i}", f"m{i-1}") for i in range(1, 6)]  # src imports dst
+    edges += [("d1", "m0"), ("d2", "m0"), ("top", "d1"), ("top", "d2")]
+    edges += [("iso_a", "iso_b")]
+    dep = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("m0",)], "full_name string")
+
+    expect = {f"m{i}" for i in range(1, 6)} | {"d1", "d2", "top"}
+    got_driver = {
+        r.full_name for r in _dependent_modules(dep, seeds).collect()
+    }
+    got_dist = {
+        r.full_name
+        for r in _dependent_modules(dep, seeds, force_distributed=True).collect()
+    }
+    assert got_driver == expect
+    # distributed path may include the seeds themselves (caller dedups)
+    assert got_dist - {"m0"} == expect
