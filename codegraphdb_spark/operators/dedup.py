@@ -18,6 +18,15 @@ from pyspark.sql import functions as F
 
 MAX_CC_ITERATIONS = 30
 
+# Hybrid threshold for duplicate_components, in PAIRS (edges). The
+# duplicate-pair set is candidates-only by construction (banded LSH / IVF
+# cells / label blocks upstream), so it is almost always tiny relative to
+# the corpus; under this limit one collect + an exact driver union-find
+# replaces O(diameter) join+agg+checkpoint rounds (~12+ actions). Above
+# it, the distributed min-label loop runs unchanged. Same stance and
+# proven pattern as closure.DRIVER_CLOSURE_LIMIT.
+DRIVER_CC_LIMIT = 200_000
+
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One surviving row per distinct content hash (keep min id)."""
@@ -27,13 +36,80 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.join(keep, id_col, "left_semi")
 
 
-def duplicate_components(pairs: DataFrame) -> DataFrame:
+def _driver_components(rows: list) -> list:
+    """Exact union-find over collected (doc_a, doc_b) pairs; labels each
+    vertex with the MIN id of its component (same contract as the
+    distributed loop). Path-halving find + union by size. Returns
+    (doc_id, component) tuples."""
+    parent: dict = {}
+    size: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for row in rows:
+        for v in (row[0], row[1]):
+            if v not in parent:
+                parent[v] = v
+                size[v] = 1
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            if size[ra] < size[rb]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            size[ra] += size[rb]
+
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        m = comp_min.get(r)
+        if m is None or v < m:
+            comp_min[r] = v
+    return [(v, comp_min[find(v)]) for v in parent]
+
+
+def duplicate_components(
+    pairs: DataFrame, force_distributed: bool = False
+) -> DataFrame:
     """Connected components over duplicate pairs (doc_a, doc_b) →
     (doc_id, component) where component = min doc_id reachable.
 
-    Iterative min-label propagation — the standard Spark union-find
-    approximation; converges in O(diameter) rounds, each a join+agg. Dup
-    clusters are tiny (near-identical docs), so the diameter is small."""
+    Hybrid strategy: the pair set is candidate pairs only (banded LSH /
+    IVF buckets upstream), so under DRIVER_CC_LIMIT pairs an exact
+    driver-side union-find (one limit-probed collect, one LocalTableScan
+    back) replaces the iterative loop's ~12+ join+agg+checkpoint actions.
+    Above the limit: iterative min-label propagation — the standard Spark
+    union-find approximation; converges in O(diameter) rounds, each a
+    join+agg. Dup clusters are tiny (near-identical docs), so the
+    diameter is small."""
+    if not force_distributed:
+        sample = pairs.select("doc_a", "doc_b").limit(DRIVER_CC_LIMIT + 1).collect()
+        if len(sample) <= DRIVER_CC_LIMIT:
+            spark = pairs.sparkSession
+            from pyspark.sql.types import StructField, StructType
+
+            id_type = pairs.schema["doc_a"].dataType
+            schema = StructType(
+                [
+                    StructField("doc_id", id_type),
+                    StructField("component", id_type),
+                ]
+            )
+            labeled = _driver_components(sample)
+            if not labeled:
+                return spark.createDataFrame([], schema)
+            import pandas as pd
+
+            # pandas input → JVM LocalTableScan (closure.py rationale: a
+            # plain-list frame replans as a pickled-RDD scan per action)
+            return spark.createDataFrame(
+                pd.DataFrame(labeled, columns=["doc_id", "component"]),
+                schema=schema,
+            )
     # materialize once: the pair set is small relative to the corpus (it's
     # the near-dup pairs), but its LINEAGE is the whole candidate pipeline —
     # without truncation every fixpoint iteration would recompute it

@@ -225,3 +225,33 @@ def test_near_dedup_minhash_custom_text_col(spark):
     kept = near_dedup_minhash(docs, id_col="id", text_col="body").collect()
     ids = sorted(r["id"] for r in kept)
     assert 3 in ids and 1 in ids and 2 not in ids  # exact dup collapses to min id
+
+
+def test_duplicate_components_driver_vs_distributed(spark):
+    """The hybrid CC must return identical labels on both strategies —
+    exact driver union-find (under DRIVER_CC_LIMIT) and the iterative
+    min-label loop — including string ids (g_inherit_components path),
+    a long chain (propagation depth), and singleton-free behavior."""
+    import random
+
+    rng = random.Random(7)
+    # chain 0-1-...-19, a star on 100, random extra intra-component edges
+    pairs = [(i, i + 1) for i in range(19)]
+    pairs += [(100, 100 + i) for i in range(1, 6)]
+    pairs += [(rng.randint(0, 19), rng.randint(0, 19)) for _ in range(5)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "doc_a BIGINT, doc_b BIGINT")
+    drv = {(r.doc_id, r.component) for r in dedup.duplicate_components(df).collect()}
+    dst = {
+        (r.doc_id, r.component)
+        for r in dedup.duplicate_components(df, force_distributed=True).collect()
+    }
+    assert drv == dst and drv
+
+    sdf = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y")], "doc_a STRING, doc_b STRING"
+    )
+    drv_s = {
+        (r.doc_id, r.component) for r in dedup.duplicate_components(sdf).collect()
+    }
+    assert drv_s == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
