@@ -50,10 +50,45 @@ def degree_stats(edges: DataFrame) -> DataFrame:
     )
 
 
-def pagerank_int(edges: DataFrame, iterations: int = 10) -> DataFrame:
+# Hybrid threshold for the iterative analytics (pagerank / k-core), in
+# distinct EDGES: under it, the exact pure-Python replica runs driver-side
+# (one limit-probed collect + one LocalTableScan back) instead of paying
+# iterations × (join+agg) of scheduling; above it, the distributed
+# supersteps run unchanged. Identical integer semantics by construction —
+# the replicas ARE the golden references the distributed kernels are
+# tested against (force_distributed keeps those tests meaningful).
+DRIVER_GRAPH_LIMIT = 200_000
+
+
+def pagerank_int(
+    edges: DataFrame, iterations: int = 10, force_distributed: bool = False
+) -> DataFrame:
     """(vertex, rank_scaled BIGINT) after ``iterations`` supersteps of the
     integer-arithmetic PageRank defined in the module docstring."""
     pairs = edges.select("src", "dst").dropDuplicates()
+    if not force_distributed:
+        sample = pairs.limit(DRIVER_GRAPH_LIMIT + 1).collect()
+        if len(sample) <= DRIVER_GRAPH_LIMIT:
+            spark = edges.sparkSession
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField("vertex", pairs.schema["src"].dataType),
+                    StructField("rank_scaled", LongType()),
+                ]
+            )
+            if not sample:  # empty graph (reference would divide by N=0)
+                return spark.createDataFrame([], schema)
+            ranks = pagerank_int_reference(
+                [(r.src, r.dst) for r in sample], iterations=iterations
+            )
+            import pandas as pd
+
+            return spark.createDataFrame(
+                pd.DataFrame(sorted(ranks.items()), columns=["vertex", "rank_scaled"]),
+                schema=schema,
+            )
     vertices = (
         pairs.select(F.col("src").alias("vertex"))
         .unionByName(pairs.select(F.col("dst").alias("vertex")))
@@ -132,3 +167,72 @@ def kcore_superstep(sym: DataFrame, vals: DataFrame) -> DataFrame:
         .agg(F.max("h").alias("val"))
         .withColumnRenamed("a", "node")
     )
+
+
+def kcore_hindex_reference(
+    sym_pairs: list[tuple[str, str]], rounds: int
+) -> dict[str, int]:
+    """Pure-Python replica of the fixed-unroll h-index iteration: degree
+    init (round 1) + ``rounds - 1`` kcore_superstep-equivalent rounds.
+    Bit-identical to the distributed kernel by construction (same h-index
+    definition: max over sorted-desc neighbor values of min(position,
+    value))."""
+    adj: dict[str, list[str]] = {}
+    for a, b in sym_pairs:
+        adj.setdefault(a, []).append(b)
+    vals = {a: len(ns) for a, ns in adj.items()}
+    for _ in range(rounds - 1):
+        new = {}
+        for a, ns in adj.items():
+            h = 0
+            for i, v in enumerate(
+                sorted((vals[b] for b in ns), reverse=True), start=1
+            ):
+                if v < i:  # min(i, v) can only shrink from here on
+                    break
+                h = i
+            new[a] = h
+        vals = new
+    return vals
+
+
+def kcore_fixed_rounds(
+    und: DataFrame, rounds: int, force_distributed: bool = False
+) -> DataFrame:
+    """(node, val) after ``rounds`` total h-index rounds over an
+    undirected edge list ``und`` (a, b) — canonical orientation, deduped,
+    no self-loops. Hybrid like pagerank_int: under DRIVER_GRAPH_LIMIT
+    edges the exact replica runs driver-side; above it, one distributed
+    kcore_superstep per round."""
+    if not force_distributed:
+        sample = und.limit(DRIVER_GRAPH_LIMIT + 1).collect()
+        if len(sample) <= DRIVER_GRAPH_LIMIT:
+            spark = und.sparkSession
+            from pyspark.sql.types import IntegerType, StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField("node", und.schema["a"].dataType),
+                    StructField("val", IntegerType()),
+                ]
+            )
+            pairs = [(r.a, r.b) for r in sample]
+            pairs += [(b, a) for a, b in pairs]
+            vals = kcore_hindex_reference(pairs, rounds)
+            if not vals:
+                return spark.createDataFrame([], schema)
+            import pandas as pd
+
+            return spark.createDataFrame(
+                pd.DataFrame(sorted(vals.items()), columns=["node", "val"]),
+                schema=schema,
+            )
+    sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    vals = (
+        sym.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("val"))
+        .withColumnRenamed("a", "node")
+    )
+    for _ in range(rounds - 1):
+        vals = kcore_superstep(sym, vals)
+    return vals

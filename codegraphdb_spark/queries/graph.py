@@ -2004,12 +2004,9 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates()
     )
-    from codegraphdb_spark.operators.analytics import kcore_superstep
+    from codegraphdb_spark.operators.analytics import kcore_fixed_rounds
 
-    sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    vals = sym.groupBy("a").agg(F.count(F.lit(1)).alias("val")).withColumnRenamed("a", "node")
-    for _ in range(1, _KCORE_ROUNDS):
-        vals = kcore_superstep(sym, vals)
+    vals = kcore_fixed_rounds(und, _KCORE_ROUNDS)
     return vals.select(
         F.col("node").alias("full_name"), F.col("val").cast("int").alias("core")
     ).orderBy("full_name")

@@ -29,7 +29,7 @@ def test_pagerank_matches_python_replica(spark, graph):
     expected = pagerank_int_reference(edge_list, iterations=10)
     got = {
         r["vertex"]: r["rank_scaled"]
-        for r in pagerank_int(edges, iterations=10).collect()
+        for r in pagerank_int(edges, iterations=10, force_distributed=True).collect()
     }
     assert got == expected  # exact integer equality, every vertex
 
@@ -38,11 +38,11 @@ def test_pagerank_deterministic_across_partitionings(spark, graph):
     _, edges = graph
     r1 = {
         r["vertex"]: r["rank_scaled"]
-        for r in pagerank_int(edges.repartition(16), iterations=5).collect()
+        for r in pagerank_int(edges.repartition(16), iterations=5, force_distributed=True).collect()
     }
     r2 = {
         r["vertex"]: r["rank_scaled"]
-        for r in pagerank_int(edges.coalesce(1), iterations=5).collect()
+        for r in pagerank_int(edges.coalesce(1), iterations=5, force_distributed=True).collect()
     }
     assert r1 == r2
 
@@ -104,3 +104,38 @@ def test_kcore_matches_direct_peeling(spark, sf_dir):
                     live[u].discard(v)
                 del live[v]
     assert got == core
+
+
+def test_pagerank_hybrid_driver_equals_distributed(spark, graph):
+    """The driver fast path (pure-Python replica under DRIVER_GRAPH_LIMIT)
+    must return exactly the distributed kernel's integer ranks."""
+    _, edges = graph
+    drv = {
+        r["vertex"]: r["rank_scaled"]
+        for r in pagerank_int(edges, iterations=10).collect()
+    }
+    dst = {
+        r["vertex"]: r["rank_scaled"]
+        for r in pagerank_int(edges, iterations=10, force_distributed=True).collect()
+    }
+    assert drv == dst and drv
+
+
+def test_kcore_hybrid_driver_equals_distributed(spark):
+    """kcore_fixed_rounds: driver replica vs distributed supersteps on a
+    graph with a 3-core (K4), a chain tail, and a triangle."""
+    from codegraphdb_spark.operators.analytics import kcore_fixed_rounds
+
+    und_pairs = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"), ("e", "f"),
+        ("x", "y"), ("x", "z"), ("y", "z"),
+    ]
+    und = spark.createDataFrame(und_pairs, "a STRING, b STRING")
+    drv = {r["node"]: r["val"] for r in kcore_fixed_rounds(und, 8).collect()}
+    dst = {
+        r["node"]: r["val"]
+        for r in kcore_fixed_rounds(und, 8, force_distributed=True).collect()
+    }
+    assert drv == dst
+    assert drv["a"] == 3 and drv["f"] == 1 and drv["x"] == 2
