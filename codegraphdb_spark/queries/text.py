@@ -1947,3 +1947,58 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bucket")
     )
+
+
+@query(
+    "doc_epoch_shuffle",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, e.epoch AS epoch,
+             md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+               AS shuffle_key
+      FROM documents
+      CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS epoch) e
+    )
+    SELECT CAST(epoch AS INTEGER) AS epoch,
+           CAST(CAST('0x' || substring(shuffle_key, 1, 7) AS BIGINT) % 64
+                AS INTEGER) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           min(shuffle_key) AS first_key,
+           CAST(min_by(doc_id, shuffle_key) AS BIGINT) AS first_doc
+    FROM keyed
+    GROUP BY epoch, shard
+    ORDER BY epoch, shard
+    """,
+)
+def doc_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffling for training-data ordering: every
+    (epoch, doc) gets a content-addressed shuffle key md5(epoch ':'
+    doc_id); the key orders documents within an epoch and its top bits
+    assign one of 64 shards. This is how 100 TB epochs are shuffled in
+    practice — MAP-ONLY (no global sort, no sampled range partitioner, no
+    seed coordination): writers emit to shard files and each shard sorts
+    locally by key; different epochs get uncorrelated orders for free.
+    The query reports per-(epoch, shard) census + the first document in
+    shard order, which pins the exact ordering under the value-hash gate
+    without materializing 3x corpus rows. Reference: the reference has no
+    training-export path at all; this extends F-group lifecycle per the
+    driver's LLM-pipeline mandate."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    keyed = d.crossJoin(F.broadcast(epochs)).withColumn(
+        "shuffle_key",
+        F.md5(F.concat_ws(":", F.col("epoch").cast("string"), F.col("doc_id").cast("string"))),
+    )
+    shard = (
+        F.conv(F.substring("shuffle_key", 1, 7), 16, 10).cast("bigint") % 64
+    ).cast("int")
+    return (
+        keyed.withColumn("shard", shard)
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("shuffle_key").alias("first_key"),
+            F.min_by("doc_id", "shuffle_key").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("epoch", "shard")
+    )

@@ -50,6 +50,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # independent record.
 _DRIVER_PRIORITY: list[str] = [
     # -- round 4, session r4d: TPC-H decision-support completion ---------
+    "doc_epoch_shuffle",               # NEW: deterministic epoch sharding
     "shipping_priority_topk",          # NEW: Q3 top-k over 3-way join
     "region_volume_shipping",          # NEW: Q7 direction-paired dims
     "market_share_by_year",            # NEW: Q8 share-of-total ratio
