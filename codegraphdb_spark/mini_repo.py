@@ -224,3 +224,20 @@ CHANGE_LIST = ["pkgb/dog.py"]
 
 V2 = [(p, PKGB_DOG_V2 if p == "pkgb/dog.py" else c) for p, c in V1]
 V2_CHANGED_ONLY = [(p, c) for p, c in V2 if p in CHANGE_LIST]
+
+# --- import-cycle fixture (circular-import detection) --------------------
+# Kept SEPARATE from V1/DEEP_V1 like the deep fixture: g_import_cycles
+# extracts it on its own (extraction facts only — no compile), so the
+# long-standing census/merge goldens never see these modules. Two genuine
+# strongly-connected components (a 3-cycle and a 2-cycle) plus an acyclic
+# consumer and a leaf package __init__.
+
+CYCLE_V1 = [
+    ("web/__init__.py", ""),
+    ("web/routes.py", "from web.models import Item\n\ndef index():\n    return Item()\n"),
+    ("web/models.py", "import web.db\n\nclass Item:\n    def save(self):\n        return web.db.put(self)\n"),
+    ("web/db.py", "import web.routes\n\ndef put(x):\n    return x\n"),
+    ("web/forms.py", "from web.views import render\n\ndef build():\n    return render()\n"),
+    ("web/views.py", "import web.forms\n\ndef render():\n    return None\n"),
+    ("web/utils.py", "from web.models import Item\n\ndef fresh():\n    return Item()\n"),
+]

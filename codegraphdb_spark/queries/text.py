@@ -2002,3 +2002,277 @@ def doc_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "shard")
     )
+
+
+# --- exact duplicate-span detection (suffix-array-free ExactSubstr) -----------
+
+# Minimal duplicated run is DUP_SPAN_K consecutive tokens (the unit of
+# match); spans whose duplicated k-gram starts are within K-1 tokens of
+# each other overlap as token ranges and are merged, so emitted spans are
+# disjoint and coverage sums are exact.
+DUP_SPAN_K = 5
+
+_SQL_DUP_SPAN_CTES = f"""
+    t AS (
+      SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i:i+{DUP_SPAN_K}-1], ' ')) AS h
+      FROM t, unnest(generate_series(1, len(toks) - {DUP_SPAN_K} + 1)) AS u(i)
+      WHERE len(toks) >= {DUP_SPAN_K}
+    ),
+    dup AS (
+      SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dpos AS (
+      SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {DUP_SPAN_K} - 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM dpos
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS isl_id
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST(min(pos) AS INT) AS span_start,
+             CAST(max(pos) + {DUP_SPAN_K} - 1 AS INT) AS span_end,
+             CAST(max(pos) - min(pos) + {DUP_SPAN_K} AS INT) AS span_tokens,
+             CAST(count(*) AS INT) AS n_dup_grams
+      FROM grp GROUP BY doc_id, isl_id
+    )
+"""
+
+_SPANS_CACHE: dict[tuple[object, str], DataFrame] = {}
+
+
+def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached disjoint duplicate spans — shared by doc_dup_spans
+    and doc_dup_span_stats (the span set is the expensive intermediate an
+    ExactSubstr-style dedup pass computes once and both reports and
+    filters from)."""
+    key = (spark, sf_dir)
+    if key not in _SPANS_CACHE:
+        from codegraphdb_spark.queries.graph import _evict_old
+
+        _SPANS_CACHE[key] = _dup_spans_uncached(spark, sf_dir).localCheckpoint(
+            eager=False
+        )
+        _evict_old(_SPANS_CACHE, keep=6)
+    return _SPANS_CACHE[key]
+
+
+def _dup_spans_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens, n_dup_grams): maximal
+    disjoint token ranges covered by K-grams that appear verbatim in >= 2
+    distinct documents.
+
+    This is the distributed re-expression of exact-substring training-data
+    dedup (Lee et al. 2021's suffix-array ExactSubstr, and the reference's
+    content-hash identity discipline): instead of a corpus-wide suffix
+    array — which needs a global sort and shared memory — every token
+    position emits its K-gram's md5, ONE corpus-wide groupBy on the
+    16-byte digest finds cross-document duplicates, and span assembly is a
+    doc-local window (lag + running sum islands), so nothing after the one
+    hash shuffle crosses documents. At 100 TB that is shuffle ~= corpus
+    size in 16-byte keys — the same asymptotic cost as the suffix-array
+    build's sort, with no 8x suffix-pointer blowup and no driver state."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", _tokens().alias("toks")).filter(
+        F.size("toks") >= DUP_SPAN_K
+    )
+    # one K-gram per token position, hashed immediately: the exploded
+    # relation carries (bigint, int, 32-char) — never the text itself
+    grams = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (DUP_SPAN_K - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, DUP_SPAN_K))),
+            )
+        ).alias("p0", "h"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dpos = grams.join(dup, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= DUP_SPAN_K - 1, F.lit(0)
+    ).otherwise(F.lit(1))
+    isl = dpos.withColumn("brk", brk).withColumn(
+        "isl_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy("doc_id", "isl_id").agg(
+        F.min("pos").cast("int").alias("span_start"),
+        (F.max("pos") + DUP_SPAN_K - 1).cast("int").alias("span_end"),
+        (F.max("pos") - F.min("pos") + DUP_SPAN_K).cast("int").alias("span_tokens"),
+        F.count(F.lit(1)).cast("int").alias("n_dup_grams"),
+    ).drop("isl_id")
+
+
+@query(
+    "doc_dup_spans",
+    oracle=f"""
+    WITH {_SQL_DUP_SPAN_CTES}
+    SELECT doc_id, span_start, span_end, span_tokens, n_dup_grams
+    FROM spans ORDER BY doc_id, span_start
+    """,
+)
+def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span report: every maximal run of >= K consecutive
+    tokens that some other document also contains verbatim, as disjoint
+    (span_start, span_end) token ranges per document. See
+    _dup_spans_uncached for the suffix-array-free scale design."""
+    return _dup_spans(spark, sf_dir).orderBy("doc_id", "span_start")
+
+
+@query(
+    "doc_dup_span_stats",
+    oracle=f"""
+    WITH {_SQL_DUP_SPAN_CTES},
+    cov AS (
+      SELECT doc_id,
+             CAST(count(*) AS INT) AS n_spans,
+             CAST(sum(span_tokens) AS INT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len({SQL_TOKS}) AS INT) AS n_tokens,
+           coalesce(cov.n_spans, 0) AS n_spans,
+           coalesce(cov.dup_tokens, 0) AS dup_tokens,
+           CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE)
+               / len({SQL_TOKS}) AS dup_fraction,
+           CAST(CASE WHEN CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE)
+                          / len({SQL_TOKS}) < 0.25
+                     THEN 1 ELSE 0 END AS INT) AS substr_keep
+    FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token coverage — the filter metric of
+    exact-substring dedup: fraction of tokens inside any cross-document
+    duplicate span, plus a keep gate at 1/4 (power-of-two threshold; the
+    fraction is one int/int IEEE division, so the gate is cross-engine
+    exact). Docs with no duplicate span are reported with zero coverage.
+    Spans come from the session-shared _dup_spans intermediate."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tokens()).cast("int").alias("n_tokens")
+    )
+    cov = _dup_spans(spark, sf_dir).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+        F.sum("span_tokens").cast("int").alias("dup_tokens"),
+    )
+    frac = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double") / F.col(
+        "n_tokens"
+    )
+    return (
+        d.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("int").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("int").alias("dup_tokens"),
+            frac.alias("dup_fraction"),
+            F.when(frac < 0.25, 1).otherwise(0).cast("int").alias("substr_keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- cross-source contamination diagnostic -------------------------------------
+
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH sh AS (
+      SELECT source,
+             list_distinct(list_transform({SQL_SHINGLES},
+                           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS shs
+      FROM documents
+    ), inv AS (
+      SELECT DISTINCT source, UNNEST(shs) AS shingle FROM sh
+    ), sizes AS (
+      SELECT source, count(*) AS nsh FROM inv GROUP BY source
+    ), common AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT c.source_a, c.source_b,
+           CAST(sa.nsh AS BIGINT) AS nsh_a,
+           CAST(sb.nsh AS BIGINT) AS nsh_b,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           CAST(c.n_common AS DOUBLE) / (sa.nsh + sb.nsh - c.n_common) AS jaccard
+    FROM common c
+    JOIN sizes sa ON c.source_a = sa.source
+    JOIN sizes sb ON c.source_b = sb.source
+    ORDER BY source_a, source_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-overlap matrix — the corpus-curation diagnostic
+    that finds mirrored / re-crawled sources before per-document dedup
+    runs: exact Jaccard between each source pair's distinct-shingle sets
+    via the same 60-bit-hash inverted index the document-level path uses.
+    Scale: distinct (source, shingle) is one shuffle over shingle hashes;
+    the self-join fans out per shingle only across the sources that share
+    it (bounded by #sources per key, and #sources is thousands, not
+    billions), and the output is at most #sources^2 rows. No df-cap is
+    needed at source granularity."""
+    d = load_table(spark, sf_dir, "documents")
+    inv = (
+        d.select("source", F.explode(_shingles(_tokens())).alias("s"))
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = inv.groupBy("source").agg(F.count(F.lit(1)).alias("nsh"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("nsh").alias("nsh_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("nsh").alias("nsh_b"))
+    return (
+        common.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("nsh_a").cast("bigint").alias("nsh_a"),
+            F.col("nsh_b").cast("bigint").alias("nsh_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("nsh_a") + F.col("nsh_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -49,6 +49,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # covers ALL queries regardless — the rotation only governs the driver's
 # independent record.
 _DRIVER_PRIORITY: list[str] = [
+    # -- round 4, session r4e: ExactSubstr dedup + contamination ---------
+    "doc_dup_spans",                   # NEW: cross-doc duplicate spans
+    "doc_dup_span_stats",              # NEW: per-doc dup-token coverage
+    "source_overlap_matrix",           # NEW: cross-source shingle Jaccard
     # -- round 4, session r4d: TPC-H decision-support completion ---------
     "doc_epoch_shuffle",               # NEW: deterministic epoch sharding
     "shipping_priority_topk",          # NEW: Q3 top-k over 3-way join

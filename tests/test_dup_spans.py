@@ -1,0 +1,89 @@
+"""Invariant tests for the exact duplicate-span operators (ExactSubstr
+family) and the cross-source overlap matrix — algebraic guarantees the
+oracle differential can't express.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from codegraphdb_spark import registry
+from codegraphdb_spark.queries.text import DUP_SPAN_K
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load():
+    registry.load_all()
+
+
+def test_dup_spans_are_disjoint_and_well_formed(spark, sf_dir):
+    rows = registry.QUERIES["doc_dup_spans"](spark, sf_dir).collect()
+    assert rows, "fixture corpus must contain at least one duplicate span"
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        # spans cover at least one full K-gram and the island arithmetic
+        # is consistent: max start - min start + K == token length
+        assert r.span_tokens >= DUP_SPAN_K
+        assert r.span_end - r.span_start + 1 == r.span_tokens
+        assert r.n_dup_grams >= 1
+        assert r.n_dup_grams <= r.span_tokens - DUP_SPAN_K + 1
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for spans in by_doc.values():
+        spans.sort(key=lambda r: r.span_start)
+        for prev, nxt in zip(spans, spans[1:]):
+            # disjoint (the merge rule guarantees a real gap: the next
+            # span's first dup gram starts more than K-1 past the last)
+            assert nxt.span_start > prev.span_end
+
+
+def test_dup_span_text_really_is_duplicated(spark, sf_dir):
+    """The defining property: the token run of every reported span occurs
+    verbatim in at least one OTHER document."""
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    corpus_grams: dict[str, set] = {}
+    for did, toks in docs.items():
+        for i in range(len(toks) - DUP_SPAN_K + 1):
+            corpus_grams.setdefault(
+                " ".join(toks[i : i + DUP_SPAN_K]), set()
+            ).add(did)
+    rows = registry.QUERIES["doc_dup_spans"](spark, sf_dir).collect()
+    for r in rows[:200]:
+        toks = docs[r.doc_id]
+        # every span is a union of >=2-doc K-grams; check its first gram
+        gram = " ".join(toks[r.span_start - 1 : r.span_start - 1 + DUP_SPAN_K])
+        assert len(corpus_grams[gram]) >= 2
+
+
+def test_dup_span_stats_consistent_with_spans(spark, sf_dir):
+    spans = registry.QUERIES["doc_dup_spans"](spark, sf_dir).collect()
+    stats = {r.doc_id: r for r in registry.QUERIES["doc_dup_span_stats"](spark, sf_dir).collect()}
+    cov: dict[int, int] = {}
+    cnt: dict[int, int] = {}
+    for r in spans:
+        cov[r.doc_id] = cov.get(r.doc_id, 0) + r.span_tokens
+        cnt[r.doc_id] = cnt.get(r.doc_id, 0) + 1
+    for did, s in stats.items():
+        assert s.dup_tokens == cov.get(did, 0)
+        assert s.n_spans == cnt.get(did, 0)
+        assert 0 <= s.dup_fraction <= 1.0
+        assert s.dup_tokens <= s.n_tokens
+        assert s.substr_keep == (1 if s.dup_fraction < 0.25 else 0)
+
+
+def test_source_overlap_matrix_bounds(spark, sf_dir):
+    rows = registry.QUERIES["source_overlap_matrix"](spark, sf_dir).collect()
+    assert rows
+    srcs = set()
+    for r in rows:
+        assert r.source_a < r.source_b
+        srcs.update((r.source_a, r.source_b))
+        assert 0 < r.n_common <= min(r.nsh_a, r.nsh_b)
+        assert 0.0 < r.jaccard <= 1.0
+        # Jaccard recomposes from the integer parts exactly
+        assert r.jaccard == r.n_common / (r.nsh_a + r.nsh_b - r.n_common)
+    n = len(srcs)
+    assert len(rows) <= n * (n - 1) // 2

@@ -144,6 +144,24 @@ def dump_tables(spark) -> dict[str, "object"]:
     out["import_facts_v1.csv"] = imp.sort_values(
         list(imp.columns), kind="mergesort"
     ).reset_index(drop=True)
+
+    # import facts of the cycle fixture (mini_repo.CYCLE_V1) — the
+    # g_import_cycles oracle re-derives the dotted-prefix import graph and
+    # the SCC grouping (bounded-depth recursive reachability) from these.
+    # Extraction facts only: the cycle query never compiles a graph.
+    cyc = (
+        eng.extract(files_from_pairs(spark, mini_repo.CYCLE_V1))
+        .filter("fact = 'import'")
+        .select("module", "imp_target_module", "imp_target_name", "imp_is_star")
+        .toPandas()
+    )
+    if cyc[["module", "imp_target_module"]].isna().any().any():
+        raise AssertionError("cycle import fact key columns contain NULLs")
+    cyc["imp_target_name"] = cyc["imp_target_name"].fillna("")
+    cyc["imp_is_star"] = cyc["imp_is_star"].fillna(False).astype(bool)
+    out["cycle_import_facts.csv"] = cyc.sort_values(
+        list(cyc.columns), kind="mergesort"
+    ).reset_index(drop=True)
     return out
 
 
