@@ -2123,3 +2123,129 @@ def g_cypher_rel_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes,
         edges,
     )
+
+
+# --- circular-import detection (SCCs of the module import graph) --------------
+
+_CYCLE_FACTS_CACHE: dict[SparkSession, DataFrame] = {}
+
+
+def _cycle_facts(spark: SparkSession) -> DataFrame:
+    """Extraction facts of the cycle fixture (mini_repo.CYCLE_V1) —
+    extraction ONLY: cycle detection needs the import facts, never a
+    compiled graph, so this costs one mapInPandas pass over 7 tiny files."""
+    key = spark
+    with _BUILD_LOCK:
+        if key not in _CYCLE_FACTS_CACHE:
+            from codegraphdb_spark import mini_repo
+            from codegraphdb_spark.engine import GraphEngine
+            from codegraphdb_spark.sources.repo import files_from_pairs
+
+            with _tiny_fixture_confs(spark):
+                _CYCLE_FACTS_CACHE[key] = (
+                    GraphEngine(spark, small_repo=True)
+                    .extract(files_from_pairs(spark, mini_repo.CYCLE_V1))
+                    .localCheckpoint(eager=True)
+                )
+            _evict_old(_CYCLE_FACTS_CACHE, keep=2)
+    return _CYCLE_FACTS_CACHE[key]
+
+
+@query(
+    "g_import_cycles",
+    oracle=f"""
+    WITH RECURSIVE
+    imp AS (
+      SELECT module,
+             CASE WHEN nullif(imp_target_name, '') IS NOT NULL
+                       AND NOT imp_is_star
+                  THEN imp_target_module || '.' || imp_target_name
+                  ELSE imp_target_module END AS tgt
+      FROM read_csv('{_FIX}/cycle_import_facts.csv', header=true)
+    ),
+    dep AS (
+      SELECT DISTINCT module AS src,
+             array_to_string(parts[1:gs], '.') AS dst
+      FROM (SELECT module, string_split(tgt, '.') AS parts FROM imp),
+           UNNEST(generate_series(1, length(parts))) AS u(gs)
+      WHERE module <> array_to_string(parts[1:gs], '.')
+    ),
+    -- bounded-depth reachability with hop count: the dist column makes
+    -- rows on a cycle distinct forever, so the recursion is cut at the
+    -- module count (longest simple path); min() afterwards recovers the
+    -- shortest-hop distance the Spark closure computes
+    nmod AS (SELECT count(DISTINCT src) AS n FROM dep),
+    walk(src, dst, dist) AS (
+      SELECT src, dst, 1 FROM dep
+      UNION
+      SELECT w.src, d.dst, w.dist + 1
+      FROM walk w JOIN dep d ON w.dst = d.src
+      WHERE w.dist < (SELECT n FROM nmod)
+    ),
+    reach AS (
+      SELECT src, dst, min(dist) AS dist FROM walk GROUP BY src, dst
+    ),
+    mutual AS (
+      SELECT a.src AS member, a.dst AS peer
+      FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+    )
+    SELECT min(peer) AS component, member,
+           CAST(count(*) AS INT) AS scc_size,
+           CAST(min(r.dist) AS INT) AS cycle_len
+    FROM mutual m
+    JOIN reach r ON r.src = m.member AND r.dst = m.member
+    GROUP BY member
+    ORDER BY component, member
+    """,
+)
+def g_import_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular-import detection — the code-health query every Python
+    monorepo team runs: strongly connected components of the module import
+    graph, reported as (component label = min member, member, SCC size,
+    shortest cycle length through the member). Acyclic modules are absent.
+
+    Built from the SAME primitives as change impact (g_blast_radius):
+    import_dependency_edges' dotted-prefix graph, then the hybrid
+    transitive closure (operators/closure.py — driver-exact BFS under
+    200k edges, distributed min-plus path doubling above; the import
+    graph is modules x import statements, tiny relative to the corpus).
+    A node is cyclic iff it reaches itself; two cyclic nodes share a
+    component iff they reach each other — both are projections of the
+    closure, no extra graph pass. RECOMPUTING oracle: DuckDB re-derives
+    the prefix graph from the committed cycle-fixture import facts and
+    replays the reachability as a depth-bounded recursive CTE.
+    Reference parity: the reference's Neo4j surface answers this with
+    MATCH (m)-[:IMPORTS*]->(m) (graphDB.py:106-112 arbitrary-Cypher
+    passthrough); this is that query as a first-class operator."""
+    from codegraphdb_spark.operators.closure import transitive_bases
+    from codegraphdb_spark.operators.incremental import import_dependency_edges
+
+    facts = _cycle_facts(spark)
+    dep = import_dependency_edges(facts.filter(F.col("fact") == "import"))
+    with _tiny_fixture_confs(spark):
+        reach = transitive_bases(
+            dep.select("src", "dst", F.lit("INHERITS").alias("rel_type"))
+        ).localCheckpoint(eager=True)
+    r1, r2 = reach.alias("a"), reach.alias("b")
+    mutual = r1.join(
+        r2,
+        (F.col("a.cls") == F.col("b.ancestor")) & (F.col("a.ancestor") == F.col("b.cls")),
+    ).select(F.col("a.cls").alias("member"), F.col("a.ancestor").alias("peer"))
+    self_dist = reach.filter(F.col("cls") == F.col("ancestor")).select(
+        F.col("cls").alias("member"), F.col("dist").alias("cycle_len")
+    )
+    return (
+        mutual.groupBy("member")
+        .agg(
+            F.min("peer").alias("component"),
+            F.count(F.lit(1)).cast("int").alias("scc_size"),
+        )
+        .join(self_dist, "member")
+        .select(
+            "component",
+            "member",
+            "scc_size",
+            F.col("cycle_len").cast("int").alias("cycle_len"),
+        )
+        .orderBy("component", "member")
+    )

@@ -50,6 +50,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # independent record.
 _DRIVER_PRIORITY: list[str] = [
     # -- round 4, session r4e: ExactSubstr dedup + contamination ---------
+    "g_import_cycles",                 # NEW: SCCs of the import graph
     "doc_dup_spans",                   # NEW: cross-doc duplicate spans
     "doc_dup_span_stats",              # NEW: per-doc dup-token coverage
     "source_overlap_matrix",           # NEW: cross-source shingle Jaccard

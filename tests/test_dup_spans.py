@@ -87,3 +87,18 @@ def test_source_overlap_matrix_bounds(spark, sf_dir):
         assert r.jaccard == r.n_common / (r.nsh_a + r.nsh_b - r.n_common)
     n = len(srcs)
     assert len(rows) <= n * (n - 1) // 2
+
+
+def test_import_cycles_finds_exactly_the_fixture_sccs(spark):
+    """The cycle fixture has one 3-cycle (routes→models→db→routes), one
+    2-cycle (forms↔views), and acyclic web.utils / web / web.models.Item —
+    only the five cyclic modules may appear."""
+    rows = registry.QUERIES["g_import_cycles"](spark, "").collect()
+    got = {(r.component, r.member, r.scc_size, r.cycle_len) for r in rows}
+    assert got == {
+        ("web.db", "web.db", 3, 3),
+        ("web.db", "web.models", 3, 3),
+        ("web.db", "web.routes", 3, 3),
+        ("web.forms", "web.forms", 2, 2),
+        ("web.forms", "web.views", 2, 2),
+    }
