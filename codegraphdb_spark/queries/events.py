@@ -1173,3 +1173,158 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_of_week", "hour_of_day")
     )
+
+
+# --- CUSUM drift / change-point detection --------------------------------------
+
+# CUSUM scale: 1e4 keeps the running prefix sums comfortably inside int64
+# (|P_i| <= n * spread * scale ~= 1e5 * 1e3 * 1e4 = 1e12 per event type at
+# sf0.1; the 2^63 ceiling is ~9e18, giving ~6 orders of headroom — at true
+# 100 TB per-key row counts you widen to DECIMAL(38,0) partial sums).
+_CUSUM_SCALE = 10_000
+
+
+@query(
+    "events_cusum_drift",
+    oracle=f"""
+    WITH sv AS (
+      SELECT event_id, event_type, ts,
+             CAST(ROUND(value * {_CUSUM_SCALE}) AS BIGINT) AS v
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mu_i,
+             CAST(ROUND(SQRT(
+               CAST(SUM(v * v) AS DOUBLE) / COUNT(*)
+               - (CAST(SUM(v) AS DOUBLE) / COUNT(*))
+                 * (CAST(SUM(v) AS DOUBLE) / COUNT(*))
+             )) AS BIGINT) AS sigma_i
+      FROM sv GROUP BY event_type
+    ),
+    pre AS (
+      SELECT sv.event_id, sv.event_type, sv.ts, sv.v - st.mu_i AS d,
+             st.sigma_i, st.sigma_i // 2 AS k
+      FROM sv JOIN stats st USING (event_type)
+    ),
+    psum AS (
+      SELECT event_id, event_type, ts, sigma_i,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS p,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn,
+             k
+      FROM pre
+    ),
+    ab AS (
+      SELECT event_id, event_type, ts, sigma_i,
+             p - rn * k AS a, p + rn * k AS b
+      FROM psum
+    ),
+    run AS (
+      SELECT event_id, event_type, sigma_i, a, b,
+             min(a) OVER w AS amin,
+             max(b) OVER w AS bmax
+      FROM ab
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id, event_type,
+           CAST(CAST(a - least(amin, 0) AS DOUBLE) / {_CUSUM_SCALE} AS DOUBLE)
+               AS cusum_pos,
+           CAST(CAST(greatest(bmax, 0) - b AS DOUBLE) / {_CUSUM_SCALE} AS DOUBLE)
+               AS cusum_neg,
+           CAST(CASE WHEN a - least(amin, 0) > 8 * sigma_i
+                       OR greatest(bmax, 0) - b > 8 * sigma_i
+                     THEN 1 ELSE 0 END AS INT) AS drift_flag
+    FROM run
+    ORDER BY event_id
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point statistic per event type — the drift
+    monitor a training-data pipeline runs over feature streams. The
+    textbook recursion S_i = max(0, S_{i-1} + (x_i - mu -+ k)) (slack
+    k = sigma/2, so stationary noise decays instead of random-walking) is
+    not a SQL window, but it telescopes: with A_i = P_i - i*k and
+    B_i = P_i + i*k over the deviation prefix sums P,
+
+        S+_i = A_i - min(0, min_{m<=i} A_m)
+        S-_i = max(0, max_{m<=i} B_m) - B_i
+
+    so BOTH sides come out of one event_type exchange and a stack of
+    same-frame running windows. All accumulation is scaled-int (exact,
+    order-independent); the drift gate compares integers against an
+    8-sigma integer threshold (sigma from exact scaled moments, one
+    correctly-rounded sqrt — bit-identical cross-engine); the reported
+    statistics are single int64/int64 IEEE divisions. Scale: one shuffle
+    by event_type + a broadcast of k per-type moment rows; the windows
+    are key-local and stream."""
+    e = load_table(spark, sf_dir, "events")
+    sv = e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * _CUSUM_SCALE).cast("bigint").alias("v"),
+    )
+    n = F.count(F.lit(1))
+    s1 = F.sum("v").cast("double")
+    s2 = F.sum(F.col("v") * F.col("v")).cast("double")
+    stats = sv.groupBy("event_type").agg(
+        F.round(s1 / n).cast("bigint").alias("mu_i"),
+        F.round(F.sqrt(s2 / n - (s1 / n) * (s1 / n))).cast("bigint").alias("sigma_i"),
+    )
+    pre = sv.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "ts",
+        (F.col("v") - F.col("mu_i")).alias("d"),
+        "sigma_i",
+        F.floor(F.col("sigma_i") / 2).cast("bigint").alias("k"),
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    word = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    psum = pre.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "sigma_i",
+        F.sum("d").over(wrun).alias("p"),
+        F.row_number().over(word).alias("rn"),
+        "k",
+    )
+    ab = psum.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "sigma_i",
+        (F.col("p") - F.col("rn") * F.col("k")).alias("a"),
+        (F.col("p") + F.col("rn") * F.col("k")).alias("b"),
+    )
+    run = ab.select(
+        "event_id",
+        "event_type",
+        "sigma_i",
+        "a",
+        "b",
+        F.min("a").over(wrun).alias("amin"),
+        F.max("b").over(wrun).alias("bmax"),
+    )
+    s_pos = F.col("a") - F.least(F.col("amin"), F.lit(0))
+    s_neg = F.greatest(F.col("bmax"), F.lit(0)) - F.col("b")
+    return run.select(
+        "event_id",
+        "event_type",
+        (s_pos.cast("double") / _CUSUM_SCALE).alias("cusum_pos"),
+        (s_neg.cast("double") / _CUSUM_SCALE).alias("cusum_neg"),
+        F.when(
+            (s_pos > 8 * F.col("sigma_i")) | (s_neg > 8 * F.col("sigma_i")), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("drift_flag"),
+    ).orderBy("event_id")

@@ -2249,3 +2249,95 @@ def g_import_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component", "member")
     )
+
+
+@query(
+    "g_module_coupling",
+    oracle=f"""
+    WITH imp AS (
+      SELECT module,
+             CASE WHEN nullif(imp_target_name, '') IS NOT NULL
+                       AND NOT imp_is_star
+                  THEN imp_target_module || '.' || imp_target_name
+                  ELSE imp_target_module END AS tgt
+      FROM read_csv('{_FIX}/import_facts_v1.csv', header=true)
+    ),
+    dep AS (
+      SELECT DISTINCT module AS src,
+             array_to_string(parts[1:gs], '.') AS dst
+      FROM (SELECT module, string_split(tgt, '.') AS parts FROM imp),
+           UNNEST(generate_series(1, length(parts))) AS u(gs)
+      WHERE module <> array_to_string(parts[1:gs], '.')
+    ),
+    mods AS (
+      SELECT full_name FROM read_csv('{_FIX}/node_facts_v1.csv', header=true)
+      WHERE kind = 'MODULE'
+    ),
+    real_dep AS (
+      SELECT d.src, d.dst FROM dep d JOIN mods m ON d.dst = m.full_name
+    ),
+    ce AS (SELECT src AS module, count(*) AS c FROM real_dep GROUP BY 1),
+    ca AS (SELECT dst AS module, count(*) AS c FROM real_dep GROUP BY 1)
+    SELECT m.full_name AS module,
+           CAST(coalesce(ca.c, 0) AS INT) AS afferent,
+           CAST(coalesce(ce.c, 0) AS INT) AS efferent,
+           CASE WHEN coalesce(ca.c, 0) + coalesce(ce.c, 0) = 0
+                THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(coalesce(ce.c, 0) AS DOUBLE)
+                     / (coalesce(ca.c, 0) + coalesce(ce.c, 0)) END AS instability
+    FROM mods m
+    LEFT JOIN ca ON ca.module = m.full_name
+    LEFT JOIN ce ON ce.module = m.full_name
+    ORDER BY module
+    """,
+)
+def g_module_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Afferent/efferent coupling + Martin instability (Ce / (Ca + Ce))
+    per module — the architecture-health metric layered on the same
+    dotted-prefix import graph change impact uses. Couplings only count
+    edges whose target IS a module in the build (dangling prefixes and
+    imported symbols are inert). Instability is one int/int IEEE division
+    (NULL for isolated modules). Scale: two grouped counts over the
+    module-level import table — modules x import statements, tiny
+    relative to any corpus; the module-list join broadcasts.
+    RECOMPUTING oracle from the committed v1 import/node facts."""
+    from codegraphdb_spark.operators.incremental import import_dependency_edges
+
+    _graph(spark)  # populate _FACTS_CACHE from the shared fixture build
+    facts = _FACTS_CACHE[spark]
+    mods = facts.filter(
+        (F.col("fact") == "node") & (F.col("kind") == "MODULE")
+    ).select("full_name")
+    dep = (
+        import_dependency_edges(facts.filter(F.col("fact") == "import"))
+        .dropDuplicates()
+        .join(
+            F.broadcast(mods.withColumnRenamed("full_name", "dst")),
+            "dst",
+        )
+    )
+    ce = dep.groupBy(F.col("src").alias("module")).agg(
+        F.count(F.lit(1)).alias("ce")
+    )
+    ca = dep.groupBy(F.col("dst").alias("module")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    base = (
+        mods.withColumnRenamed("full_name", "module")
+        .join(F.broadcast(ca), "module", "left")
+        .join(F.broadcast(ce), "module", "left")
+        .select(
+            "module",
+            F.coalesce("ca", F.lit(0)).cast("int").alias("afferent"),
+            F.coalesce("ce", F.lit(0)).cast("int").alias("efferent"),
+        )
+    )
+    tot = F.col("afferent") + F.col("efferent")
+    return base.select(
+        "module",
+        "afferent",
+        "efferent",
+        F.when(tot == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("efferent").cast("double") / tot)
+        .alias("instability"),
+    ).orderBy("module")

@@ -51,6 +51,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _DRIVER_PRIORITY: list[str] = [
     # -- round 4, session r4e: ExactSubstr dedup + contamination ---------
     "g_import_cycles",                 # NEW: SCCs of the import graph
+    "g_module_coupling",               # NEW: afferent/efferent instability
+    "events_cusum_drift",              # NEW: telescoped CUSUM change-point
     "doc_dup_spans",                   # NEW: cross-doc duplicate spans
     "doc_dup_span_stats",              # NEW: per-doc dup-token coverage
     "source_overlap_matrix",           # NEW: cross-source shingle Jaccard

@@ -102,3 +102,56 @@ def test_import_cycles_finds_exactly_the_fixture_sccs(spark):
         ("web.forms", "web.forms", 2, 2),
         ("web.forms", "web.views", 2, 2),
     }
+
+
+def test_module_coupling_matches_handcount(spark):
+    """v1 fixture hand-count: pkga/__init__ (module 'pkga') imports
+    pkga.base + pkga.util; dog imports pkga(+base,consts); etc. Check a
+    few anchor rows instead of duplicating the whole derivation."""
+    rows = {r.module: r for r in registry.QUERIES["g_module_coupling"](spark, "").collect()}
+    # pkga.base is imported by pkga/__init__, pkgb.dog — afferent >= 2,
+    # imports nothing
+    assert rows["pkga.base"].efferent == 0
+    assert rows["pkga.base"].afferent >= 2
+    # every instability is in [0,1] or NULL
+    for r in rows.values():
+        assert r.instability is None or 0.0 <= r.instability <= 1.0
+        if r.afferent + r.efferent == 0:
+            assert r.instability is None
+
+
+def test_cusum_telescoped_equals_direct_recursion(spark, sf_dir):
+    """The window formulation must equal the textbook recursion
+    S+_i = max(0, S+_{i-1} + d_i - k), S-_i = max(0, S-_{i-1} - d_i - k)
+    replayed per event type in plain Python over the same scaled ints."""
+    from codegraphdb_spark.queries.events import _CUSUM_SCALE
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "ts", "value"
+    ).collect()
+    got = {
+        r.event_id: r
+        for r in registry.QUERIES["events_cusum_drift"](spark, sf_dir).collect()
+    }
+    bytype: dict[str, list] = {}
+    for r in e:
+        bytype.setdefault(r.event_type, []).append(r)
+    import math
+
+    for typ, rows in bytype.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        vs = [int(round(r.value * _CUSUM_SCALE)) for r in rows]
+        n = len(vs)
+        mu = int(round(sum(vs) / n))
+        var = sum(v * v for v in vs) / n - (sum(vs) / n) ** 2
+        sigma = int(round(math.sqrt(var)))
+        k = sigma // 2
+        sp = sn = 0
+        for r, v in zip(rows, vs):
+            d = v - mu
+            sp = max(0, sp + d - k)
+            sn = max(0, sn - d - k)
+            g = got[r.event_id]
+            assert g.cusum_pos == sp / _CUSUM_SCALE, (typ, r.event_id)
+            assert g.cusum_neg == sn / _CUSUM_SCALE, (typ, r.event_id)
+            assert g.drift_flag == (1 if (sp > 8 * sigma or sn > 8 * sigma) else 0)
