@@ -2234,6 +2234,10 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     billions), and the output is at most #sources^2 rows. No df-cap is
     needed at source granularity."""
     d = load_table(spark, sf_dir, "documents")
+    # set size rides along the inverted index as a window count (same trick
+    # as _pair_overlap_uncached) — no separate sizes aggregation/joins; the
+    # index is checkpointed so the self-join's two sides consume ONE
+    # materialization instead of re-running explode+distinct per side
     inv = (
         d.select("source", F.explode(_shingles(_tokens())).alias("s"))
         .select(
@@ -2243,8 +2247,9 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shingle"),
         )
         .distinct()
+        .withColumn("nsh", F.count(F.lit(1)).over(Window.partitionBy("source")))
+        .localCheckpoint(eager=False)
     )
-    sizes = inv.groupBy("source").agg(F.count(F.lit(1)).alias("nsh"))
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(
@@ -2255,24 +2260,19 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.source").alias("source_a"),
             F.col("b.source").alias("source_b"),
+            F.col("a.nsh").alias("nsh_a"),
+            F.col("b.nsh").alias("nsh_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("source").alias("source_a"), F.col("nsh").alias("nsh_a"))
-    sb = sizes.select(F.col("source").alias("source_b"), F.col("nsh").alias("nsh_b"))
-    return (
-        common.join(F.broadcast(sa), "source_a")
-        .join(F.broadcast(sb), "source_b")
-        .select(
-            "source_a",
-            "source_b",
-            F.col("nsh_a").cast("bigint").alias("nsh_a"),
-            F.col("nsh_b").cast("bigint").alias("nsh_b"),
-            F.col("n_common").cast("bigint").alias("n_common"),
-            (
-                F.col("n_common").cast("double")
-                / (F.col("nsh_a") + F.col("nsh_b") - F.col("n_common"))
-            ).alias("jaccard"),
-        )
-        .orderBy("source_a", "source_b")
-    )
+    return common.select(
+        "source_a",
+        "source_b",
+        F.col("nsh_a").cast("bigint").alias("nsh_a"),
+        F.col("nsh_b").cast("bigint").alias("nsh_b"),
+        F.col("n_common").cast("bigint").alias("n_common"),
+        (
+            F.col("n_common").cast("double")
+            / (F.col("nsh_a") + F.col("nsh_b") - F.col("n_common"))
+        ).alias("jaccard"),
+    ).orderBy("source_a", "source_b")
