@@ -361,3 +361,119 @@ def ewma_stream(stream: DataFrame, timeout_ms: int | None = None) -> DataFrame:
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def cusum_reference_stats(events: DataFrame) -> dict[str, tuple[int, int]]:
+    """Calibration for cusum_stream: per-type (mu_i, sigma_i) scaled
+    integers from a STATIC calibration frame, with the exact expressions
+    of the batch query (queries/events.py::events_cusum_drift) so the
+    stream's recursion is bit-compatible with the batch windows."""
+    from pyspark.sql import functions as F
+
+    from codegraphdb_spark.queries.events import _CUSUM_SCALE
+
+    sv = F.round(F.col("value") * _CUSUM_SCALE).cast("bigint")
+    n = F.count(F.lit(1))
+    s1 = F.sum(sv).cast("double")
+    s2 = F.sum(sv * sv).cast("double")
+    rows = (
+        events.groupBy("event_type")
+        .agg(
+            F.round(s1 / n).cast("bigint").alias("mu_i"),
+            F.round(F.sqrt(s2 / n - (s1 / n) * (s1 / n)))
+            .cast("bigint")
+            .alias("sigma_i"),
+        )
+        .collect()
+    )
+    return {r["event_type"]: (int(r["mu_i"]), int(r["sigma_i"])) for r in rows}
+
+
+def cusum_stream(
+    stream: DataFrame,
+    ref: dict[str, tuple[int, int]],
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of queries/events.py::events_cusum_drift — the
+    textbook two-sided CUSUM recursion S± = max(0, S± ± (d ∓ k)) as a
+    custom stateful operator with O(1) state per event type (two
+    integers), against REFERENCE statistics from a calibration window
+    (``ref``: event_type → (mu_i, sigma_i) scaled ints, see
+    cusum_reference_stats). This is the deployment shape of drift
+    monitoring: calibrate once on a trusted window, stream the statistic
+    forever with bounded state — the batch query's telescoped windows
+    exist precisely because this recursion is not a SQL window.
+
+    Event types absent from ``ref`` are DROPPED (no calibration → no
+    monitoring; silently emitting unmonitored values as zeros would fake
+    coverage). ORDER CONTRACT as ewma_stream: rows are event-time-sorted
+    within each micro-batch; cross-batch stragglers are absorbed in
+    arrival order (bounded state). Under in-order replay with ref taken
+    from the same data, the stream equals the batch query bit-for-bit
+    (tests/test_streaming.py::test_cusum_stream_matches_batch_in_order).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from codegraphdb_spark.queries.events import _CUSUM_SCALE
+
+    out_schema = (
+        "event_id BIGINT, event_type STRING, ts TIMESTAMP, "
+        "cusum_pos DOUBLE, cusum_neg DOUBLE, drift_flag INT"
+    )
+    state_schema = "sp BIGINT, sn BIGINT"
+
+    def update(key, pdfs, state: GroupState):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        typ = key[0]
+        if typ not in ref:
+            return  # uncalibrated type: dropped by contract
+        mu_i, sigma_i = ref[typ]
+        k = sigma_i // 2
+        h = 8 * sigma_i
+        sp, sn = state.get if state.exists else (0, 0)
+        rows = {
+            "event_id": [], "event_type": [], "ts": [],
+            "cusum_pos": [], "cusum_neg": [], "drift_flag": [],
+        }
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for ev, ts, val in zip(whole["event_id"], whole["ts"], whole["value"]):
+                # same HALF_UP scaling as the batch query's F.round
+                v = int(
+                    Decimal(float(val) * _CUSUM_SCALE).quantize(
+                        Decimal(1), rounding=ROUND_HALF_UP
+                    )
+                )
+                d = v - mu_i
+                sp = max(0, sp + d - k)
+                sn = max(0, sn - d - k)
+                rows["event_id"].append(int(ev))
+                rows["event_type"].append(typ)
+                rows["ts"].append(ts)
+                rows["cusum_pos"].append(float(sp) / _CUSUM_SCALE)
+                rows["cusum_neg"].append(float(sn) / _CUSUM_SCALE)
+                rows["drift_flag"].append(1 if (sp > h or sn > h) else 0)
+        state.update((sp, sn))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if rows["event_id"]:
+            yield pd.DataFrame(rows)
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -498,3 +498,39 @@ def test_ewma_stream_matches_batch_in_order(spark, sf_dir, ordered_stream_dir):
         for r in registry.QUERIES["events_ewma"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_cusum_stream_matches_batch_in_order(spark, sf_dir, ordered_stream_dir):
+    """With reference stats calibrated from the same data and in-order
+    replay across a micro-batch boundary, the O(1)-state streaming CUSUM
+    recursion equals the batch query's telescoped windows bit-for-bit."""
+    from codegraphdb_spark import registry
+    from codegraphdb_spark.sources.tables import load_table
+
+    registry.load_all()
+    ref = se.cusum_reference_stats(load_table(spark, sf_dir, "events"))
+    stream = se.read_events_stream(spark, ordered_stream_dir, max_files_per_trigger=1)
+    se.run_to_memory(se.cusum_stream(stream, ref), "t_cusum", "append")
+    got = {
+        r["event_id"]: (r["cusum_pos"], r["cusum_neg"], r["drift_flag"])
+        for r in spark.sql("select * from t_cusum").collect()
+    }
+    expected = {
+        r["event_id"]: (r["cusum_pos"], r["cusum_neg"], r["drift_flag"])
+        for r in registry.QUERIES["events_cusum_drift"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_cusum_stream_drops_uncalibrated_types(spark, ordered_stream_dir):
+    """An event type absent from the reference map must be absent from
+    the output — not silently emitted as an unmonitored zero."""
+    stream = se.read_events_stream(spark, ordered_stream_dir)
+    se.run_to_memory(
+        se.cusum_stream(stream, {"click": (0, 10_000)}), "t_cusum_drop", "append"
+    )
+    types = {
+        r["event_type"]
+        for r in spark.sql("select distinct event_type from t_cusum_drop").collect()
+    }
+    assert types == {"click"}
