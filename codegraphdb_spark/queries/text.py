@@ -2276,3 +2276,79 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("nsh_a") + F.col("nsh_b") - F.col("n_common"))
         ).alias("jaccard"),
     ).orderBy("source_a", "source_b")
+
+
+@query(
+    "doc_dup_span_scrub",
+    oracle=f"""
+    WITH {_SQL_DUP_SPAN_CTES},
+    doc_spans AS (
+      SELECT doc_id, list(struct_pack(span_start := span_start, span_end := span_end)) AS sps
+      FROM (SELECT * FROM spans ORDER BY doc_id, span_start)
+      GROUP BY doc_id
+    ),
+    scrubbed AS (
+      SELECT d.doc_id,
+             CAST(len({SQL_TOKS}) AS INT) AS n_tokens,
+             list_filter(
+               list_transform(
+                 generate_series(1, len({SQL_TOKS})),
+                 i -> CASE WHEN ds.sps IS NULL OR NOT list_bool_or(
+                             list_transform(ds.sps,
+                               s -> i BETWEEN s.span_start AND s.span_end))
+                      THEN {SQL_TOKS}[i] END),
+               x -> x IS NOT NULL) AS kept
+      FROM documents d LEFT JOIN doc_spans ds ON d.doc_id = ds.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(len(kept) AS INT) AS n_tokens_kept,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS scrubbed_md5
+    FROM scrubbed
+    ORDER BY doc_id
+    """,
+)
+def doc_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION step of exact-substring dedup: excise every
+    cross-document duplicate span (the conservative boilerplate-removal
+    variant — spans are scrubbed wherever they occur), keeping the
+    remaining tokens in order. The md5 of the scrubbed text pins the
+    exact reconstruction under the value-hash gate without shipping the
+    text through the comparison. Map-only after the session-shared span
+    set: spans broadcast-join back to documents (the span table is
+    duplicate docs x spans — tiny relative to the corpus), and the
+    excision is a per-row higher-order-function projection, zero new
+    shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    spans = _dup_spans(spark, sf_dir)
+    doc_spans = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("sps")
+    )
+    t = d.join(F.broadcast(doc_spans), "doc_id", "left").select(
+        "doc_id", _tokens().alias("toks"), "sps"
+    )
+    tok = F.col("toks")
+    covered = lambda i: F.exists(  # noqa: E731 — inline predicate
+        F.col("sps"),
+        lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok)),
+            lambda i: F.when(
+                F.col("sps").isNull() | ~covered(i), F.element_at(tok, i)
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    # materialize kept once (no CSE through higher-order lambdas)
+    out = t.select(
+        "doc_id", F.size(tok).cast("int").alias("n_tokens"), kept.alias("kept")
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.size("kept").cast("int").alias("n_tokens_kept"),
+        F.md5(F.array_join("kept", " ")).alias("scrubbed_md5"),
+    ).orderBy("doc_id")

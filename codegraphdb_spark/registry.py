@@ -54,6 +54,7 @@ _DRIVER_PRIORITY: list[str] = [
     "g_module_coupling",               # NEW: afferent/efferent instability
     "events_cusum_drift",              # NEW: telescoped CUSUM change-point
     "doc_dup_spans",                   # NEW: cross-doc duplicate spans
+    "doc_dup_span_scrub",              # NEW: span excision, md5-pinned
     "doc_dup_span_stats",              # NEW: per-doc dup-token coverage
     "source_overlap_matrix",           # NEW: cross-source shingle Jaccard
     # -- round 4, session r4d: TPC-H decision-support completion ---------

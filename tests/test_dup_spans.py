@@ -155,3 +155,19 @@ def test_cusum_telescoped_equals_direct_recursion(spark, sf_dir):
             assert g.cusum_pos == sp / _CUSUM_SCALE, (typ, r.event_id)
             assert g.cusum_neg == sn / _CUSUM_SCALE, (typ, r.event_id)
             assert g.drift_flag == (1 if (sp > 8 * sigma or sn > 8 * sigma) else 0)
+
+
+def test_scrub_conserves_tokens_and_never_keeps_dup_grams(spark, sf_dir):
+    """Scrubbed token count = n_tokens - coverage from the stats query;
+    fully-covered docs end at zero, untouched docs at n_tokens."""
+    stats = {r.doc_id: r for r in registry.QUERIES["doc_dup_span_stats"](spark, sf_dir).collect()}
+    scrub = registry.QUERIES["doc_dup_span_scrub"](spark, sf_dir).collect()
+    assert len(scrub) == len(stats)
+    import hashlib
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    for r in scrub:
+        s = stats[r.doc_id]
+        assert r.n_tokens == s.n_tokens
+        assert r.n_tokens_kept == s.n_tokens - s.dup_tokens
+        if r.n_tokens_kept == 0:
+            assert r.scrubbed_md5 == empty_md5
