@@ -96,31 +96,14 @@ _DRIVER_PRIORITY: list[str] = [
     "g_cypher_with_topn",              # NEW: WITH ORDER BY/SKIP/LIMIT
     "doc_lang_confusion",              # NEW: heuristic-vs-label confusion
     "g_cypher_rel_props",              # NEW: relationship variables
-    "promo_revenue_ratio",             # NEW: Q14 conditional-sum ratio
-    "having_share_threshold",          # NEW: Q11 HAVING vs global scalar
-    "events_value_mad",                # NEW: robust MAD, exact percentiles
-    "emb_centroid_affinity",           # NEW: inter-cluster dot matrix
-    "emb_label_outliers",              # NEW: label-noise screening
-    "doc_shingle_novelty",             # NEW: corpus novelty curve
-    "events_seasonality_profile",      # NEW: dow x hour heatmap
-    "doc_length_histogram",            # NEW: libm-free log2 buckets
-    "orders_monthly_growth",           # NEW: aggregate-then-window MoM
-    "exclusive_late_supplier",         # NEW: Q21 EXISTS/NOT-EXISTS pair
-    "value_range_window",              # NEW: value-based RANGE frame
-    # -- round 4, earlier sessions: new or behavior-adjacent -------------
-    "g_call_edges_deep",       # new goldens: alias bindings + non-__init__ field ctor
-    "g_call_edges",            # resolver change (bare-name bind keys) touches all refs
-    "g_uses_edges",            # same resolver surface
-    "g_methods_of_class",      # oracle REPLACED: recursive-CTE recomputation
-    "g_version_stamping",      # oracle REPLACED: merge-window recomputation
-    "g_cypher_varlen",         # relationship-uniqueness var-length change
-    "g_cypher_match",          # compiler changed (params/regex/product guard)
-    "g_cypher_code",           # oracle REPLACED: code render recomputation
-    "g_pagerank_top",          # oracle REPLACED: unrolled superstep replay
-    "g_override_edges",        # oracle REPLACED: name-join over closure
-    "approx_distinct_kmv",     # NEW: oracle-checked KMV sketch
-    "emb_ivfpq_topk",          # NEW: fifth ANN tier (residual PQ / ADC)
-    "events_markov_transitions",  # NEW: integer-scaled transition matrix
+    # -- r4d hybrid-fast-path behavior changes (driver-side replicas
+    #    under the limit probe) not already in-window via g_kcore /
+    #    doc_dup_clusters, plus the affected-set reverse-BFS change -----
+    "g_pagerank_top",          # hybrid driver replica + replaced oracle
+    "emb_dup_clusters",        # hybrid union-find (LSH candidate side)
+    "g_blast_radius",          # reverse frontier BFS replaces closure
+    # -- the one literal-pin oracle: keep under the hard gate every round
+    "g_call_edges_deep",       # deep-resolution goldens (jedi-parity pin)
     # -- headliners: keep the flagship pair inside every window ----------
     "revenue_by_nation",
     "pricing_summary",
@@ -130,7 +113,34 @@ _DRIVER_PRIORITY: list[str] = [
     # shapes whose replaced oracles verified locally, one of two
     # shared-fragment KMV variants, Cypher read shapes structurally
     # identical to in-window siblings, and r4-early entries already
-    # locally green at all SFs):
+    # locally green at all SFs). r4c/r4d spills are structural siblings
+    # of in-window entries: Q14/Q11/Q21 share the broadcast-dim +
+    # conditional-agg shape with the 13 in-window decision-support
+    # queries; seasonality/histogram/MoM are plain grouped-agg/window
+    # shapes; value_range_window shares the RANGE-frame machinery with
+    # in-window rolling windows:
+    "promo_revenue_ratio",     # Q14 — sibling of in-window TPC-H block
+    "having_share_threshold",  # Q11 — sibling of in-window TPC-H block
+    "events_seasonality_profile",  # plain 168-cell grouped agg
+    "doc_length_histogram",    # plain bucketed grouped agg
+    "orders_monthly_growth",   # aggregate-then-window LAG
+    "exclusive_late_supplier", # Q21 — sibling of in-window TPC-H block
+    "value_range_window",      # RANGE frame sibling of rolling_7d
+    "events_value_mad",        # exact-percentile sibling of percentiles_by_segment
+    "emb_centroid_affinity",   # scaled-int dot sibling of in-window label_outliers shape
+    "emb_label_outliers",      # same centroid-affinity machinery
+    "doc_shingle_novelty",     # first-seen MIN agg, plain shape
+    "g_call_edges",            # r4a resolver surface — golden tests + local sweeps
+    "g_uses_edges",            # same resolver surface
+    "g_methods_of_class",      # replaced recursive-CTE oracle, locally green at 3 SFs
+    "g_version_stamping",      # replaced merge-window oracle, locally green
+    "g_cypher_varlen",         # relationship-uniqueness change, 72-test cypher suite
+    "g_cypher_match",          # compiler surface, cypher suite + local sweeps
+    "g_cypher_code",           # replaced render oracle, locally green
+    "g_override_edges",        # replaced name-join oracle, locally green
+    "approx_distinct_kmv",     # KMV sketch, invariant tests + local sweeps
+    "emb_ivfpq_topk",          # ADC tier, recall stress + local sweeps
+    "events_markov_transitions",  # integer transition matrix, locally green
     "g_cypher_shortest",       # shares varlen machinery with in-window varlen
     "g_call_closure",          # recursive-oracle sibling of in-window methods/stamping
     "g_inherit_components",    # recursive-oracle sibling of the same family
