@@ -346,12 +346,26 @@ def _pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _OVERLAP_CACHE[key]
 
 
-def _pair_overlap_uncached(
-    spark: SparkSession, sf_dir: str, df_cap: int = NGRAM_DF_CAP
-) -> DataFrame:
-    """(doc_a, doc_b, nsh_a, nsh_b, n_common) for every document pair with
-    at least one shared (df-capped) shingle — the inverted-index join all
-    set-overlap measures (Jaccard, containment) project from."""
+_SHSETS_CACHE: dict[tuple[object, str], DataFrame] = {}
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (doc_id, shs) distinct 60-bit shingle-hash sets —
+    the stage every set-overlap consumer (document pair overlap, the
+    cross-source matrix) starts from; hashed in ONE Arrow pass per
+    (session, sf_dir)."""
+    key = (spark, sf_dir)
+    if key not in _SHSETS_CACHE:
+        from codegraphdb_spark.queries.graph import _evict_old
+
+        _SHSETS_CACHE[key] = _shingle_sets_uncached(spark, sf_dir).localCheckpoint(
+            eager=False
+        )
+        _evict_old(_SHSETS_CACHE, keep=6)
+    return _SHSETS_CACHE[key]
+
+
+def _shingle_sets_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     import pandas as pd
@@ -379,9 +393,18 @@ def _pair_overlap_uncached(
                 )
             yield pd.DataFrame({"doc_id": ids, "shs": arrs})
 
-    sh = d.select("doc_id", "text").mapInPandas(
+    return d.select("doc_id", "text").mapInPandas(
         shingle_hashes, schema="doc_id BIGINT, shs ARRAY<BIGINT>"
     )
+
+
+def _pair_overlap_uncached(
+    spark: SparkSession, sf_dir: str, df_cap: int = NGRAM_DF_CAP
+) -> DataFrame:
+    """(doc_a, doc_b, nsh_a, nsh_b, n_common) for every document pair with
+    at least one shared (df-capped) shingle — the inverted-index join all
+    set-overlap measures (Jaccard, containment) project from."""
+    sh = _shingle_sets(spark, sf_dir)
     inv0 = sh.select("doc_id", F.explode("shs").alias("shingle"))
     # Frequent-shingle cap: shingles with df > df_cap are boilerplate and
     # would blow up the self-join quadratically. The hot set is tiny by
@@ -2234,18 +2257,15 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     billions), and the output is at most #sources^2 rows. No df-cap is
     needed at source granularity."""
     d = load_table(spark, sf_dir, "documents")
-    # set size rides along the inverted index as a window count (same trick
-    # as _pair_overlap_uncached) — no separate sizes aggregation/joins; the
+    # per-doc shingle-hash sets come from the session-shared Arrow stage
+    # (_shingle_sets — also feeds the pair-overlap family); set size rides
+    # along as a window count (no separate sizes aggregation/joins); the
     # index is checkpointed so the self-join's two sides consume ONE
     # materialization instead of re-running explode+distinct per side
     inv = (
-        d.select("source", F.explode(_shingles(_tokens())).alias("s"))
-        .select(
-            "source",
-            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
-            .cast("bigint")
-            .alias("shingle"),
-        )
+        _shingle_sets(spark, sf_dir)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("source", F.explode("shs").alias("shingle"))
         .distinct()
         .withColumn("nsh", F.count(F.lit(1)).over(Window.partitionBy("source")))
         .localCheckpoint(eager=False)
