@@ -2341,3 +2341,51 @@ def g_module_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("efferent").cast("double") / tot)
         .alias("instability"),
     ).orderBy("module")
+
+
+@query(
+    "g_dead_code",
+    oracle=f"""
+    WITH {_merged_nodes_sql()},
+    {_EDGES_UNION_SQL}
+    SELECT full_name, kind, name, file_path FROM merged
+    WHERE kind IN ('CLASS', 'FUNCTION', 'METHOD')
+      AND NOT regexp_matches(name, '^__.*__$')
+      AND NOT (full_name LIKE 'zoo.%' OR full_name = 'zoo')
+      AND full_name NOT IN (
+        SELECT dst FROM e_all
+        WHERE rel_type IN ('CALL', 'USES', 'INHERITS'))
+    ORDER BY full_name
+    """,
+)
+def g_dead_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unreferenced definitions — the third leg of the architecture-health
+    family (with g_import_cycles and g_module_coupling): every CLASS /
+    FUNCTION / METHOD with no inbound CALL / USES / INHERITS edge anywhere
+    in the merged graph. Dunder names are excluded (invoked by protocol,
+    not by reference). STATIC liveness only, the standard dead-code
+    caveat: an overridden base method with no direct call site reports
+    dead even though dynamic dispatch could still reach it (the fixture's
+    Animal.speak is exactly this case — kept in the goldens as the
+    documented example). One anti-join of definitions against the
+    distinct reference-edge targets: the reference side shuffles only
+    edge dst strings, the definition side only node keys — both tiny
+    relative to any corpus, and the anti-join is the same shape B4's
+    endpoint synthesis already runs at scale.
+    RECOMPUTING oracle: merge window + the cross-version edge union from
+    the committed raw facts."""
+    nodes, edges, _ = _graph(spark)
+    defs = nodes.filter(
+        F.col("kind").isin("CLASS", "FUNCTION", "METHOD")
+        & ~F.col("name").rlike("^__.*__$")
+    )
+    refs = (
+        edges.filter(F.col("rel_type").isin("CALL", "USES", "INHERITS"))
+        .select(F.col("dst").alias("full_name"))
+        .distinct()
+    )
+    return (
+        defs.join(refs, "full_name", "left_anti")
+        .select("full_name", "kind", "name", "file_path")
+        .orderBy("full_name")
+    )

@@ -171,3 +171,19 @@ def test_scrub_conserves_tokens_and_never_keeps_dup_grams(spark, sf_dir):
         assert r.n_tokens_kept == s.n_tokens - s.dup_tokens
         if r.n_tokens_kept == 0:
             assert r.scrubbed_md5 == empty_md5
+
+
+def test_dead_code_exact_fixture_set(spark):
+    """Hand-derived liveness over the two-version fixture: shout has no
+    caller, roll is v2-new with no caller, Puppy is never instantiated or
+    inherited, whine never called; Animal.speak/describe are the
+    documented overridden-base static-liveness caveat."""
+    rows = registry.QUERIES["g_dead_code"](spark, "").collect()
+    assert {r.full_name for r in rows} == {
+        "pkga.base.Animal.describe",
+        "pkga.base.Animal.speak",
+        "pkga.util.shout",
+        "pkgb.dog.Dog.roll",
+        "pkgb.puppy.Puppy",
+        "pkgb.puppy.Puppy.whine",
+    }
