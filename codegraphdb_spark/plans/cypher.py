@@ -42,6 +42,8 @@ queries run verbatim:
         RETURN c.full_name, r.association_type  -- relationship variables
     MATCH (c:CLASS)-[:HAS_METHOD]->(m) WITH c, count(m) AS n
         ORDER BY n DESC, c.full_name LIMIT 2 MATCH ...  -- WITH pagination
+    MATCH (c:CLASS) RETURN c.full_name AS fn
+        UNION MATCH (m:MODULE) RETURN m.full_name AS fn  -- UNION [ALL]
 
 Label semantics mirror the reference: a label that is a known KIND filters
 ``kind``; any other label is a version tag and filters
@@ -1281,6 +1283,29 @@ def run_cypher(
         _PARAMS.d = None
 
 
+def _split_top_union(text: str) -> tuple[list[str], bool] | None:
+    """Top-level UNION [ALL] split (never inside a string literal).
+    Returns (branches, is_all) or None when there is no union. Mixing
+    UNION and UNION ALL is refused like openCypher does."""
+    spans = _string_spans(text)
+    hits = []
+    for m in re.finditer(r"(?is)\bUNION(\s+ALL)?\b", text):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        hits.append((m.start(), m.end(), bool(m.group(1))))
+    if not hits:
+        return None
+    kinds = {h[2] for h in hits}
+    if len(kinds) > 1:
+        raise CypherError("mixing UNION and UNION ALL in one query is not supported")
+    parts, prev = [], 0
+    for s, e, _ in hits:
+        parts.append(text[prev:s])
+        prev = e
+    parts.append(text[prev:])
+    return parts, kinds.pop()
+
+
 def _run_cypher_inner(
     cypher: str,
     nodes: DataFrame,
@@ -1288,6 +1313,26 @@ def _run_cypher_inner(
     allow_cartesian: bool,
 ) -> DataFrame:
     text = cypher.strip()
+    # UNION / UNION ALL: compile each branch independently, require the
+    # same RETURN column names (openCypher), align by name; plain UNION
+    # dedups the combined rows
+    union = _split_top_union(text)
+    if union:
+        branches, is_all = union
+        dfs = [
+            _run_cypher_inner(b, nodes, edges, allow_cartesian) for b in branches
+        ]
+        cols0 = dfs[0].columns
+        for df in dfs[1:]:
+            if df.columns != cols0:
+                raise CypherError(
+                    "UNION branches must return the same column names "
+                    f"(got {cols0} vs {df.columns})"
+                )
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out if is_all else out.dropDuplicates()
     # leading UNWIND clauses: a bounded literal (or $param) list becomes a
     # row set whose column is usable as a bare name in WHERE/RETURN; per
     # Cypher, a following MATCH multiplies rows against it

@@ -2389,3 +2389,36 @@ def g_dead_code(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("full_name", "kind", "name", "file_path")
         .orderBy("full_name")
     )
+
+
+@query(
+    "g_cypher_union",
+    oracle=f"""
+    WITH {_merged_nodes_sql()}
+    SELECT DISTINCT full_name AS fn FROM (
+      SELECT full_name FROM merged
+      WHERE kind = 'CLASS' AND NOT (full_name LIKE 'zoo.%' OR full_name = 'zoo')
+      UNION ALL
+      SELECT full_name FROM merged
+      WHERE kind = 'MODULE' AND full_name LIKE 'pkga%'
+    ) ORDER BY fn
+    """,
+)
+def g_cypher_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 extension: UNION between full queries — each branch compiles
+    independently, branches must RETURN the same column names
+    (openCypher), plain UNION dedups the combined rows (UNION ALL keeps
+    them; mixing refused). Compiles to unionByName + dropDuplicates: the
+    dedup is one shuffle over the projected columns only.
+    RECOMPUTING oracle over the merge window."""
+    from codegraphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges, _ = _graph(spark)
+    return run_cypher(
+        "MATCH (c:CLASS) RETURN c.full_name AS fn "
+        "UNION "
+        "MATCH (m:MODULE) WHERE m.full_name STARTS WITH 'pkga' "
+        "RETURN m.full_name AS fn",
+        nodes,
+        edges,
+    ).orderBy("fn")

@@ -1173,3 +1173,40 @@ def test_type_function_and_with_distinct(graph):
     ).collect()
     mods = [r["mod"] for r in rows]
     assert mods == sorted(set(mods)) and len(mods) >= 2
+
+
+def test_union_dedups_and_union_all_keeps(spark, graph):
+    nodes, edges = graph
+    q = ("MATCH (c:CLASS) RETURN c.name AS nm "
+         "UNION MATCH (c:CLASS) RETURN c.name AS nm")
+    deduped = run_cypher(q, nodes, edges).collect()
+    assert sorted(r.nm for r in deduped) == ["Animal", "Dog", "Puppy"]
+    qall = ("MATCH (c:CLASS) RETURN c.name AS nm "
+            "UNION ALL MATCH (c:CLASS) RETURN c.name AS nm")
+    assert len(run_cypher(qall, nodes, edges).collect()) == 6
+
+
+def test_union_refuses_mismatched_columns_and_mixing(spark, graph):
+    nodes, edges = graph
+    with pytest.raises(CypherError, match="same column names"):
+        run_cypher(
+            "MATCH (c:CLASS) RETURN c.name AS a "
+            "UNION MATCH (m:MODULE) RETURN m.name AS b",
+            nodes, edges,
+        )
+    with pytest.raises(CypherError, match="mixing UNION"):
+        run_cypher(
+            "MATCH (c:CLASS) RETURN c.name AS a "
+            "UNION MATCH (m) RETURN m.name AS a "
+            "UNION ALL MATCH (m) RETURN m.name AS a",
+            nodes, edges,
+        )
+
+
+def test_union_keyword_inside_string_literal_is_not_a_split(spark, graph):
+    nodes, edges = graph
+    rows = run_cypher(
+        "MATCH (c:CLASS) WHERE c.name <> 'UNION ALL' RETURN c.name AS nm",
+        nodes, edges,
+    ).collect()
+    assert sorted(r.nm for r in rows) == ["Animal", "Dog", "Puppy"]
