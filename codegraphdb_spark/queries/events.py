@@ -9,7 +9,7 @@ oracle-checked; streaming twins are pytest-checked (non-SQL-expressible).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1328,3 +1328,66 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("drift_flag"),
     ).orderBy("event_id")
+
+
+@query(
+    "events_user_features",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS INT) AS n_types,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS active_span_s,
+           {sql_isum("value")} AS total_value,
+           CAST(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE)
+                / 1000000 / COUNT(*) AS DOUBLE) AS mean_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity feature extraction — the feature-store step a training
+    pipeline runs before model fitting: one grouped pass emitting event
+    counts, per-type conditional counts (the pivot columns a downstream
+    model consumes), activity span, and exact-sum value statistics
+    (scaled-int, so total/mean are bit-identical cross-engine; the mean's
+    two divisions are performed in the same order by both engines).
+    Scale: ONE map-side-combinable aggregate over user_id — conditional
+    counts are SUM(CASE) partials, no joins, no second pass; this is the
+    cheapest possible shape for a 100 TB feature sweep and AQE handles
+    hot users via partial aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    sv = F.round(F.col("value") * 1_000_000).cast("bigint")
+
+    def cnt(t: str) -> Column:
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast(
+            "bigint"
+        )
+
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count_distinct("event_type").cast("int").alias("n_types"),
+            cnt("click").alias("n_click"),
+            cnt("view").alias("n_view"),
+            cnt("purchase").alias("n_purchase"),
+            cnt("error").alias("n_error"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("bigint")
+            .alias("active_span_s"),
+            (F.sum(sv).cast("double") / 1_000_000).cast("double").alias("total_value"),
+            (F.sum(sv).cast("double") / 1_000_000 / F.count(F.lit(1)))
+            .cast("double")
+            .alias("mean_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -55,6 +55,7 @@ _DRIVER_PRIORITY: list[str] = [
     "g_cypher_union",                  # NEW: UNION between full queries
     "g_module_coupling",               # NEW: afferent/efferent instability
     "events_cusum_drift",              # NEW: telescoped CUSUM change-point
+    "events_user_features",            # NEW: feature-store grouped pass
     "doc_dup_spans",                   # NEW: cross-doc duplicate spans
     "doc_dup_span_scrub",              # NEW: span excision, md5-pinned
     "doc_dup_span_stats",              # NEW: per-doc dup-token coverage
@@ -95,7 +96,6 @@ _DRIVER_PRIORITY: list[str] = [
     "events_hourly_full_outer",        # NEW: full-outer sparse alignment
     "doc_minhash_jaccard_est",         # NEW: integer-rational sketch error
     "events_unpivot_daily",            # NEW: unpivot(pivot) identity
-    "g_cypher_with_topn",              # NEW: WITH ORDER BY/SKIP/LIMIT
     # -- r4d hybrid-fast-path behavior changes (driver-side replicas
     #    under the limit probe) not already in-window via g_kcore /
     #    doc_dup_clusters, plus the affected-set reverse-BFS change -----
@@ -126,6 +126,7 @@ _DRIVER_PRIORITY: list[str] = [
     "orders_monthly_growth",   # aggregate-then-window LAG
     "exclusive_late_supplier", # Q21 — sibling of in-window TPC-H block
     "value_range_window",      # RANGE frame sibling of rolling_7d
+    "g_cypher_with_topn",      # WITH-pagination sibling of in-window cypher block
     "g_cypher_rel_props",      # single-hop rel-variable sibling of in-window cypher block
     "doc_lang_confusion",      # plain confusion-matrix grouped agg
     "events_value_mad",        # exact-percentile sibling of percentiles_by_segment

@@ -137,6 +137,7 @@ HEADLINE = [
     "g_dead_code",
     "g_module_coupling",
     "events_cusum_drift",
+    "events_user_features",
 ]
 
 
