@@ -2372,3 +2372,118 @@ def doc_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("kept").cast("int").alias("n_tokens_kept"),
         F.md5(F.array_join("kept", " ")).alias("scrubbed_md5"),
     ).orderBy("doc_id")
+
+
+@query(
+    "doc_dedup_funnel",
+    oracle=f"""
+    WITH exact_keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    {_SQL_JACCARD_PAIRS_CTES.lstrip()},
+    near_drop AS (
+      SELECT DISTINCT doc_b AS doc_id FROM pairs   -- keep-first: the lower id survives
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(string_split(text, ' ')[i:i+{DUP_SPAN_K}-1], ' ')) AS h
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+           unnest(generate_series(1, len(toks) - {DUP_SPAN_K} + 1)) AS u(i)
+      WHERE len(toks) >= {DUP_SPAN_K}
+    ),
+    dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    dpos AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {DUP_SPAN_K} - 1 THEN 0 ELSE 1 END AS brk
+      FROM dpos
+    ),
+    grp AS (
+      SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                         ROWS UNBOUNDED PRECEDING) AS isl_id
+      FROM isl
+    ),
+    cov AS (
+      SELECT doc_id, SUM(mx - mn + {DUP_SPAN_K}) AS dup_tokens FROM (
+        SELECT doc_id, min(pos) AS mn, max(pos) AS mx
+        FROM grp GROUP BY doc_id, isl_id) GROUP BY doc_id
+    ),
+    substr_drop AS (
+      SELECT d.doc_id FROM documents d JOIN cov ON d.doc_id = cov.doc_id
+      WHERE CAST(cov.dup_tokens AS DOUBLE)
+            / len(string_split(d.text, ' ')) >= 0.25
+    ),
+    flags AS (
+      SELECT d.doc_id,
+             d.doc_id IN (SELECT doc_id FROM exact_keep) AS exact_ok,
+             d.doc_id NOT IN (SELECT doc_id FROM near_drop) AS near_ok,
+             d.doc_id NOT IN (SELECT doc_id FROM substr_drop) AS substr_ok
+      FROM documents d
+    )
+    SELECT * FROM (
+      SELECT 'a_total' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM flags
+      UNION ALL SELECT 'b_exact', count(*) FROM flags WHERE exact_ok
+      UNION ALL SELECT 'c_near', count(*) FROM flags WHERE near_ok
+      UNION ALL SELECT 'd_substr', count(*) FROM flags WHERE substr_ok
+      UNION ALL SELECT 'e_all', count(*) FROM flags
+                WHERE exact_ok AND near_ok AND substr_ok
+    ) ORDER BY stage
+    """,
+)
+def doc_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline survivorship: how many documents pass each family's
+    keep gate — exact (first copy per content hash), near-dup (keep-first:
+    drop any doc Jaccard-paired with a lower doc_id), exact-substring
+    (duplicated-token coverage < 1/4) — and the intersection, i.e. the
+    corpus a real pipeline composing all three would train on. Each gate
+    reuses its family's session-cached intermediate (pair overlap, span
+    set), so the funnel costs three semi/anti joins over already-built
+    candidate tables, not three fresh corpus passes. Stage keys are
+    prefixed for a deterministic sort."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_keep = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    near_drop = (
+        _jaccard_pairs(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
+    )
+    substr_drop = (
+        _dup_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("dup_tokens"))
+        .join(d.select("doc_id", F.size(_tokens()).alias("n")), "doc_id")
+        .filter(F.col("dup_tokens").cast("double") / F.col("n") >= 0.25)
+        .select("doc_id")
+    )
+    flags = (
+        d.select("doc_id")
+        .join(exact_keep.withColumn("exact_ok", F.lit(True)), "doc_id", "left")
+        .join(near_drop.withColumn("near_bad", F.lit(True)), "doc_id", "left")
+        .join(substr_drop.withColumn("substr_bad", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_ok", F.lit(False)).alias("exact_ok"),
+            (~F.coalesce("near_bad", F.lit(False))).alias("near_ok"),
+            (~F.coalesce("substr_bad", F.lit(False))).alias("substr_ok"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n = F.count(F.lit(1)).cast("bigint")
+
+    def stage(name: str, cond) -> DataFrame:
+        src = flags.filter(cond) if cond is not None else flags
+        return src.agg(F.lit(name).alias("stage"), n.alias("n_docs"))
+
+    return (
+        stage("a_total", None)
+        .unionByName(stage("b_exact", F.col("exact_ok")))
+        .unionByName(stage("c_near", F.col("near_ok")))
+        .unionByName(stage("d_substr", F.col("substr_ok")))
+        .unionByName(
+            stage("e_all", F.col("exact_ok") & F.col("near_ok") & F.col("substr_ok"))
+        )
+        .orderBy("stage")
+    )

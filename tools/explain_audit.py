@@ -133,6 +133,7 @@ HEADLINE = [
     "doc_dup_span_stats",
     "doc_dup_span_scrub",
     "source_overlap_matrix",
+    "doc_dedup_funnel",
     "g_import_cycles",
     "g_dead_code",
     "g_module_coupling",
