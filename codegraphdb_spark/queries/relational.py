@@ -1564,3 +1564,77 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "customer_revenue_concentration",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o.o_custkey AS custkey,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(30,4))) AS rev_dec
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey
+    ),
+    total AS (SELECT SUM(rev_dec) AS tot FROM per_cust),
+    top20 AS (
+      SELECT custkey, rev_dec,
+             row_number() OVER (ORDER BY rev_dec DESC, custkey) AS rnk
+      FROM per_cust
+      ORDER BY rev_dec DESC, custkey LIMIT 20
+    )
+    SELECT CAST(rnk AS INT) AS rnk, custkey,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(rev_dec) OVER (ORDER BY rnk
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                / CAST((SELECT tot FROM total) AS DOUBLE) AS DOUBLE)
+               AS cum_share
+    FROM top20
+    ORDER BY rnk
+    """,
+)
+def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) curve: the top-20 customers by
+    decimal-exact revenue with each rank's cumulative share of TOTAL
+    revenue — the whale-analysis / data-skew diagnostic. 100 TB shape:
+    the per-customer aggregate is the only corpus-scale stage; the top-k
+    cut is TakeOrdered (never a global sort), the cumulative window runs
+    over exactly k rows, and the denominator is one broadcast scalar —
+    an unpartitioned window over all customers appears nowhere. Shares
+    are a single IEEE division of two decimal-derived doubles."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(30,4)")
+        .alias("rev"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), F.col("o_custkey").alias("custkey")
+    )
+    per_cust = li.join(o, "l_orderkey").groupBy("custkey").agg(
+        F.sum("rev").alias("rev_dec")
+    )
+    total = per_cust.agg(F.sum("rev_dec").alias("tot"))
+    top20 = (
+        per_cust.orderBy(F.col("rev_dec").desc(), "custkey")
+        .limit(20)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("rev_dec").desc(), "custkey")
+            ),
+        )
+    )
+    cum = F.sum("rev_dec").over(
+        Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        top20.crossJoin(F.broadcast(total))
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            "custkey",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            (cum.cast("double") / F.col("tot").cast("double")).alias("cum_share"),
+        )
+        .orderBy("rnk")
+    )

@@ -61,6 +61,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_dup_span_stats",              # NEW: per-doc dup-token coverage
     "source_overlap_matrix",           # NEW: cross-source shingle Jaccard
     "doc_dedup_funnel",                # NEW: three-gate survivorship
+    "customer_revenue_concentration",  # NEW: Pareto cum-share top-k
     # -- round 4, session r4d: TPC-H decision-support completion ---------
     "doc_epoch_shuffle",               # NEW: deterministic epoch sharding
     "shipping_priority_topk",          # NEW: Q3 top-k over 3-way join
@@ -95,7 +96,6 @@ _DRIVER_PRIORITY: list[str] = [
     "events_rollup_two_level",         # NEW: continuous-aggregate reuse
     "g_cypher_scalar_fns",             # NEW: scalar string/list functions
     "events_hourly_full_outer",        # NEW: full-outer sparse alignment
-    "doc_minhash_jaccard_est",         # NEW: integer-rational sketch error
     # -- r4d hybrid-fast-path behavior changes (driver-side replicas
     #    under the limit probe) not already in-window via g_kcore /
     #    doc_dup_clusters, plus the affected-set reverse-BFS change -----
@@ -126,6 +126,7 @@ _DRIVER_PRIORITY: list[str] = [
     "orders_monthly_growth",   # aggregate-then-window LAG
     "exclusive_late_supplier", # Q21 — sibling of in-window TPC-H block
     "value_range_window",      # RANGE frame sibling of rolling_7d
+    "doc_minhash_jaccard_est", # integer-rational estimator; sketch family in-window via KMV tests
     "events_unpivot_daily",    # unpivot(pivot)=identity, sibling of in-window pivot
     "g_cypher_with_topn",      # WITH-pagination sibling of in-window cypher block
     "g_cypher_rel_props",      # single-hop rel-variable sibling of in-window cypher block

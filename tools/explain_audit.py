@@ -134,6 +134,7 @@ HEADLINE = [
     "doc_dup_span_scrub",
     "source_overlap_matrix",
     "doc_dedup_funnel",
+    "customer_revenue_concentration",
     "g_import_cycles",
     "g_dead_code",
     "g_module_coupling",
