@@ -1269,7 +1269,11 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.count(F.lit(1))
     s1 = F.sum("v").cast("double")
-    s2 = F.sum(F.col("v") * F.col("v")).cast("double")
+    # v*v fits int64 (|v| < 3e9 for the documented value range) but the
+    # SUM of squares does not — route it through DECIMAL(38,0), which is
+    # exact and order-independent like the int sums; DuckDB's SUM(BIGINT)
+    # is already int128, so both engines produce the identical double
+    s2 = F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).cast("double")
     stats = sv.groupBy("event_type").agg(
         F.round(s1 / n).cast("bigint").alias("mu_i"),
         F.round(F.sqrt(s2 / n - (s1 / n) * (s1 / n))).cast("bigint").alias("sigma_i"),
@@ -1390,4 +1394,71 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_value"),
         )
         .orderBy("user_id")
+    )
+
+
+@query(
+    "events_session_duration_stats",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq,
+             ts
+      FROM marked
+    ), per_session AS (
+      SELECT user_id, session_seq,
+             date_diff('microsecond', MIN(ts), MAX(ts)) AS dur_us,
+             COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, session_seq
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) FILTER (n_events = 1) AS BIGINT) AS n_singletons,
+           CAST(quantile_cont(dur_us, 0.5) AS DOUBLE) AS p50_dur_us,
+           CAST(quantile_cont(dur_us, 0.9) AS DOUBLE) AS p90_dur_us,
+           CAST(MAX(dur_us) AS BIGINT) AS max_dur_us,
+           CAST(MAX(n_events) AS BIGINT) AS max_events
+    FROM per_session
+    """,
+)
+def events_session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality summary over the gap-based sessions (30-minute
+    inactivity, the events_sessionization shape): session count,
+    single-event sessions, exact p50/p90 duration (microsecond-integer
+    durations through Spark `percentile` == DuckDB `quantile_cont`,
+    bit-identical interpolation), and maxima. One user_id shuffle for the
+    windows, one grouped agg, one scalar agg — the per-session table is
+    users x sessions, tiny next to the event stream."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    marked = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    per_session = (
+        marked.withColumn("session_seq", F.sum("new_session").over(w_run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_singletons"),
+        F.expr("percentile(dur_us, 0.5)").cast("double").alias("p50_dur_us"),
+        F.expr("percentile(dur_us, 0.9)").cast("double").alias("p90_dur_us"),
+        F.max("dur_us").cast("bigint").alias("max_dur_us"),
+        F.max("n_events").cast("bigint").alias("max_events"),
     )

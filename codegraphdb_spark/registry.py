@@ -56,6 +56,7 @@ _DRIVER_PRIORITY: list[str] = [
     "g_module_coupling",               # NEW: afferent/efferent instability
     "events_cusum_drift",              # NEW: telescoped CUSUM change-point
     "events_user_features",            # NEW: feature-store grouped pass
+    "events_session_duration_stats",   # NEW: session-quality summary
     "doc_dup_spans",                   # NEW: cross-doc duplicate spans
     "doc_dup_span_scrub",              # NEW: span excision, md5-pinned
     "doc_dup_span_stats",              # NEW: per-doc dup-token coverage
@@ -90,7 +91,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ngram_jaccard_pairs",             # behavior-adjacent: shared _pair_overlap refactor
     "doc_dup_clusters",                # behavior-adjacent: same refactored pair source
     "doc_dedup_keep_best",             # behavior-adjacent: same refactored pair source
-    "g_cypher_write_roundtrip",        # behavior-adjacent: CREATE added to write dispatch
     "events_salted_type_stats",        # NEW: two-phase salted hot-key agg
     "events_time_weighted_avg",        # NEW: integer-exact irregular TWA
     "events_rollup_two_level",         # NEW: continuous-aggregate reuse
@@ -126,6 +126,7 @@ _DRIVER_PRIORITY: list[str] = [
     "orders_monthly_growth",   # aggregate-then-window LAG
     "exclusive_late_supplier", # Q21 — sibling of in-window TPC-H block
     "value_range_window",      # RANGE frame sibling of rolling_7d
+    "g_cypher_write_roundtrip",# write dispatch covered by the 19-test write suite
     "doc_minhash_jaccard_est", # integer-rational estimator; sketch family in-window via KMV tests
     "events_unpivot_daily",    # unpivot(pivot)=identity, sibling of in-window pivot
     "g_cypher_with_topn",      # WITH-pagination sibling of in-window cypher block

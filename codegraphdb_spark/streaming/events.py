@@ -375,7 +375,7 @@ def cusum_reference_stats(events: DataFrame) -> dict[str, tuple[int, int]]:
     sv = F.round(F.col("value") * _CUSUM_SCALE).cast("bigint")
     n = F.count(F.lit(1))
     s1 = F.sum(sv).cast("double")
-    s2 = F.sum(sv * sv).cast("double")
+    s2 = F.sum((sv * sv).cast("decimal(38,0)")).cast("double")
     rows = (
         events.groupBy("event_type")
         .agg(

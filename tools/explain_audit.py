@@ -140,6 +140,7 @@ HEADLINE = [
     "g_module_coupling",
     "events_cusum_drift",
     "events_user_features",
+    "events_session_duration_stats",
 ]
 
 
