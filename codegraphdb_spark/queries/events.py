@@ -604,7 +604,10 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sv = F.round(F.col("value") * _ZS).cast("bigint")
     n = F.count(F.lit(1))
     s1 = F.sum(sv).cast("double")
-    s2 = F.sum(sv * sv).cast("double")
+    # decimal(38,0) sum of squares: exact, order-independent, and no
+    # int64 ceiling at trillion-row per-type counts (DuckDB's SUM(BIGINT)
+    # is already int128) — same hardening as the CUSUM/emb moments
+    s2 = F.sum((sv * sv).cast("decimal(38,0)")).cast("double")
     mu = (s1 / _ZS / n).cast("double")
     stats = e.groupBy("event_type").agg(
         mu.alias("mu"),

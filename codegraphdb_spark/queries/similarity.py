@@ -836,7 +836,11 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sv = F.round(F.col("val") * _DSCALE).cast("bigint")
     s1 = F.sum(sv).cast("double")
-    s2 = F.sum(sv * sv).cast("double")
+    # sum of squares through DECIMAL(38,0): sv^2 fits int64 but the SUM
+    # overflows past ~4e5 rows per dim at this scale; decimal sums are
+    # exact and order-independent, and DuckDB's SUM(BIGINT) is already
+    # int128 — both engines emit the identical double
+    s2 = F.sum((sv * sv).cast("decimal(38,0)")).cast("double")
     n = F.count(F.lit(1))
     mean = (s1 / _DSCALE / n).cast("double")
     return (
@@ -897,7 +901,11 @@ def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sv = F.round(F.col("val") * _DSCALE).cast("bigint")
     s1 = F.sum(sv).cast("double")
-    s2 = F.sum(sv * sv).cast("double")
+    # sum of squares through DECIMAL(38,0): sv^2 fits int64 but the SUM
+    # overflows past ~4e5 rows per dim at this scale; decimal sums are
+    # exact and order-independent, and DuckDB's SUM(BIGINT) is already
+    # int128 — both engines emit the identical double
+    s2 = F.sum((sv * sv).cast("decimal(38,0)")).cast("double")
     n = F.count(F.lit(1))
     mean = (s1 / _DSCALE / n).cast("double")
     st = x.groupBy(F.col("pos").alias("dim")).agg(

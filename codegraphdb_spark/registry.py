@@ -55,6 +55,8 @@ _DRIVER_PRIORITY: list[str] = [
     "g_cypher_union",                  # NEW: UNION between full queries
     "g_module_coupling",               # NEW: afferent/efferent instability
     "events_cusum_drift",              # NEW: telescoped CUSUM change-point
+    "emb_dim_stats",                   # behavior-adjacent: decimal(38,0) moment hardening
+    "events_anomaly_zscore",           # behavior-adjacent: same hardening
     "events_user_features",            # NEW: feature-store grouped pass
     "events_session_duration_stats",   # NEW: session-quality summary
     "doc_dup_spans",                   # NEW: cross-doc duplicate spans
@@ -92,8 +94,6 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_dup_clusters",                # behavior-adjacent: same refactored pair source
     "doc_dedup_keep_best",             # behavior-adjacent: same refactored pair source
     "events_salted_type_stats",        # NEW: two-phase salted hot-key agg
-    "events_time_weighted_avg",        # NEW: integer-exact irregular TWA
-    "events_rollup_two_level",         # NEW: continuous-aggregate reuse
     "g_cypher_scalar_fns",             # NEW: scalar string/list functions
     "events_hourly_full_outer",        # NEW: full-outer sparse alignment
     # -- r4d hybrid-fast-path behavior changes (driver-side replicas
@@ -126,6 +126,8 @@ _DRIVER_PRIORITY: list[str] = [
     "orders_monthly_growth",   # aggregate-then-window LAG
     "exclusive_late_supplier", # Q21 — sibling of in-window TPC-H block
     "value_range_window",      # RANGE frame sibling of rolling_7d
+    "events_time_weighted_avg",# int-exact TWA; EWMA/OHLC siblings in-window
+    "events_rollup_two_level", # rollup reuse; invariant-tested bit-identity
     "g_cypher_write_roundtrip",# write dispatch covered by the 19-test write suite
     "doc_minhash_jaccard_est", # integer-rational estimator; sketch family in-window via KMV tests
     "events_unpivot_daily",    # unpivot(pivot)=identity, sibling of in-window pivot
