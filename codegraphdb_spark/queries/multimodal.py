@@ -250,3 +250,62 @@ def multimodal_resolution_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("format")
     )
+
+
+@query(
+    "multimodal_frame_census",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, CAST(1 + doc_id % 50 AS INT) AS n_frames FROM documents
+    )
+    SELECT doc_id, n_frames,
+           CAST((n_frames + 3) // 4 AS INT) AS n_sampled,
+           CAST(4 * ((n_frames - 1) // 4) AS INT) AS last_frame_idx,
+           CAST(40 * 4 * ((n_frames - 1) // 4) AS INT) AS last_ts_ms
+    FROM f ORDER BY doc_id
+    """,
+)
+def multimodal_frame_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling census through the REAL sample_frames operator
+    (operators/multimodal.py): each doc_id synthesizes a deterministic
+    'video' payload of 1 + doc_id%50 KiB (the frame-count double is one
+    frame per KiB), the operator expands it 1→many with every_n=4 frame
+    stride on a 25 fps clock, and the census re-aggregates per document.
+    The oracle predicts sampled counts, last stride index, and last
+    timestamp from doc_id arithmetic alone — a stride or clock regression
+    in the expansion hash-fails; the frame digests themselves are pinned
+    by tests/test_operators.py. Scale shape: map-only synthesis, map-only
+    expansion (bounded by every_n), ONE doc-keyed aggregate."""
+    from codegraphdb_spark.operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "path": [str(int(x)) for x in pdf["doc_id"]],
+                    "content": [
+                        b"V" * (1024 * (1 + int(x) % 50)) for x in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    binary = d.mapInPandas(synth, schema="path STRING, content BINARY")
+    frames = sample_frames(binary, every_n=4)
+    return (
+        frames.groupBy(F.col("path").cast("bigint").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_sampled"),
+            F.max("frame_idx").cast("int").alias("last_frame_idx"),
+            F.max("ts_ms").cast("int").alias("last_ts_ms"),
+        )
+        .select(
+            "doc_id",
+            (1 + F.col("doc_id") % 50).cast("int").alias("n_frames"),
+            "n_sampled",
+            "last_frame_idx",
+            "last_ts_ms",
+        )
+        .orderBy("doc_id")
+    )

@@ -87,13 +87,13 @@ _DRIVER_PRIORITY: list[str] = [
     "events_ohlc_bars",                # NEW: daily OHLC downsample bars
     "events_ewma",                     # NEW: integer-exact truncated EWMA
     "multimodal_resolution_filter",    # NEW: header-metadata quality gate
+    "multimodal_frame_census",         # NEW: 1-to-many frame expansion census
     "doc_pii_scrub",                   # NEW: denylist redaction, md5-verified
     "g_kcore",                         # NEW: h-index coreness, unrolled oracle
     "doc_containment_pairs",           # NEW: asymmetric subset/superset dedup
     "ngram_jaccard_pairs",             # behavior-adjacent: shared _pair_overlap refactor
     "doc_dup_clusters",                # behavior-adjacent: same refactored pair source
     "doc_dedup_keep_best",             # behavior-adjacent: same refactored pair source
-    "events_salted_type_stats",        # NEW: two-phase salted hot-key agg
     "g_cypher_scalar_fns",             # NEW: scalar string/list functions
     "events_hourly_full_outer",        # NEW: full-outer sparse alignment
     # -- r4d hybrid-fast-path behavior changes (driver-side replicas
@@ -126,6 +126,7 @@ _DRIVER_PRIORITY: list[str] = [
     "orders_monthly_growth",   # aggregate-then-window LAG
     "exclusive_late_supplier", # Q21 — sibling of in-window TPC-H block
     "value_range_window",      # RANGE frame sibling of rolling_7d
+    "events_salted_type_stats",# salt phase plan-asserted; agg family in-window
     "events_time_weighted_avg",# int-exact TWA; EWMA/OHLC siblings in-window
     "events_rollup_two_level", # rollup reuse; invariant-tested bit-identity
     "g_cypher_write_roundtrip",# write dispatch covered by the 19-test write suite

@@ -96,6 +96,7 @@ HEADLINE = [
     "events_hourly_full_outer",
     "events_unpivot_daily",
     "multimodal_resolution_filter",
+    "multimodal_frame_census",
     "doc_pii_scrub",
     "doc_containment_pairs",
     "doc_minhash_jaccard_est",
