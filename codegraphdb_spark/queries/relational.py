@@ -1638,3 +1638,63 @@ def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("rnk")
     )
+
+
+@query(
+    "orders_open_backlog",
+    oracle="""
+    WITH span AS (
+      SELECT o.o_orderkey,
+             CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS sm,
+             CAST(date_trunc('month',
+                  coalesce(max(l.l_shipdate), o.o_orderdate)) AS TIMESTAMP) AS em
+      FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+      SELECT sm AS month, 1 AS delta FROM span
+      UNION ALL
+      SELECT em + INTERVAL 1 MONTH, -1 FROM span
+    ),
+    monthly AS (SELECT month, SUM(delta) AS d FROM deltas GROUP BY month)
+    SELECT month,
+           CAST(SUM(d) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS open_orders
+    FROM monthly ORDER BY month
+    """,
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent open orders per month by SWEEP LINE: each order's open
+    interval (orderdate → last item shipdate) contributes +1 at its start
+    month and −1 one month past its end month; a running sum over the
+    aggregated month deltas counts intervals intersecting each month.
+    This is the linear-cost temporal-overlap shape: the naive alternative
+    joins orders × months (or self-joins intervals, quadratic); the sweep
+    is one orderkey aggregate, one tiny month-keyed aggregate, and a
+    running window over <100 rows — at 100 TB the only corpus-scale
+    stage is the orders⋈lineitem max-shipdate aggregate the warehouse
+    already co-partitions on orderkey."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    span = (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.date_trunc("month", "o_orderdate").alias("sm"),
+            F.date_trunc(
+                "month", F.coalesce("last_ship", "o_orderdate")
+            ).alias("em"),
+        )
+    )
+    deltas = span.select(F.col("sm").alias("month"), F.lit(1).alias("delta")).unionAll(
+        span.select(
+            (F.col("em") + F.expr("INTERVAL 1 MONTH")).alias("month"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    monthly = deltas.groupBy("month").agg(F.sum("delta").alias("d"))
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "month", F.sum("d").over(w).cast("bigint").alias("open_orders")
+    ).orderBy("month")

@@ -65,6 +65,7 @@ _DRIVER_PRIORITY: list[str] = [
     "source_overlap_matrix",           # NEW: cross-source shingle Jaccard
     "doc_dedup_funnel",                # NEW: three-gate survivorship
     "customer_revenue_concentration",  # NEW: Pareto cum-share top-k
+    "orders_open_backlog",             # NEW: sweep-line interval counting
     # -- round 4, session r4d: TPC-H decision-support completion ---------
     "doc_epoch_shuffle",               # NEW: deterministic epoch sharding
     "shipping_priority_topk",          # NEW: Q3 top-k over 3-way join
@@ -84,7 +85,6 @@ _DRIVER_PRIORITY: list[str] = [
     "subquery_small_quantity_revenue",  # NEW: Q17-shape avg threshold
     "scalar_subquery_rich_inactive",   # NEW: scalar subquery + anti join
     "grouping_sets_report",            # NEW: explicit GROUPING SETS
-    "events_ohlc_bars",                # NEW: daily OHLC downsample bars
     "events_ewma",                     # NEW: integer-exact truncated EWMA
     "multimodal_resolution_filter",    # NEW: header-metadata quality gate
     "multimodal_frame_census",         # NEW: 1-to-many frame expansion census
@@ -126,6 +126,7 @@ _DRIVER_PRIORITY: list[str] = [
     "orders_monthly_growth",   # aggregate-then-window LAG
     "exclusive_late_supplier", # Q21 — sibling of in-window TPC-H block
     "value_range_window",      # RANGE frame sibling of rolling_7d
+    "events_ohlc_bars",        # OHLC bars; streaming twin equality-tested
     "events_salted_type_stats",# salt phase plan-asserted; agg family in-window
     "events_time_weighted_avg",# int-exact TWA; EWMA/OHLC siblings in-window
     "events_rollup_two_level", # rollup reuse; invariant-tested bit-identity

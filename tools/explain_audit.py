@@ -136,6 +136,7 @@ HEADLINE = [
     "source_overlap_matrix",
     "doc_dedup_funnel",
     "customer_revenue_concentration",
+    "orders_open_backlog",
     "g_import_cycles",
     "g_dead_code",
     "g_module_coupling",
