@@ -2487,3 +2487,54 @@ def doc_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+@query(
+    "doc_quality_by_source",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, lang, {SQL_TOKS} AS toks, n_chars FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS INT) AS n_langs,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(list_distinct(toks))) AS DOUBLE)
+               / SUM(len(toks)) AS mean_ttr,
+           CAST(SUM(CASE WHEN len(toks) BETWEEN 20 AND 1000
+                          AND len(list_distinct(toks)) > 5
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_keep
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+def doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: document/language/token/char
+    census, corpus-weighted type-token ratio (one int/int division of
+    exact integer sums), and how many docs pass the doc_quality_score
+    keep gate — the table a data-mixing decision is made from (which
+    sources are boilerplate-heavy, which are worth upweighting). ONE
+    map-side-combinable aggregate keyed by source; at 100 TB nothing
+    shuffles but k partial rows per partition."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("source", "lang", "n_chars", _tokens().alias("toks"))
+    tok = F.col("toks")
+    n_uniq = F.size(F.array_distinct(tok))
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("lang").cast("int").alias("n_langs"),
+            F.sum(F.size(tok)).cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            (
+                F.sum(n_uniq).cast("double") / F.sum(F.size(tok))
+            ).alias("mean_ttr"),
+            F.sum(
+                F.when(F.size(tok).between(20, 1000) & (n_uniq > 5), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_quality_keep"),
+        )
+        .orderBy("source")
+    )

@@ -64,6 +64,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_dup_span_stats",              # NEW: per-doc dup-token coverage
     "source_overlap_matrix",           # NEW: cross-source shingle Jaccard
     "doc_dedup_funnel",                # NEW: three-gate survivorship
+    "doc_quality_by_source",           # NEW: per-source curation census
     "customer_revenue_concentration",  # NEW: Pareto cum-share top-k
     "orders_open_backlog",             # NEW: sweep-line interval counting
     # -- round 4, session r4d: TPC-H decision-support completion ---------
@@ -85,7 +86,6 @@ _DRIVER_PRIORITY: list[str] = [
     "subquery_small_quantity_revenue",  # NEW: Q17-shape avg threshold
     "scalar_subquery_rich_inactive",   # NEW: scalar subquery + anti join
     "grouping_sets_report",            # NEW: explicit GROUPING SETS
-    "events_ewma",                     # NEW: integer-exact truncated EWMA
     "multimodal_resolution_filter",    # NEW: header-metadata quality gate
     "multimodal_frame_census",         # NEW: 1-to-many frame expansion census
     "doc_pii_scrub",                   # NEW: denylist redaction, md5-verified
@@ -126,6 +126,7 @@ _DRIVER_PRIORITY: list[str] = [
     "orders_monthly_growth",   # aggregate-then-window LAG
     "exclusive_late_supplier", # Q21 — sibling of in-window TPC-H block
     "value_range_window",      # RANGE frame sibling of rolling_7d
+    "events_ewma",             # EWMA; stateful streaming twin equality-tested
     "events_ohlc_bars",        # OHLC bars; streaming twin equality-tested
     "events_salted_type_stats",# salt phase plan-asserted; agg family in-window
     "events_time_weighted_avg",# int-exact TWA; EWMA/OHLC siblings in-window

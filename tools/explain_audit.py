@@ -135,6 +135,7 @@ HEADLINE = [
     "doc_dup_span_scrub",
     "source_overlap_matrix",
     "doc_dedup_funnel",
+    "doc_quality_by_source",
     "customer_revenue_concentration",
     "orders_open_backlog",
     "g_import_cycles",
