@@ -1283,15 +1283,43 @@ def run_cypher(
         _PARAMS.d = None
 
 
+_CLAUSE_AFTER_UNION = re.compile(
+    r"(?is)\s*(MATCH|OPTIONAL\s+MATCH|UNWIND|WITH|RETURN|CALL|MERGE|CREATE)\b"
+)
+
+
 def _split_top_union(text: str) -> tuple[list[str], bool] | None:
     """Top-level UNION [ALL] split (never inside a string literal).
     Returns (branches, is_all) or None when there is no union. Mixing
-    UNION and UNION ALL is refused like openCypher does."""
+    UNION and UNION ALL is refused like openCypher does.
+
+    ``union`` is a legal identifier ("MATCH (union:CLASS) RETURN
+    union.name"), so a token only counts as the set operator when it is
+    (a) outside every paren/bracket/brace — never inside a node or
+    relationship pattern, map, or function call — and (b) followed by a
+    clause keyword starting the next branch; a variable use is instead
+    followed by '.', ',', an operator, AS, or end of query."""
     spans = _string_spans(text)
+    # bracket depth per position, string contents ignored
+    depth = [0] * (len(text) + 1)
+    d = 0
+    for i, ch in enumerate(text):
+        if any(a <= i < b for a, b in spans):
+            depth[i] = d
+            continue
+        if ch in "([{":
+            d += 1
+        elif ch in ")]}":
+            d = max(0, d - 1)
+        depth[i] = d
     hits = []
     for m in re.finditer(r"(?is)\bUNION(\s+ALL)?\b", text):
         if any(a <= m.start() < b for a, b in spans):
             continue
+        if depth[m.start()] > 0:
+            continue  # inside a pattern/map/call: identifier, not operator
+        if not _CLAUSE_AFTER_UNION.match(text, m.end()):
+            continue  # no new branch follows: 'union' used as a variable
         hits.append((m.start(), m.end(), bool(m.group(1))))
     if not hits:
         return None

@@ -574,14 +574,14 @@ _ZS = 100  # event values are 2-decimal: scale 100 is exact, squares stay in int
       SELECT event_type,
              CAST(CAST(SUM(CAST(ROUND(value * {_ZS}) AS BIGINT)) AS DOUBLE)
                   / {_ZS} / COUNT(*) AS DOUBLE) AS mu,
-             CAST(CAST(SUM(CAST(ROUND(value * {_ZS}) AS BIGINT)
+             GREATEST(CAST(CAST(SUM(CAST(ROUND(value * {_ZS}) AS BIGINT)
                            * CAST(ROUND(value * {_ZS}) AS BIGINT)) AS DOUBLE)
                   / {_ZS} / {_ZS} / COUNT(*)
                   - (CAST(SUM(CAST(ROUND(value * {_ZS}) AS BIGINT)) AS DOUBLE)
                      / {_ZS} / COUNT(*))
                     * (CAST(SUM(CAST(ROUND(value * {_ZS}) AS BIGINT)) AS DOUBLE)
                        / {_ZS} / COUNT(*))
-                  AS DOUBLE) AS var
+                  AS DOUBLE), 0.0) AS var
       FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,
@@ -611,7 +611,11 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = (s1 / _ZS / n).cast("double")
     stats = e.groupBy("event_type").agg(
         mu.alias("mu"),
-        (s2 / _ZS / _ZS / n - mu * mu).cast("double").alias("var"),
+        # clamp: near-constant types can round the subtraction slightly
+        # negative — Spark sqrt would NaN, the DuckDB oracle would error
+        F.greatest((s2 / _ZS / _ZS / n - mu * mu).cast("double"), F.lit(0.0)).alias(
+            "var"
+        ),
     )
     z = (F.col("value") - F.col("mu")) / F.sqrt(F.col("var"))
     return (
@@ -1198,11 +1202,12 @@ _CUSUM_SCALE = 10_000
     stats AS (
       SELECT event_type,
              CAST(ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mu_i,
-             CAST(ROUND(SQRT(
+             CAST(ROUND(SQRT(GREATEST(
                CAST(SUM(v * v) AS DOUBLE) / COUNT(*)
                - (CAST(SUM(v) AS DOUBLE) / COUNT(*))
-                 * (CAST(SUM(v) AS DOUBLE) / COUNT(*))
-             )) AS BIGINT) AS sigma_i
+                 * (CAST(SUM(v) AS DOUBLE) / COUNT(*)),
+               0.0
+             ))) AS BIGINT) AS sigma_i
       FROM sv GROUP BY event_type
     ),
     pre AS (
@@ -1279,7 +1284,13 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).cast("double")
     stats = sv.groupBy("event_type").agg(
         F.round(s1 / n).cast("bigint").alias("mu_i"),
-        F.round(F.sqrt(s2 / n - (s1 / n) * (s1 / n))).cast("bigint").alias("sigma_i"),
+        # greatest(,0): for a (near-)constant type the double subtraction
+        # can round a hair negative — clamp so sqrt never sees it (Spark
+        # would yield NaN; DuckDB SQRT would hard-error), same clamp as
+        # the oracle
+        F.round(F.sqrt(F.greatest(s2 / n - (s1 / n) * (s1 / n), F.lit(0.0))))
+        .cast("bigint")
+        .alias("sigma_i"),
     )
     pre = sv.join(F.broadcast(stats), "event_type").select(
         "event_id",

@@ -2334,10 +2334,13 @@ def doc_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     remaining tokens in order. The md5 of the scrubbed text pins the
     exact reconstruction under the value-hash gate without shipping the
     text through the comparison. Map-only after the session-shared span
-    set: spans broadcast-join back to documents (the span table is
-    duplicate docs x spans — tiny relative to the corpus), and the
-    excision is a per-row higher-order-function projection, zero new
-    shuffles."""
+    set: spans join back to documents on doc_id, and the excision is a
+    per-row higher-order-function projection. No forced broadcast hint
+    (ADVICE r4 item 4): on a dup-heavy corpus the span table is
+    O(duplicate documents) with per-doc span arrays, so the planner/AQE
+    decides — small span tables still broadcast automatically under the
+    default threshold, pathological ones fall back to a shuffle join
+    instead of OOMing the driver."""
     d = load_table(spark, sf_dir, "documents")
     spans = _dup_spans(spark, sf_dir)
     doc_spans = spans.groupBy("doc_id").agg(
@@ -2345,7 +2348,7 @@ def doc_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct("span_start", "span_end"))
         ).alias("sps")
     )
-    t = d.join(F.broadcast(doc_spans), "doc_id", "left").select(
+    t = d.join(doc_spans, "doc_id", "left").select(
         "doc_id", _tokens().alias("toks"), "sps"
     )
     tok = F.col("toks")

@@ -380,7 +380,9 @@ def cusum_reference_stats(events: DataFrame) -> dict[str, tuple[int, int]]:
         events.groupBy("event_type")
         .agg(
             F.round(s1 / n).cast("bigint").alias("mu_i"),
-            F.round(F.sqrt(s2 / n - (s1 / n) * (s1 / n)))
+            # same variance clamp as the batch query: a near-constant
+            # type can round the subtraction a hair negative
+            F.round(F.sqrt(F.greatest(s2 / n - (s1 / n) * (s1 / n), F.lit(0.0))))
             .cast("bigint")
             .alias("sigma_i"),
         )

@@ -1203,6 +1203,32 @@ def test_union_refuses_mismatched_columns_and_mixing(spark, graph):
         )
 
 
+def test_union_as_identifier_is_not_a_split(spark, graph):
+    """A variable legally named 'union' must not be parsed as the set
+    operator (ADVICE r4 item 2): pattern position is bracket-depth>0,
+    and RETURN-position uses are followed by '.', ',' or end — never by
+    a clause keyword."""
+    nodes, edges = graph
+    rows = run_cypher(
+        "MATCH (union:CLASS) RETURN union.name AS nm ORDER BY nm",
+        nodes, edges,
+    ).collect()
+    assert [r.nm for r in rows] == ["Animal", "Dog", "Puppy"]
+    # bare-variable return, 'union' as the last token of the query
+    rows = run_cypher(
+        "MATCH (union:CLASS {name: 'Dog'}) RETURN union", nodes, edges
+    ).collect()
+    assert len(rows) == 1 and rows[0]["union_full_name"] == "pkgb.dog.Dog"
+    # ...and a real UNION between branches that also USE the identifier
+    rows = run_cypher(
+        "MATCH (union:CLASS) RETURN union.name AS nm "
+        "UNION MATCH (union:MODULE) RETURN union.name AS nm",
+        nodes, edges,
+    ).collect()
+    names = sorted(r.nm for r in rows)
+    assert "Dog" in names and len(names) > 3
+
+
 def test_union_keyword_inside_string_literal_is_not_a_split(spark, graph):
     nodes, edges = graph
     rows = run_cypher(

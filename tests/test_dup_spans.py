@@ -138,13 +138,20 @@ def test_cusum_telescoped_equals_direct_recursion(spark, sf_dir):
         bytype.setdefault(r.event_type, []).append(r)
     import math
 
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _hup(x: float) -> int:
+        # the query rounds with Spark F.round == HALF_UP; Python round()
+        # is banker's (HALF_EVEN) and diverges exactly on .5 boundaries
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
     for typ, rows in bytype.items():
         rows.sort(key=lambda r: (r.ts, r.event_id))
-        vs = [int(round(r.value * _CUSUM_SCALE)) for r in rows]
+        vs = [_hup(r.value * _CUSUM_SCALE) for r in rows]
         n = len(vs)
-        mu = int(round(sum(vs) / n))
-        var = sum(v * v for v in vs) / n - (sum(vs) / n) ** 2
-        sigma = int(round(math.sqrt(var)))
+        mu = _hup(sum(vs) / n)
+        var = max(sum(v * v for v in vs) / n - (sum(vs) / n) ** 2, 0.0)
+        sigma = _hup(math.sqrt(var))
         k = sigma // 2
         sp = sn = 0
         for r, v in zip(rows, vs):

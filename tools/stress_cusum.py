@@ -109,11 +109,17 @@ def main() -> int:
     change_point = int(per_type * SHIFT_AT)
     for typ in (SHIFT_TYPE, f"t{int(sys.argv[2]) - 1 if len(sys.argv) > 2 else 4}"):
         evs = sorted(bytype[typ], key=lambda r: (r.ts, r.event_id))
-        vs = [int(round(r.value * _CUSUM_SCALE)) for r in evs]
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def _hup(x: float) -> int:
+            # match Spark F.round (HALF_UP); Python round() is HALF_EVEN
+            return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+        vs = [_hup(r.value * _CUSUM_SCALE) for r in evs]
         n = len(vs)
-        mu = int(round(sum(vs) / n))
-        var = sum(v * v for v in vs) / n - (sum(vs) / n) ** 2
-        sigma = int(round(math.sqrt(var)))
+        mu = _hup(sum(vs) / n)
+        var = max(sum(v * v for v in vs) / n - (sum(vs) / n) ** 2, 0.0)
+        sigma = _hup(math.sqrt(var))
         k = sigma // 2
         sp = sn = 0
         first_pos = None
