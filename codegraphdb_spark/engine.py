@@ -226,13 +226,17 @@ class GraphEngine:
         plan — which measured at 20-30 s of driver planning PER ACTION on
         even a toy repo when left lazy.
 
-        Side effect: compile cache()s and then unpersist()s ``facts``.
-        Spark's cache manager keys on the canonicalized plan, so a caller
-        that cached the SAME facts frame for its own reuse loses that cache
-        when compile returns (recompute cost only, never wrong results).
-        Callers that need facts afterwards should localCheckpoint it first
-        — every in-repo caller (build, update_version*) already does."""
-        facts = facts.cache()
+        compile cache()s ``facts`` for the duration of the call and
+        releases it before returning — but only when the caller had NOT
+        already cached the same plan. Spark's cache manager keys on the
+        canonicalized plan, so an unconditional unpersist here would drop
+        a caller's own cache entry as a side effect (VERDICT r4 item 8);
+        a pre-existing cache is left exactly as found."""
+        caller_cached = (
+            facts.storageLevel.useMemory or facts.storageLevel.useDisk
+        )
+        if not caller_cached:
+            facts = facts.cache()
         node_facts = facts.filter(F.col("fact") == "node")
         local_edges = merge_edge_facts(facts.filter(F.col("fact") == "edge"), version)
         imports = facts.filter(F.col("fact") == "import")
@@ -352,8 +356,10 @@ class GraphEngine:
         nodes = synthesize_endpoints(nodes, edges, version)
         # every output is derived from checkpointed frames — release the
         # facts cache now instead of leaking one pinned copy per version
-        # in a long-lived incremental session
-        facts.unpersist()
+        # in a long-lived incremental session; never release a cache the
+        # CALLER established (it keys on the same canonicalized plan)
+        if not caller_cached:
+            facts.unpersist()
         return nodes, edges
 
     def build(self, files: DataFrame, version: str) -> tuple[DataFrame, DataFrame, DataFrame]:

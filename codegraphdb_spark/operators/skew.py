@@ -42,26 +42,35 @@ def salted_aggregate(
             {"n": F.count(F.lit(1)), "s": F.sum("x")},
             {"n": F.sum("n"), "s": F.sum("s")})
 
-    Limitation of the content-derived salt: fully-IDENTICAL rows hash to
-    the same salt bucket, so a hot key whose rows are exact duplicates (a
-    common skew shape in raw logs) re-concentrates on one reducer —
-    results stay correct, only the mitigation degenerates. For
-    duplicate-heavy inputs pass ``row_discriminator``: any column that is
-    stable under task re-execution and varies within duplicate groups. A
-    monotonic id over a CHECKPOINTED input qualifies (the checkpoint
-    freezes partition contents, making monotonically_increasing_id
-    recomputation-stable); a raw monotonically_increasing_id over a lazy
-    plan does NOT.
+    Duplicate-heavy hot keys (r4→r5 hardening): a pure content hash sends
+    fully-IDENTICAL rows of a hot key to ONE salt bucket, silently
+    re-concentrating the exact skew shape raw logs have (results stay
+    correct, the mitigation degenerates). The default salt therefore
+    mixes in ``spark_partition_id()`` — a stable PRE-SHUFFLE
+    discriminator: a re-executed map task keeps its partition index, and
+    partition contents are deterministic wherever Spark's own
+    recomputation is (hash shuffles are deterministic; round-robin
+    repartition sorts first post-SPARK-23207). Duplicates that span map
+    partitions — the only way a key gets hot at scale — then spread over
+    ~min(n_input_partitions, n_salts) reducers; duplicates WITHIN one map
+    partition still share a bucket, but that is bounded by
+    maxPartitionBytes, not by the key's corpus-wide row count. Pass
+    ``row_discriminator`` to override (any column stable under task
+    re-execution that varies within duplicate groups, e.g. a monotonic id
+    over a CHECKPOINTED input — a raw monotonically_increasing_id over a
+    lazy nondeterministic plan does NOT qualify).
     """
-    # CONTENT-derived salt, not rand(): rand is only deterministic for a
-    # fixed (partition, row order) — under partial stage recomputation
-    # (fetch failure, speculation) re-executed map tasks can assign rows
-    # different salts than the blocks already fetched, silently losing or
-    # double-counting rows in phase 1 (the SPARK-23207 class of bug). A
-    # hash of the row is stable under any recomputation.
+    # CONTENT+partition-derived salt, not rand(): rand is only
+    # deterministic for a fixed (partition, row order) — under partial
+    # stage recomputation (fetch failure, speculation) re-executed map
+    # tasks can assign rows different salts than the blocks already
+    # fetched, silently losing or double-counting rows in phase 1 (the
+    # SPARK-23207 class of bug). Row hash and partition index are both
+    # stable under recomputation.
     salt_inputs: list[Column] = [F.col(c) for c in df.columns]
-    if row_discriminator is not None:
-        salt_inputs.append(row_discriminator)
+    salt_inputs.append(
+        row_discriminator if row_discriminator is not None else F.spark_partition_id()
+    )
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64(*salt_inputs), F.lit(n_salts)).cast("int")
     )

@@ -167,3 +167,18 @@ def test_build_is_idempotent(spark, graph):
     n2, e2, _ = eng.build(files, "v1")
     assert _set(nodes, "full_name", "kind") == _set(n2, "full_name", "kind")
     assert _set(edges, "src", "dst", "rel_type") == _set(e2, "src", "dst", "rel_type")
+
+
+def test_compile_preserves_caller_facts_cache(spark, graph):
+    """VERDICT r4 item 8: compile() must not unpersist a facts frame the
+    CALLER cached (Spark's cache manager keys on the canonicalized plan,
+    so compile's internal cache/unpersist pair used to drop the caller's
+    entry as a side effect)."""
+    eng, _, _, _ = graph
+    files = files_from_pairs(spark, mini_repo.V1)
+    facts = eng.extract(files).cache()
+    facts.count()  # materialize the caller's cache
+    assert facts.storageLevel.useMemory
+    eng.compile(facts, "vcache")
+    assert facts.storageLevel.useMemory, "compile() dropped the caller's cache"
+    facts.unpersist()

@@ -255,3 +255,54 @@ def test_duplicate_components_driver_vs_distributed(spark):
         (r.doc_id, r.component) for r in dedup.duplicate_components(sdf).collect()
     }
     assert drv_s == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+
+def test_half_up_boundary_class_agrees_at_fixture_scale(spark):
+    """VERDICT r4 item 9: emb_near_dup_pairs' numpy _half_up rounds via a
+    float64 add of ±0.5 + int64 truncation, which has a latent boundary
+    class vs the BigDecimal HALF_UP that F.round and DuckDB ROUND apply
+    to the double's shortest decimal repr. Fixture products DO land on
+    and within 1e-6 of k+.5 boundaries (e.g. 23652051439.5 exactly at
+    sf0.001), so instead of arguing unreachability this test pins the
+    actual invariant: for every boundary-adjacent scaled product in both
+    fixture SFs, the kernel's rounding equals
+    Decimal(repr(x)).quantize(HALF_UP) — the same reference both query
+    engines use. A fixture regeneration that ever produces a genuinely
+    divergent value fails HERE loudly instead of silently flipping the
+    oracle diff. (Far-from-boundary values trivially agree: both methods
+    are round-to-nearest there.)"""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import numpy as np
+
+    from codegraphdb_spark.queries.similarity import _SCALE
+
+    checked = 0
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = duckdb.sql(
+            f"SELECT label, embedding FROM '{sf}/embeddings.parquet'"
+        ).fetchall()
+        bylabel: dict[int, list] = {}
+        for lab, emb in rows:
+            bylabel.setdefault(lab, []).append(emb)
+        for embs in bylabel.values():
+            m = np.asarray(embs, dtype=np.float64)
+            # the two product families the kernel half-up rounds:
+            # squared terms (norms) and cross terms (dots), both ×_SCALE
+            prods = np.concatenate(
+                [
+                    (m * m * _SCALE).ravel(),
+                    (m[:, None, :] * m[None, :, :] * _SCALE).ravel(),
+                ]
+            )
+            frac = prods - np.floor(prods)
+            near = prods[np.abs(frac - 0.5) < 1e-3]
+            kernel = (near + np.copysign(0.5, near)).astype(np.int64)
+            for x, k in zip(near.tolist(), kernel.tolist()):
+                ref = int(
+                    Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+                )
+                assert k == ref, f"half_up divergence at {x!r}: kernel {k} ref {ref}"
+                checked += 1
+    assert checked >= 1, "boundary class vanished — tighten the filter or drop test"

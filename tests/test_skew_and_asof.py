@@ -167,3 +167,51 @@ def test_normalize_file_prefix_strips_code_file_too(spark):
     out = normalize_file_prefix(nodes, "/root/repo").collect()[0]
     assert out["file_path"] == "pkg/a.py"
     assert out["code_file"] == "pkg/a.py"
+
+
+def test_salted_aggregate_spreads_duplicate_heavy_hot_key(spark):
+    """VERDICT r4 item 3: a hot key whose rows are EXACT duplicates used
+    to collapse onto one salt bucket (content hash of identical rows is
+    identical), silently defeating the mitigation. The default salt now
+    mixes in spark_partition_id(), so duplicates that span map partitions
+    spread across reducers. Asserted through the public API: phase-2
+    merge over bucket-level partials exposes bucket count and max bucket
+    size per key."""
+    n_dup = 32_768
+    hot = (
+        spark.range(n_dup)
+        .repartition(256)
+        .select(F.lit("HOT").alias("k"), F.lit(1.0).alias("x"))
+    )
+    cold = spark.range(n_dup).select(
+        F.concat(F.lit("c"), F.col("id")).alias("k"), F.lit(2.0).alias("x")
+    )
+    df = hot.unionByName(cold)
+
+    def profile(disc):
+        row = (
+            salted_aggregate(
+                df,
+                ["k"],
+                {"n": F.count(F.lit(1))},
+                {
+                    "total": F.sum("n"),
+                    "buckets": F.count(F.lit(1)),
+                    "max_bucket": F.max("n"),
+                },
+                row_discriminator=disc,
+            )
+            .filter(F.col("k") == "HOT")
+            .first()
+        )
+        return row["total"], row["buckets"], row["max_bucket"]
+
+    # old behavior (content-only salt == constant discriminator): the
+    # 32k identical rows land in ONE bucket
+    t_old, b_old, m_old = profile(F.lit(0))
+    assert t_old == n_dup and b_old == 1 and m_old == n_dup
+    # new default: spread over many reducers, max bucket ≥8× smaller
+    t_new, b_new, m_new = profile(None)
+    assert t_new == n_dup
+    assert b_new >= 8, f"hot key only spread over {b_new} buckets"
+    assert m_old >= 8 * m_new, f"max bucket {m_new} not ≥8× below {m_old}"
