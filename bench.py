@@ -188,8 +188,7 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_local.json"), "w") as fh:
         json.dump(record, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    # stdout line stays compact (2dp, no spaces, warm times elided) so a
-    # tail-truncating capture still parses it; the file above is complete
+    # Full per-query line first, for consumers that keep whole stdout.
     slim = {
         "metric": "total_query_wall_sec",
         "value": total,
@@ -202,6 +201,46 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
     }
     print(json.dumps(slim, separators=(",", ":")))
+    # The driver's round record keeps only the LAST ~2 KB of stdout, which
+    # front-truncated the line above every round (BENCH_r*.json parsed:
+    # null — VERDICT r4 item 10). End stdout with a self-contained line
+    # guaranteed to fit that window: named timings for the BASELINE.md
+    # headline queries, plus ALL per-query cold times as "t_cs"
+    # (centiseconds, array-aligned with the registry's sorted query names
+    # — reconstruct via dict(zip(sorted(queries), t_cs))); full
+    # float-precision numbers live in BENCH_local.json.
+    headline = [
+        "revenue_by_nation", "pricing_summary", "ngram_jaccard_pairs",
+        "doc_dup_clusters", "doc_tfidf_top_terms",
+        "rolling_7d_customer_revenue", "doc_train_test_split",
+        "minhash_lsh_candidates", "simhash_fingerprint", "emb_cosine_topk",
+        "emb_near_dup_pairs", "emb_ivf_assign",
+    ]
+    names = sorted(timings)
+    final = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "cold": True,
+        "n_queries": len(names),
+        "graph_build_sec": graph_build_sec,
+        "bench_file": "BENCH_local.json",
+        "queries": {k: round(timings[k], 2) for k in headline if k in timings},
+        "t_cs_key": "sorted_query_names",
+        "t_cs": [int(round(timings[k] * 100)) for k in names],
+    }
+    line = json.dumps(final, separators=(",", ":"))
+    budget = int(os.environ.get("SPARK_GRAFT_FINAL_LINE_BUDGET", "1800"))
+    if len(line) > budget:
+        # degrade gracefully: drop the headline dict first, then t_cs
+        final.pop("queries", None)
+        line = json.dumps(final, separators=(",", ":"))
+        if len(line) > budget:
+            final.pop("t_cs", None)
+            final.pop("t_cs_key", None)
+            line = json.dumps(final, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1025,6 +1025,60 @@ def g_cypher_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g_cypher_varlen_undirected",
+    oracle=f"""
+    WITH {_merged_nodes_sql()},
+    {_EDGES_UNION_SQL},
+    inh AS (
+      SELECT DISTINCT src, dst FROM e_all WHERE rel_type = 'INHERITS'
+    ),
+    sym AS (
+      SELECT src, dst,
+             LEAST(src, dst) || chr(1) || GREATEST(src, dst) AS relkey
+      FROM (SELECT src, dst FROM inh
+            UNION SELECT dst AS src, src AS dst FROM inh)
+    ),
+    starts AS (
+      SELECT full_name FROM merged WHERE kind = 'CLASS' AND name = 'Animal'
+    ),
+    h1 AS (
+      SELECT s.dst AS node, s.relkey
+      FROM sym s JOIN starts st ON s.src = st.full_name
+    ),
+    h2 AS (
+      SELECT s2.dst AS node
+      FROM h1 JOIN sym s2 ON s2.src = h1.node AND s2.relkey <> h1.relkey
+    ),
+    reach AS (SELECT node FROM h1 UNION SELECT node FROM h2)
+    SELECT DISTINCT m.name AS nm
+    FROM reach JOIN merged m ON m.full_name = reach.node AND m.kind = 'CLASS'
+    ORDER BY nm
+    """,
+)
+def g_cypher_varlen_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 extension (VERDICT r4 item 2's oracle variant): UNDIRECTED
+    variable-length match under openCypher RELATIONSHIP UNIQUENESS. Both
+    INHERITS edges point AT Animal (Dog->Animal, Puppy->Dog), so the
+    2-path Animal-Dog-Puppy must mix orientations — and the only
+    length-2 route back to Animal itself (forward then BACK over the
+    Dog->Animal edge) reuses one relationship and must be excluded. The
+    engine tracks orientation-free visited-relationship sets per
+    expansion state (plans/cypher.py::_varlen_pairs). RECOMPUTING
+    oracle: symmetrized edges with a LEAST/GREATEST orientation-free
+    relationship key; 2-hop paths require a different key than hop 1 —
+    exactly Neo4j's walk-vs-path exclusion at this hop bound."""
+    from codegraphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges, _ = _graph(spark)
+    return run_cypher(
+        "MATCH (a:CLASS {name: 'Animal'})-[:INHERITS*1..2]-(b:CLASS) "
+        "RETURN DISTINCT b.name AS nm ORDER BY nm",
+        nodes,
+        edges,
+    )
+
+
+@query(
     "g_cypher_shortest",
     oracle=f"""
     WITH RECURSIVE {_merged_nodes_sql()},
