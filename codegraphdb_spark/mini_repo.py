@@ -150,6 +150,15 @@ def rehome():
     return p.lick()
 
 
+def breed_chain():
+    return breed()
+
+
+def foster():
+    q = breed_chain()
+    return q.lick()
+
+
 class Keeper:
     def __init__(self):
         self.coach = Trainer()

@@ -327,8 +327,34 @@ def return_types_post(base: DataFrame, small: bool = False) -> DataFrame:
     via_field = field_rets.join(_maybe_b(field_map, small), "__fld").select(
         "fn_name", "ret_cls"
     )
-    return (
+    tier1 = (
         direct.unionByName(via_field)
+        .groupBy("fn_name")
+        .agg(F.min("ret_cls").alias("ret_cls"))
+    )
+    # Third tier (VERDICT r4 item 5): a returns row resolving to a
+    # FUNCTION/METHOD is the chained-factory idiom — ``def breed_chain():
+    # return breed()`` where breed's own return class is known (annotated,
+    # ctor-inferred, or getter-chained). Bind through the callee's tier-1
+    # entry. ONE level like every other tier — a chain of two unresolved
+    # factories stays un-inferred (the deliberate no-fixpoint stance; jedi
+    # recurses here, we document the residual instead). Matches reference
+    # indexer_visitor.py:655-662 goto-through-call for the one-hop case.
+    fn_rets = base.filter(
+        (F.col("__tag") == "returns")
+        & F.col("resolved_kind").isin("FUNCTION", "METHOD")
+    ).select(F.col("src").alias("fn_name"), F.col("resolved").alias("__callee"))
+    via_call = fn_rets.join(
+        _maybe_b(
+            tier1.select(
+                F.col("fn_name").alias("__callee"), F.col("ret_cls")
+            ),
+            small,
+        ),
+        "__callee",
+    ).select("fn_name", "ret_cls")
+    return (
+        tier1.unionByName(via_call)
         .groupBy("fn_name")
         .agg(F.min("ret_cls").alias("ret_cls"))
     )

@@ -1220,12 +1220,15 @@ def _deep_graph(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
       ('zoo.app.Shelter.checkup', 'zoo.animals.Trainer.train'),
       ('zoo.app.adopt', 'zoo.animals.Animal.describe'),
       ('zoo.app.adopt', 'zoo.app.Puppy.lick'),
+      ('zoo.app.breed_chain', 'zoo.app.breed'),
       ('zoo.app.chain', 'zoo.animals.Animal.describe'),
       ('zoo.app.chain', 'zoo.animals.Trainer.recruit'),
       ('zoo.app.coach_session', 'zoo.animals.Trainer.train'),
       ('zoo.app.consult', 'zoo.animals.Trainer.train'),
       ('zoo.app.consult', 'zoo.app.Shelter.resident'),
       ('zoo.app.enroll', 'zoo.animals.Trainer.train'),
+      ('zoo.app.foster', 'zoo.app.Puppy.lick'),
+      ('zoo.app.foster', 'zoo.app.breed_chain'),
       ('zoo.app.rehome', 'zoo.app.Puppy.lick'),
       ('zoo.app.rehome', 'zoo.app.breed'),
       ('zoo.app.run', 'zoo.animals.Animal.speak'),

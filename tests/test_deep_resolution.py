@@ -37,6 +37,8 @@ def test_assign_facts_emitted():
         ("zoo.app.visit::a", "make_animal"),
         # unannotated factory: binds through breed's INFERRED return type
         ("zoo.app.rehome::p", "breed"),
+        # chained factory (r5): binds through breed_chain -> breed -> Puppy
+        ("zoo.app.foster::q", "breed_chain"),
         # unannotated parameters emit POISON bindings (type None): they
         # shadow, never resolve (ADVICE r2)
         ("zoo.app.Keeper.__init__::self", None),
@@ -79,6 +81,9 @@ def test_assign_facts_emitted():
         ("zoo.app.make_animal", "Animal"),
         # static inference of the unannotated `return Puppy(...)` shape
         ("zoo.app.breed", "Puppy"),
+        # chained factory (r5): `return breed()` emits the callee name;
+        # resolution chains it through breed's inferred return class
+        ("zoo.app.breed_chain", "breed"),
         # inferred single-ctor-shape returns through local names; they
         # resolve to nothing class-like and stay inert downstream
         ("zoo.app.deliver", "Beast"),
@@ -129,6 +134,12 @@ def test_deep_call_edges(deep_graph):
         # unannotated factory: same shape through the INFERRED return type
         ("zoo.app.rehome", "zoo.app.breed"),
         ("zoo.app.rehome", "zoo.app.Puppy.lick"),
+        # chained factory (r5, VERDICT item 5): breed_chain() returns
+        # breed()'s inferred class one hop through the call — q =
+        # breed_chain(); q.lick() resolves like a direct factory binding
+        ("zoo.app.breed_chain", "zoo.app.breed"),
+        ("zoo.app.foster", "zoo.app.breed_chain"),
+        ("zoo.app.foster", "zoo.app.Puppy.lick"),
         # field ctor binding outside __init__ (r4)
         ("zoo.app.Shelter.checkup", "zoo.animals.Trainer.train"),
         # class alias: method call through the alias (r4)
