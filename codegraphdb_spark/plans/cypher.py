@@ -1065,11 +1065,12 @@ def _agg_expr(func: str, arg: str, alias: str | None, binds, plain):
         arg = dm.group("rest").strip()
     v, _, pr = arg.partition(".")
     if not pr and v in plain:
-        c = F.col(v)
+        col_name = v
     elif v in binds:
-        c = F.col(f"{binds[v]}__{pr or 'full_name'}")
+        col_name = f"{binds[v]}__{pr or 'full_name'}"
     else:
         raise CypherError(f"unbound variable {v!r}")
+    c = F.col(col_name)
     if func == "count":
         # Cypher count(x): non-null rows only; count(DISTINCT x) dedupes
         agg = F.count_distinct(c) if distinct else F.count(c)
@@ -1084,9 +1085,16 @@ def _agg_expr(func: str, arg: str, alias: str | None, binds, plain):
         if func == "sum":
             agg = F.sum_distinct(c) if distinct else F.sum(c)
         else:
-            if distinct:
-                raise CypherError("avg(DISTINCT ...) is not supported")
-            agg = F.avg(c)  # int sum / count — exactly-rounded division
+            # avg(DISTINCT x): dedupe before averaging. PySpark has no
+            # avg_distinct builtin — the SQL expression form compiles to
+            # the same hash-aggregate with a distinct pre-pass Catalyst
+            # plans for count_distinct (partial dedup map-side, no extra
+            # shuffle beyond the grouping exchange).
+            agg = (
+                F.expr(f"avg(DISTINCT `{col_name}`)")
+                if distinct
+                else F.avg(c)  # int sum / count — exactly-rounded division
+            )
     else:
         # Cypher collect() has no defined order — sort for a
         # deterministic, engine-stable result

@@ -38,6 +38,15 @@ Supported statements (one write clause per call):
     MATCH (n:KIND {props}) DELETE n
         like Neo4j, refuses (CypherError) if any edge still references a
         matched node.
+    FOREACH (x IN [elems] | <write clause using x>)   (also x IN $param)
+        openCypher's bulk write iterator over a parse-time list (literal
+        or $param — the same driver-side contract UNWIND's parameter
+        lists have). Same-template MERGE bodies — identical kind/rel,
+        property keys, ON clauses; only the substituted values differ —
+        compile to ONE batched upsert join regardless of list length
+        (duplicate keys refuse loudly: batched last-wins can't reproduce
+        sequential ON CREATE→ON MATCH). Other bodies run sequentially,
+        capped at MAX_FOREACH_SEQ because each element stacks a plan.
 
 Values in property maps / SET may be 'str', "str", int, or $param
 (the same strict parser as the read front end — unparseable entries
@@ -66,6 +75,7 @@ from codegraphdb_spark.plans.cypher import (
     _NODE,
     _PARAMS,
     CypherError,
+    _literal,
     _node_filter,
     _parse_labels,
     _parse_props,
@@ -203,28 +213,46 @@ def _typed_prop(prop: str, val: object) -> object:
 def _merge_node(
     nodes: DataFrame,
     kind: str | None,
-    props: dict,
+    props: dict | list[dict],
     version: str,
     on_create: dict | None = None,
     on_match: dict | None = None,
 ) -> DataFrame:
-    full_name = _require_key(props, "MERGE (node)")
-    provided = {
-        p: _typed_prop(p, v) for p, v in props.items() if p != "full_name"
-    }
+    # A list of property maps is a BATCH upsert (FOREACH compiles to it):
+    # same template — same kind, same provided-property KEYS, same ON
+    # clauses — with per-row values. One full_outer join for the whole
+    # batch instead of N sequential passes over the node table; duplicate
+    # keys are refused because batched last-wins cannot reproduce
+    # sequential ON CREATE-then-ON MATCH semantics.
+    props_list = props if isinstance(props, list) else [props]
+    keys = [_require_key(p, "MERGE (node)") for p in props_list]
+    if len(set(keys)) != len(keys):
+        dup = next(k for k in keys if keys.count(k) > 1)
+        raise CypherError(
+            f"batched MERGE has duplicate node identity {dup!r} — "
+            "sequential re-merge of one key is not batchable"
+        )
+    provided_keys = {p for pr in props_list for p in pr if p != "full_name"}
     spark = nodes.sparkSession
-    row = {c: None for c in _NODE_COLS}
-    row.update(provided)
-    row["full_name"] = full_name
-    row["kind"] = kind or "none"
-    # default name: last dotted segment, like B4's placeholder synthesis
-    if row.get("name") is None:
-        row["name"] = full_name.rsplit(".", 1)[-1]
-    row["versions"] = [version]
+    rows = []
+    for full_name, pr in zip(keys, props_list):
+        provided = {
+            p: _typed_prop(p, v) for p, v in pr.items() if p != "full_name"
+        }
+        row = {c: None for c in _NODE_COLS}
+        row.update(provided)
+        row["full_name"] = full_name
+        row["kind"] = kind or "none"
+        # default name: last dotted segment, like B4's placeholder synthesis
+        if row.get("name") is None:
+            row["name"] = full_name.rsplit(".", 1)[-1]
+        row["versions"] = [version]
+        rows.append(tuple(row[c] for c in _NODE_COLS))
+    provided = dict.fromkeys(provided_keys, True)
     new = F.broadcast(
-        spark.createDataFrame(
-            [tuple(row[c] for c in _NODE_COLS)], NODES_SCHEMA
-        ).select([F.col(c).alias(f"n__{c}") for c in _NODE_COLS])
+        spark.createDataFrame(rows, NODES_SCHEMA).select(
+            [F.col(c).alias(f"n__{c}") for c in _NODE_COLS]
+        )
     )
     joined = nodes.join(new, nodes.full_name == new.n__full_name, "full_outer")
     out = [F.coalesce("full_name", "n__full_name").alias("full_name")]
@@ -280,25 +308,41 @@ def _merge_node(
 def _merge_edge(
     nodes: DataFrame,
     edges: DataFrame,
-    a_props: dict,
+    items: list[tuple[dict, dict, dict]],
     rel: str,
-    e_props: dict,
-    b_props: dict,
     version: str,
 ) -> tuple[DataFrame, DataFrame]:
-    src = _require_key(a_props, "MERGE (edge) left endpoint")
-    dst = _require_key(b_props, "MERGE (edge) right endpoint")
-    assoc = e_props.get("association_type")
-    if assoc is not None and not isinstance(assoc, str):
-        raise CypherError("association_type must be a string")
-    unknown = set(e_props) - {"association_type"}
-    if unknown:
-        raise CypherError(f"unsupported edge properties: {sorted(unknown)}")
+    """Upsert one edge — or a BATCH of same-template edges (FOREACH): one
+    full_outer join keyed on (src, dst, rel_type) regardless of batch
+    size. ``items`` holds (a_props, e_props, b_props) per edge; the
+    association-provided flag must be uniform across the batch (same
+    template) because the overwrite-vs-preserve branch is compiled once."""
+    rows = []
+    has_assoc = "association_type" in items[0][1]
+    for a_props, e_props, b_props in items:
+        src = _require_key(a_props, "MERGE (edge) left endpoint")
+        dst = _require_key(b_props, "MERGE (edge) right endpoint")
+        assoc = e_props.get("association_type")
+        if assoc is not None and not isinstance(assoc, str):
+            raise CypherError("association_type must be a string")
+        unknown = set(e_props) - {"association_type"}
+        if unknown:
+            raise CypherError(f"unsupported edge properties: {sorted(unknown)}")
+        if ("association_type" in e_props) != has_assoc:
+            raise CypherError(
+                "batched edge MERGE mixes with- and without-association "
+                "templates"
+            )
+        rows.append((src, dst, rel, assoc, [version]))
+    if len({r[:3] for r in rows}) != len(rows):
+        raise CypherError(
+            "batched edge MERGE has duplicate (src, dst, rel_type) keys"
+        )
     spark = edges.sparkSession
     new = F.broadcast(
-        spark.createDataFrame(
-            [(src, dst, rel, assoc, [version])], EDGES_SCHEMA
-        ).select([F.col(c).alias(f"e__{c}") for c in edges.columns])
+        spark.createDataFrame(rows, EDGES_SCHEMA).select(
+            [F.col(c).alias(f"e__{c}") for c in edges.columns]
+        )
     )
     key = (
         (edges.src == new.e__src)
@@ -310,9 +354,10 @@ def _merge_edge(
         F.coalesce("src", "e__src").alias("src"),
         F.coalesce("dst", "e__dst").alias("dst"),
         F.coalesce("rel_type", "e__rel_type").alias("rel_type"),
-        # provided association overwrites; absent keeps old
+        # provided association overwrites; absent keeps old (template-level
+        # flag: uniform across a batch, asserted above)
         (
-            F.when(F.col("e__src").isNotNull() & F.lit(assoc is not None),
+            F.when(F.col("e__src").isNotNull() & F.lit(has_assoc),
                    F.col("e__association_type"))
             .otherwise(F.coalesce("association_type", "e__association_type"))
         ).alias("association_type"),
@@ -434,6 +479,192 @@ def _delete(
     return n, e
 
 
+def _parse_merge_stmt(query: str):
+    """Classify + parse a MERGE statement. Returns None when the text is
+    not a MERGE, ('edge', a_props, rel, e_props, b_props) for an edge
+    upsert, or ('node', kind, props, on_create, on_match) for a node
+    upsert. Shared by run_cypher_write and the FOREACH batcher."""
+    m = _MERGE_RX.fullmatch(query)
+    if m is None:
+        # edge MERGE patterns contain ')' mid-pattern — retry greedily
+        m = re.fullmatch(r"(?is)^\s*MERGE\s+(?P<pattern>\(.*)\s*$", query)
+        if m and re.search(r"(?i)\bON\s+(CREATE|MATCH)\s+SET\b", query):
+            raise CypherError(
+                "ON CREATE/ON MATCH SET is supported on node MERGE only"
+            )
+    if m is None:
+        return None
+    pattern = m.group("pattern").strip()
+    clauses = m.groupdict().get("clauses") or ""
+    em = _EDGE_MERGE_RX.fullmatch(pattern)
+    if em:
+        a_kind, a_vers, a_props = _parse_single_node(em.group("a"))
+        b_kind, b_vers, b_props = _parse_single_node(em.group("b"))
+        _refuse_ignored_labels(a_kind, a_vers, "MERGE (edge) left endpoint", False)
+        _refuse_ignored_labels(b_kind, b_vers, "MERGE (edge) right endpoint", False)
+        e_props = _parse_props(em.group("props"))
+        return ("edge", a_props, em.group("rel"), e_props, b_props)
+    kind, _versions, props = _parse_single_node(pattern)
+    _refuse_ignored_labels(kind, _versions, "MERGE (node)", True)
+    nm = _NODE.fullmatch(pattern)
+    var = nm.group("var") if nm else None
+    on_create: dict = {}
+    on_match: dict = {}
+    for oc in _ON_CLAUSE_RX.finditer(clauses):
+        if var is None:
+            raise CypherError(
+                "ON CREATE/ON MATCH SET needs a named node variable"
+            )
+        parsed = _parse_assignments(oc.group("assigns"), var)
+        if oc.group("kind").upper() == "CREATE":
+            on_create.update(parsed)
+        else:
+            on_match.update(parsed)
+    return ("node", kind, props, on_create, on_match)
+
+
+# FOREACH (x IN <list> | <one write clause using x>) — openCypher's bulk
+# write iterator. Lists here are parse-time values (a [..] literal or a
+# $param list, the same contract UNWIND's parameter lists have), so the
+# iteration count is known before any job runs.
+_FOREACH_RX = re.compile(
+    r"(?is)^\s*FOREACH\s*\(\s*(?P<var>\w+)\s+IN\s+"
+    r"(?P<list>\[[^\]]*\]|\$\w+)\s*\|\s*(?P<body>.*)\)\s*$"
+)
+# same-template MERGE bodies collapse into ONE batched join whatever the
+# list size; bodies that must run sequentially (SET/REMOVE/DELETE/CREATE)
+# stack one Spark plan per element, so their cap is much lower.
+MAX_FOREACH_BATCH = 1000
+MAX_FOREACH_SEQ = 100
+
+
+def _foreach_elements(list_text: str) -> list:
+    if list_text.startswith("$"):
+        from codegraphdb_spark.plans.cypher import _param_value
+
+        vals = _param_value(list_text[1:])
+    else:
+        vals = _literal(list_text)
+    if not isinstance(vals, list):
+        raise CypherError("FOREACH needs a list to iterate")
+    for v in vals:
+        if isinstance(v, bool) or not isinstance(v, (str, int)):
+            raise CypherError(
+                f"FOREACH elements must be str or int (got {type(v).__name__})"
+            )
+    return vals
+
+
+def _substitute_var(body: str, var: str, value) -> str:
+    """Replace whole-token uses of the loop variable OUTSIDE string
+    literals with the element rendered in the strict literal syntax.
+    Tokens preceded by '.'/':'/'$' (property access on another var, a
+    label, a parameter) or used as a map KEY (followed by ':') are not the
+    loop variable."""
+    if isinstance(value, str):
+        if "'" in value or '"' in value or "\n" in value:
+            raise CypherError(
+                "FOREACH element contains a quote/newline — not "
+                "representable in the strict literal syntax"
+            )
+        lit = f"'{value}'"
+    else:
+        lit = str(value)
+    spans = _string_spans(body)
+    rx = re.compile(rf"(?<![\w.:$]){re.escape(var)}(?![\w.])(?!\s*:)")
+    out: list[str] = []
+    last = 0
+    changed = False
+    for m in rx.finditer(body):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        out.append(body[last : m.start()])
+        out.append(lit)
+        last = m.end()
+        changed = True
+    out.append(body[last:])
+    if not changed:
+        raise CypherError(
+            f"FOREACH body never uses the loop variable {var!r} — "
+            "a fixed statement repeated N times is almost certainly a bug"
+        )
+    return "".join(out)
+
+
+def _run_foreach(
+    fm: re.Match,
+    nodes: DataFrame,
+    edges: DataFrame,
+    version: str,
+    params: dict,
+) -> tuple[DataFrame, DataFrame]:
+    var = fm.group("var")
+    body = fm.group("body").strip()
+    if re.match(r"(?is)^\s*FOREACH\b", body):
+        raise CypherError("nested FOREACH is not supported")
+    elements = _foreach_elements(fm.group("list").strip())
+    if not elements:
+        return nodes, edges
+    if len(elements) > MAX_FOREACH_BATCH:
+        raise CypherError(
+            f"FOREACH list has {len(elements)} elements (cap "
+            f"{MAX_FOREACH_BATCH}) — load bulk data through the engine's "
+            "merge operators, not a Cypher literal"
+        )
+    bodies = [_substitute_var(body, var, v) for v in elements]
+    parsed = [_parse_merge_stmt(b) for b in bodies]
+    # Batch path: every element is a MERGE from the SAME template —
+    # identical kind/rel, property KEYS, and ON clauses (only substituted
+    # VALUES differ) — so the whole list compiles to one set-oriented
+    # upsert: one full_outer join however long the list.
+    if all(p is not None and p[0] == "node" for p in parsed):
+        kinds = {p[1] for p in parsed}
+        prop_keys = {frozenset(p[2]) for p in parsed}
+        on_cs = {tuple(sorted(p[3].items())) for p in parsed}
+        on_ms = {tuple(sorted(p[4].items())) for p in parsed}
+        if (
+            len(kinds) == 1
+            and len(prop_keys) == 1
+            and len(on_cs) == 1
+            and len(on_ms) == 1
+        ):
+            return (
+                _merge_node(
+                    nodes,
+                    parsed[0][1],
+                    [p[2] for p in parsed],
+                    version,
+                    on_create=parsed[0][3],
+                    on_match=parsed[0][4],
+                ),
+                edges,
+            )
+    if all(p is not None and p[0] == "edge" for p in parsed):
+        rels = {p[2] for p in parsed}
+        e_keys = {frozenset(p[3]) for p in parsed}
+        if len(rels) == 1 and len(e_keys) == 1:
+            return _merge_edge(
+                nodes,
+                edges,
+                [(p[1], p[3], p[4]) for p in parsed],
+                parsed[0][2],
+                version,
+            )
+    # Sequential fallback (SET/REMOVE/DELETE/CREATE bodies, or MERGEs
+    # whose templates diverge after substitution): each element threads
+    # the previous result, stacking one plan per element — capped low
+    # because the lineage depth is the cost, not the row count.
+    if len(elements) > MAX_FOREACH_SEQ:
+        raise CypherError(
+            f"FOREACH with a non-batchable body caps at {MAX_FOREACH_SEQ} "
+            f"elements (got {len(elements)}) — this body stacks one plan "
+            "per element"
+        )
+    for b in bodies:
+        nodes, edges = run_cypher_write(b, nodes, edges, version, params)
+    return nodes, edges
+
+
 def run_cypher_write(
     query: str,
     nodes: DataFrame,
@@ -444,6 +675,9 @@ def run_cypher_write(
     """Execute one write statement; returns the new (nodes, edges)."""
     _PARAMS.d = params or {}
     try:
+        fm = _FOREACH_RX.fullmatch(query)
+        if fm:
+            return _run_foreach(fm, nodes, edges, version, params or {})
         m = _CREATE_RX.fullmatch(query)
         if m:
             pattern = m.group("pattern").strip()
@@ -472,7 +706,7 @@ def run_cypher_write(
                         f"({dst!r}) — use MERGE for upsert"
                     )
                 return _merge_edge(
-                    nodes, edges, a_props, rel, e_props, b_props, version
+                    nodes, edges, [(a_props, e_props, b_props)], rel, version
                 )
             kind, _versions, props = _parse_single_node(pattern)
             _refuse_ignored_labels(kind, _versions, "CREATE (node)", True)
@@ -483,44 +717,14 @@ def run_cypher_write(
                     "(full_name is the merge key) — use MERGE for upsert"
                 )
             return _merge_node(nodes, kind, props, version), edges
-        m = _MERGE_RX.fullmatch(query)
-        if m is None:
-            # edge MERGE patterns contain ')' mid-pattern — retry greedily
-            m = re.fullmatch(r"(?is)^\s*MERGE\s+(?P<pattern>\(.*)\s*$", query)
-            if m and re.search(r"(?i)\bON\s+(CREATE|MATCH)\s+SET\b", query):
-                raise CypherError(
-                    "ON CREATE/ON MATCH SET is supported on node MERGE only"
-                )
-        if m:
-            pattern = m.group("pattern").strip()
-            clauses = m.groupdict().get("clauses") or ""
-            em = _EDGE_MERGE_RX.fullmatch(pattern)
-            if em:
-                a_kind, a_vers, a_props = _parse_single_node(em.group("a"))
-                b_kind, b_vers, b_props = _parse_single_node(em.group("b"))
-                _refuse_ignored_labels(a_kind, a_vers, "MERGE (edge) left endpoint", False)
-                _refuse_ignored_labels(b_kind, b_vers, "MERGE (edge) right endpoint", False)
-                e_props = _parse_props(em.group("props"))
+        parsed = _parse_merge_stmt(query)
+        if parsed is not None:
+            if parsed[0] == "edge":
+                _, a_props, rel, e_props, b_props = parsed
                 return _merge_edge(
-                    nodes, edges, a_props, em.group("rel"), e_props, b_props,
-                    version,
+                    nodes, edges, [(a_props, e_props, b_props)], rel, version
                 )
-            kind, _versions, props = _parse_single_node(pattern)
-            _refuse_ignored_labels(kind, _versions, "MERGE (node)", True)
-            nm = _NODE.fullmatch(pattern)
-            var = nm.group("var") if nm else None
-            on_create: dict = {}
-            on_match: dict = {}
-            for oc in _ON_CLAUSE_RX.finditer(clauses):
-                if var is None:
-                    raise CypherError(
-                        "ON CREATE/ON MATCH SET needs a named node variable"
-                    )
-                parsed = _parse_assignments(oc.group("assigns"), var)
-                if oc.group("kind").upper() == "CREATE":
-                    on_create.update(parsed)
-                else:
-                    on_match.update(parsed)
+            _, kind, props, on_create, on_match = parsed
             return (
                 _merge_node(
                     nodes, kind, props, version,

@@ -1778,6 +1778,72 @@ def g_cypher_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("methods", F.array_join("methods", ","))
 
 
+def _merged_cs_cte(ver: str) -> str:
+    """_merged_nodes_cte variant that also carries code_start through the
+    B1/B3 priority window — the distinct-aggregate oracle needs a numeric
+    property."""
+    return f"""
+  SELECT full_name, kind, name, file_path, code_start FROM (
+    SELECT *, row_number() OVER (PARTITION BY full_name ORDER BY
+        CASE WHEN kind = 'none' THEN 1 ELSE 0 END,
+        code_start ASC NULLS LAST, file_path ASC NULLS LAST, kind) AS rn
+    FROM read_csv('{_FIX}/node_facts_{ver}.csv', header=true)) WHERE rn = 1
+"""
+
+
+@query(
+    "g_cypher_distinct_aggs",
+    oracle=f"""
+    WITH mc1 AS ({_merged_cs_cte('v1')}),
+    mc2 AS ({_merged_cs_cte('v2')}),
+    mergedc AS (
+      SELECT coalesce(mc2.full_name, mc1.full_name) AS full_name,
+             coalesce(mc2.kind, mc1.kind) AS kind,
+             coalesce(mc2.name, mc1.name) AS name,
+             coalesce(mc2.file_path, mc1.file_path) AS file_path,
+             coalesce(mc2.code_start, mc1.code_start) AS code_start
+      FROM mc1 FULL OUTER JOIN mc2 ON mc1.full_name = mc2.full_name
+    )
+    SELECT file_path AS fp,
+           CAST(COUNT(DISTINCT code_start) AS BIGINT) AS n_starts,
+           CAST(SUM(DISTINCT code_start) AS BIGINT) AS sum_starts,
+           CAST(CAST(SUM(DISTINCT code_start) AS DOUBLE)
+                / COUNT(DISTINCT code_start) AS DOUBLE) AS avg_start,
+           string_agg(DISTINCT name, ',' ORDER BY name) AS names
+    FROM mergedc
+    WHERE kind = 'METHOD'
+      AND NOT (full_name LIKE 'zoo.%' OR full_name = 'zoo')
+    GROUP BY file_path ORDER BY fp
+    """,
+)
+def g_cypher_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 extension: every DISTINCT aggregate form in one implicit-grouping
+    RETURN — count/sum/collect(DISTINCT) plus avg(DISTINCT), the corner
+    VERDICT r4 flagged as a loud refusal. avg(DISTINCT) compiles through
+    the SQL expression form (plans/cypher.py::_agg_expr) to the same
+    distinct pre-pass Catalyst plans for count_distinct: map-side partial
+    dedup, ONE grouping exchange, no extra shuffle. The double division is
+    exact-int-sum / exact-count — one IEEE division, bit-identical
+    cross-engine (the g_module_coupling convention). RECOMPUTING oracle:
+    DuckDB re-derives the merged nodes (priority window + property-level
+    new-wins, code_start included) and aggregates independently."""
+    from codegraphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges, _ = _graph(spark)
+    out = run_cypher(
+        "MATCH (m:METHOD) "
+        "RETURN m.file_path AS fp, "
+        "count(DISTINCT m.code_start) AS n_starts, "
+        "sum(DISTINCT m.code_start) AS sum_starts, "
+        "avg(DISTINCT m.code_start) AS avg_start, "
+        "collect(DISTINCT m.name) AS names "
+        "ORDER BY fp",
+        nodes,
+        edges,
+    )
+    return out.withColumn("names", F.array_join("names", ","))
+
+
 @query(
     "g_cypher_exists_skip",
     oracle=f"""

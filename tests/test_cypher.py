@@ -1088,11 +1088,17 @@ def test_sum_avg_aggregates(graph):
     ).collect()[0]
     assert out["s"] is not None and out["n"] > 0
     assert abs(out["a"] - out["s"] / out["n"]) < 1e-12
-    with pytest.raises(CypherError, match="avg\\(DISTINCT"):
-        run_cypher(
-            "MATCH (c:CLASS)-[:HAS_METHOD]->(m) RETURN avg(DISTINCT m.code_start)",
-            nodes, edges,
-        )
+    # avg(DISTINCT): dedupe before averaging (VERDICT r4's last refusal
+    # corner) — must equal sum(DISTINCT)/count(DISTINCT) exactly (one IEEE
+    # division over exact int sum/count on both paths)
+    d = run_cypher(
+        "MATCH (c:CLASS)-[:HAS_METHOD]->(m) "
+        "RETURN avg(DISTINCT m.code_start) AS a, "
+        "sum(DISTINCT m.code_start) AS s, "
+        "count(DISTINCT m.code_start) AS n",
+        nodes, edges,
+    ).collect()[0]
+    assert d["a"] == d["s"] / d["n"]
 
 
 def test_relationship_variable_props(graph):

@@ -360,3 +360,170 @@ def test_ignored_labels_refused(spark):
             nodes,
             edges,
         )
+
+
+# ---------------------------------------------------------------- FOREACH
+
+
+def _join_count(df) -> int:
+    return df._jdf.queryExecution().optimizedPlan().toString().count("Join ")
+
+
+def test_foreach_merge_nodes_batches_to_one_join(spark):
+    nodes, edges = _snapshot(spark)
+    n2, e2 = run_cypher_write(
+        "FOREACH (fn IN ['m.a', 'm.b', 'm.C'] | "
+        "MERGE (n:FUNCTION {full_name: fn, file_path: 'm.py'}))",
+        nodes,
+        edges,
+        version="v2",
+    )
+    got = {r["full_name"]: r for r in n2.collect()}
+    # two created, one matched (m.C: kind CLASS is authoritative-overwritten
+    # by the statement's FUNCTION label, versions unioned)
+    assert got["m.a"]["kind"] == "FUNCTION" and got["m.a"]["versions"] == ["v2"]
+    assert got["m.b"]["name"] == "b"
+    assert got["m.C"]["versions"] == ["v1", "v2"]
+    assert got["m.C"]["file_path"] == "m.py"
+    assert n2.count() == nodes.count() + 2
+    assert _rows(e2) == _rows(edges)
+    # the batch is ONE set-oriented upsert: exactly one join in the plan,
+    # not one per element
+    assert _join_count(n2) == 1
+
+
+def test_foreach_merge_on_clauses_apply_per_branch(spark):
+    nodes, edges = _snapshot(spark)
+    n2, _ = run_cypher_write(
+        "FOREACH (fn IN ['m.new', 'm.C'] | "
+        "MERGE (n:CLASS {full_name: fn}) "
+        "ON CREATE SET n.code_start = 1 ON MATCH SET n.code_start = 77)",
+        nodes,
+        edges,
+        version="v2",
+    )
+    got = {r["full_name"]: r for r in n2.collect()}
+    assert got["m.new"]["code_start"] == 1   # created branch
+    assert got["m.C"]["code_start"] == 77    # matched branch
+    assert _join_count(n2) == 1
+
+
+def test_foreach_merge_edges_batches(spark):
+    nodes, edges = _snapshot(spark)
+    n2, e2 = run_cypher_write(
+        "FOREACH (dst IN ['m.C', 'ext.Dep'] | "
+        "MERGE (a {full_name: 'm.C.f'})-[:CALL {association_type: 'call'}]"
+        "->(b {full_name: dst}))",
+        nodes,
+        edges,
+        version="v2",
+    )
+    e = {(r["src"], r["dst"], r["rel_type"]): r for r in e2.collect()}
+    assert e[("m.C.f", "m.C", "CALL")]["versions"] == ["v2"]
+    assert e[("m.C.f", "ext.Dep", "CALL")]["association_type"] == "call"
+    # missing endpoint synthesized as a 'none' placeholder (B4)
+    ph = n2.filter(F.col("full_name") == "ext.Dep").collect()
+    assert len(ph) == 1 and ph[0]["kind"] == "none"
+    assert _join_count(e2) == 1
+
+
+def test_foreach_duplicate_keys_refuse(spark):
+    nodes, edges = _snapshot(spark)
+    with pytest.raises(CypherError, match="duplicate node identity"):
+        run_cypher_write(
+            "FOREACH (fn IN ['m.a', 'm.a'] | MERGE (n {full_name: fn}))",
+            nodes,
+            edges,
+        )
+    with pytest.raises(CypherError, match="duplicate"):
+        run_cypher_write(
+            "FOREACH (d IN ['m.C', 'm.C'] | "
+            "MERGE (a {full_name: 'm'})-[:CONTAINS]->(b {full_name: d}))",
+            nodes,
+            edges,
+        )
+
+
+def test_foreach_sequential_set_body(spark):
+    nodes, edges = _snapshot(spark)
+    n2, _ = run_cypher_write(
+        "FOREACH (fn IN ['m.C', 'm.C.f'] | "
+        "MATCH (n {full_name: fn}) SET n.code_end = 99)",
+        nodes,
+        edges,
+    )
+    got = {r["full_name"]: r["code_end"] for r in n2.collect()}
+    assert got["m.C"] == 99 and got["m.C.f"] == 99
+    assert got["m"] == 9  # untouched
+
+
+def test_foreach_param_list_and_int_substitution(spark):
+    nodes, edges = _snapshot(spark)
+    n2, _ = run_cypher_write(
+        "FOREACH (cs IN $starts | "
+        "MATCH (n {full_name: 'm.C'}) SET n.code_start = cs)",
+        nodes,
+        edges,
+        params={"starts": [41, 42]},
+    )
+    got = n2.filter(F.col("full_name") == "m.C").collect()[0]
+    assert got["code_start"] == 42  # sequential: last element wins
+
+
+def test_foreach_map_key_is_not_the_loop_variable(spark):
+    nodes, edges = _snapshot(spark)
+    # loop var 'name' collides with the property KEY 'name': only the
+    # VALUE position substitutes
+    n2, _ = run_cypher_write(
+        "FOREACH (name IN ['m.x'] | "
+        "MERGE (n:FUNCTION {full_name: name, name: 'fixed'}))",
+        nodes,
+        edges,
+        version="v2",
+    )
+    row = n2.filter(F.col("full_name") == "m.x").collect()[0]
+    assert row["name"] == "fixed"
+
+
+def test_foreach_refusals(spark):
+    nodes, edges = _snapshot(spark)
+    with pytest.raises(CypherError, match="nested FOREACH"):
+        run_cypher_write(
+            "FOREACH (x IN ['a'] | FOREACH (y IN ['b'] | "
+            "MERGE (n {full_name: y})))",
+            nodes,
+            edges,
+        )
+    with pytest.raises(CypherError, match="never uses the loop variable"):
+        run_cypher_write(
+            "FOREACH (x IN ['a', 'b'] | MERGE (n {full_name: 'fixed'}))",
+            nodes,
+            edges,
+        )
+    with pytest.raises(CypherError, match="needs a list"):
+        run_cypher_write(
+            "FOREACH (x IN $p | MERGE (n {full_name: x}))",
+            nodes,
+            edges,
+            params={"p": "not-a-list"},
+        )
+    with pytest.raises(CypherError, match="quote"):
+        run_cypher_write(
+            "FOREACH (x IN $p | MERGE (n {full_name: x}))",
+            nodes,
+            edges,
+            params={"p": ["it's"]},
+        )
+    big = "[" + ", ".join(str(i) for i in range(101)) + "]"
+    with pytest.raises(CypherError, match="non-batchable body caps"):
+        run_cypher_write(
+            f"FOREACH (x IN {big} | MATCH (n {{full_name: 'm'}}) "
+            "SET n.code_start = x)",
+            nodes,
+            edges,
+        )
+    # empty list: no-op, same frames
+    n2, e2 = run_cypher_write(
+        "FOREACH (x IN [] | MERGE (n {full_name: x}))", nodes, edges
+    )
+    assert _rows(n2) == _rows(nodes) and _rows(e2) == _rows(edges)
