@@ -1286,9 +1286,93 @@ def run_cypher(
     resolved at compile time; a missing or unusable parameter raises."""
     _PARAMS.d = params or {}
     try:
+        if re.match(r"(?is)^\s*CALL\b", cypher):
+            return _run_call(cypher, nodes, edges)
         return _run_cypher_inner(cypher, nodes, edges, allow_cartesian)
     finally:
         _PARAMS.d = None
+
+
+# CALL procedures: the db.* catalog family Neo4j clients probe a database
+# with (the reference delegates these to Neo4j wholesale, graphDB.py:
+# 106-112). Each returns ONE canonical column, ascending by default for
+# engine-stable output. Any other CALL form (user procedures, CALL {}
+# subqueries) refuses loudly below.
+_CALL_RX = re.compile(
+    r"(?is)^\s*CALL\s+db\.(?P<proc>labels|relationshipTypes|propertyKeys)"
+    r"\s*\(\s*\)\s*"
+    r"(?:YIELD\s+(?P<ycol>\w+)(?:\s+AS\s+(?P<yalias>\w+))?\s*"
+    r"(?:RETURN\s+(?P<rcol>\w+)\s*"
+    r"(?:ORDER\s+BY\s+(?P<ocol>\w+)(?P<desc>\s+DESC)?\s*)?"
+    r"(?:LIMIT\s+(?P<limit>\d+))?\s*)?)?$"
+)
+_CALL_COL = {
+    "labels": "label",
+    "relationshipTypes": "relationshipType",
+    "propertyKeys": "propertyKey",
+}
+# schema-defined property keys, reported only when ≥1 entity carries a
+# value (kind/versions are structural labels, not properties — they
+# surface through labels()/version labels instead, matching labels(x))
+_NODE_PROP_KEYS = [
+    "full_name", "name", "file_path", "class", "signature", "code_file",
+    "code_start", "code_end",
+]
+
+
+def _run_call(cypher: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    m = _CALL_RX.fullmatch(cypher)
+    if not m:
+        raise CypherError(
+            "unsupported CALL — procedures db.labels() / "
+            "db.relationshipTypes() / db.propertyKeys() with an optional "
+            "'YIELD col [AS alias] [RETURN col [ORDER BY col [DESC]] "
+            "[LIMIT n]]' tail are the supported forms"
+        )
+    proc = m.group("proc")
+    # normalize the camel-case proc name the regex matched case-insensitively
+    proc = {p.lower(): p for p in _CALL_COL}[proc.lower()]
+    canonical = _CALL_COL[proc]
+    if proc == "labels":
+        # same label set labels(x) reports per node: kind + version tags
+        df = nodes.select(
+            F.explode(
+                F.concat(F.array(F.col("kind")), F.col("versions"))
+            ).alias(canonical)
+        ).distinct()
+    elif proc == "relationshipTypes":
+        df = edges.select(F.col("rel_type").alias(canonical)).distinct()
+    else:
+        # one map-side-combinable aggregate row; the key list is the fixed
+        # schema (bounded), so the collect is a scalar probe, not a scan
+        counts = nodes.agg(
+            *[F.count(F.col(f"`{c}`")).alias(c) for c in _NODE_PROP_KEYS]
+        ).collect()[0]
+        keys = [c for c in _NODE_PROP_KEYS if counts[c] > 0]
+        if edges.agg(F.count("association_type")).collect()[0][0] > 0:
+            keys.append("association_type")
+        df = nodes.sparkSession.createDataFrame(
+            [(k,) for k in sorted(keys)], f"{canonical} string"
+        )
+    out_name = canonical
+    if m.group("ycol"):
+        if m.group("ycol") != canonical:
+            raise CypherError(
+                f"db.{proc}() yields {canonical!r}, not {m.group('ycol')!r}"
+            )
+        if m.group("yalias"):
+            out_name = m.group("yalias")
+            df = df.withColumnRenamed(canonical, out_name)
+        if m.group("rcol") and m.group("rcol") != out_name:
+            raise CypherError(f"unbound variable {m.group('rcol')!r} in RETURN")
+        if m.group("ocol") and m.group("ocol") != out_name:
+            raise CypherError(
+                f"unbound variable {m.group('ocol')!r} in ORDER BY"
+            )
+    df = df.orderBy(F.desc(out_name) if m.group("desc") else F.asc(out_name))
+    if m.group("limit"):
+        df = df.limit(int(m.group("limit")))
+    return df
 
 
 _CLAUSE_AFTER_UNION = re.compile(

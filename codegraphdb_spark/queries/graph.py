@@ -1845,6 +1845,63 @@ def g_cypher_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g_cypher_call_procs",
+    oracle=f"""
+    WITH {_merged_nodes_sql()},
+    {_EDGES_UNION_SQL}
+    SELECT 'label' AS proc, v AS value FROM (
+      SELECT DISTINCT kind AS v FROM merged
+      WHERE NOT (full_name LIKE 'zoo.%' OR full_name = 'zoo')
+      UNION
+      SELECT DISTINCT u.x AS v
+      FROM merged, UNNEST(string_split(versions, ',')) AS u(x)
+      WHERE NOT (full_name LIKE 'zoo.%' OR full_name = 'zoo')
+      UNION
+      -- B4 endpoint synthesis: an edge endpoint with no node fact exists
+      -- in the built graph as a 'none' placeholder (operators/merge.py)
+      SELECT 'none' AS v WHERE EXISTS (
+        SELECT 1 FROM (
+          SELECT src AS ep FROM e_all UNION SELECT dst FROM e_all
+        ) eps LEFT JOIN merged m ON eps.ep = m.full_name
+        WHERE m.full_name IS NULL
+      )
+    )
+    UNION ALL
+    SELECT 'relationshipType' AS proc, rel_type AS value
+    FROM (SELECT DISTINCT rel_type FROM e_all)
+    ORDER BY proc, value
+    """,
+)
+def g_cypher_call_procs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 extension: the CALL db.* catalog procedures (labels /
+    relationshipTypes), the probe surface Neo4j clients use before
+    querying — the reference gets them free via delegation
+    (graphDB.py:106-112). labels = the same kind+version tag set
+    labels(x) reports per node; both are tiny distinct-aggregates (one
+    exchange over dictionary-encodable columns — at any corpus size the
+    label/type domains are bounded). db.propertyKeys() is covered by the
+    pytest contract (its signature/class keys depend on extractor columns
+    the oracle CSVs don't carry). RECOMPUTING oracle: label set from the
+    merged-node re-derivation, type set from the pre-closure edge union —
+    the closure adds only HAS_METHOD copies, never a new type."""
+    from codegraphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges, _ = _graph(spark)
+    zoo_n = F.col("full_name").startswith("zoo.") | (F.col("full_name") == "zoo")
+    zoo_e = F.col("src").startswith("zoo.") | (F.col("src") == "zoo")
+    labels = run_cypher("CALL db.labels()", nodes.filter(~zoo_n), edges).select(
+        F.lit("label").alias("proc"), F.col("label").alias("value")
+    )
+    rts = run_cypher(
+        "CALL db.relationshipTypes()", nodes, edges.filter(~zoo_e)
+    ).select(
+        F.lit("relationshipType").alias("proc"),
+        F.col("relationshipType").alias("value"),
+    )
+    return labels.unionByName(rts).orderBy("proc", "value")
+
+
+@query(
     "g_cypher_exists_skip",
     oracle=f"""
     WITH m1 AS ({_merged_nodes_cte('v1')})

@@ -1242,3 +1242,54 @@ def test_union_keyword_inside_string_literal_is_not_a_split(spark, graph):
         nodes, edges,
     ).collect()
     assert sorted(r.nm for r in rows) == ["Animal", "Dog", "Puppy"]
+
+
+def test_call_db_procedures(graph):
+    nodes, edges = graph
+    labels = [
+        r["label"]
+        for r in run_cypher("CALL db.labels()", nodes, edges).collect()
+    ]
+    assert labels == sorted(labels)
+    assert "CLASS" in labels and "v1" in labels
+    # same universe labels(x) reports per node, globally deduped
+    per_node = run_cypher(
+        "MATCH (n) RETURN labels(n) AS ls", nodes, edges
+    ).collect()
+    universe = sorted({l for r in per_node for l in r["ls"]})
+    assert labels == universe
+
+    rts = run_cypher(
+        "CALL db.relationshipTypes() YIELD relationshipType AS rt "
+        "RETURN rt ORDER BY rt DESC LIMIT 2",
+        nodes, edges,
+    ).collect()
+    all_types = sorted(
+        {r["rel_type"] for r in edges.select("rel_type").distinct().collect()},
+        reverse=True,
+    )
+    assert [r["rt"] for r in rts] == all_types[:2]
+
+    keys = [
+        r["propertyKey"]
+        for r in run_cypher("CALL db.propertyKeys()", nodes, edges).collect()
+    ]
+    assert "full_name" in keys and "file_path" in keys
+    # only keys some entity actually carries: the graph fixture's methods
+    # have signatures, so the extractor-only columns appear
+    assert "signature" in keys
+    assert keys == sorted(keys)
+
+
+def test_call_refusals(graph):
+    nodes, edges = graph
+    with pytest.raises(CypherError, match="unsupported CALL"):
+        run_cypher("CALL my.proc()", nodes, edges)
+    with pytest.raises(CypherError, match="unsupported CALL"):
+        run_cypher("CALL { MATCH (n) RETURN n }", nodes, edges)
+    with pytest.raises(CypherError, match="yields 'label'"):
+        run_cypher("CALL db.labels() YIELD wrong", nodes, edges)
+    with pytest.raises(CypherError, match="unbound variable"):
+        run_cypher(
+            "CALL db.labels() YIELD label AS l RETURN label", nodes, edges
+        )
