@@ -144,6 +144,9 @@ HEADLINE = [
     "events_cusum_drift",
     "events_user_features",
     "events_session_duration_stats",
+    # round 5: Cypher-corner closures
+    "g_cypher_distinct_aggs",
+    "g_cypher_call_procs",
 ]
 
 
@@ -180,7 +183,9 @@ def main() -> None:
         "show 0 for adaptive plans (finalized at runtime) and every join small ",
         "enough is broadcast at this SF — at production scale the fact-fact ",
         "joins (lineitem⋈orders, shingle inverted index) become sort-merge on ",
-        "the shuffled key while the dim joins stay broadcast; 'python' counts ",
+        "the shuffled key while the dim joins stay broadcast — **no longer ",
+        "just argued: executed and asserted at sf1, see the \"Scale-regime ",
+        "execution proof\" section below**; 'python' counts ",
         "MapInPandas/Arrow stages (0 everywhere except the deliberate UDF ",
         "paths: extraction, multimodal decode, near-dup scoring).",
         "",
