@@ -667,16 +667,11 @@ def _minhash_sigs_pandas(docs: DataFrame) -> DataFrame:
 ROWS_PER_BAND = NUM_MINHASH // LSH_BANDS
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """(doc_id, sig) → candidate pairs (doc_a, doc_b, n_equal_minhash):
-    LSH banding, bucket self-join on band key, signature-agreement count.
-    THE near-dup candidate generator (touches only colliding docs, never
-    all pairs) — shared by minhash_lsh_candidates and
-    operators.dedup.near_dedup_minhash so the banding constants and join
-    shape can never drift between the query and the operator. Checkpoint
-    ``sigs`` before calling if its lineage is expensive: the self-join
-    references it on BOTH sides."""
-    bands = sigs.select(
+def _band_signatures(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig) → (doc_id, sig, band_idx, band_key): the LSH banding
+    stage, shared so the full self-join and the incremental probe can
+    never drift on banding constants."""
+    return sigs.select(
         "doc_id",
         "sig",
         F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band_idx"),
@@ -690,6 +685,30 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
             ],
         ),
     )
+
+
+def _sig_agreement(cand: DataFrame) -> DataFrame:
+    n_eq = sum(
+        F.when(
+            F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1), 1
+        ).otherwise(0)
+        for i in range(NUM_MINHASH)
+    )
+    return cand.select(
+        "doc_a", "doc_b", n_eq.cast("int").alias("n_equal_minhash")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig) → candidate pairs (doc_a, doc_b, n_equal_minhash):
+    LSH banding, bucket self-join on band key, signature-agreement count.
+    THE near-dup candidate generator (touches only colliding docs, never
+    all pairs) — shared by minhash_lsh_candidates and
+    operators.dedup.near_dedup_minhash so the banding constants and join
+    shape can never drift between the query and the operator. Checkpoint
+    ``sigs`` before calling if its lineage is expensive: the self-join
+    references it on BOTH sides."""
+    bands = _band_signatures(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -706,15 +725,47 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    n_eq = sum(
-        F.when(
-            F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1), 1
-        ).otherwise(0)
-        for i in range(NUM_MINHASH)
+    return _sig_agreement(cand)
+
+
+def lsh_incremental_candidates(
+    base_sigs: DataFrame, delta_sigs: DataFrame
+) -> DataFrame:
+    """Ingest-time dedup: candidate pairs for a NEW batch (delta) against
+    an existing corpus (base) PLUS within the batch itself — exactly the
+    pairs the full self-join would emit that touch ≥1 delta doc — without
+    ever self-joining the base. The base side is only PROBED on the
+    delta's band keys: at 100 TB the base bands are a persisted bucket
+    table (bucketed by band_key, engine.write_snapshot_bucketed's
+    pattern) and the delta is the day's ingest, so the join is a small
+    probe into co-located buckets — corpus-sized work never recurs per
+    batch. Pair identity is normalized (least/greatest) so delta↔delta
+    collisions emitted from both probe directions dedupe to one row.
+    Docstring contract pinned by test: incremental ≡ full restricted to
+    delta-touching pairs (tests/test_operators.py)."""
+    delta_b = _band_signatures(delta_sigs)
+    all_b = _band_signatures(base_sigs.unionByName(delta_sigs))
+    a, b = delta_b.alias("a"), all_b.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("a.sig"))
+            .otherwise(F.col("b.sig"))
+            .alias("sig_a"),
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.sig"))
+            .otherwise(F.col("a.sig"))
+            .alias("sig_b"),
+        )
+        .distinct()
     )
-    return cand.select(
-        "doc_a", "doc_b", n_eq.cast("int").alias("n_equal_minhash")
-    )
+    return _sig_agreement(cand)
 
 
 @query(
@@ -759,6 +810,51 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage — the single most expensive stage in the query
     sigs = _minhash_sigs_pandas(d).localCheckpoint(eager=False)
     return lsh_candidate_pairs(sigs).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "minhash_incremental_candidates",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_transform(list_distinct({SQL_SHINGLES}), s -> {_sql_h28('s')}) AS shs_h
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id, {_sql_minhash_sig()} AS sig FROM sh
+    ), bands AS (
+      SELECT doc_id, sig, b.band_idx,
+             sig[b.band_idx * 4 + 1] || ':' || sig[b.band_idx * 4 + 2] || ':' ||
+             sig[b.band_idx * 4 + 3] || ':' || sig[b.band_idx * 4 + 4] AS band_key
+      FROM sigs, (SELECT UNNEST(generate_series(0, {LSH_BANDS - 1})) AS band_idx) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST({' + '.join(f'CASE WHEN sig_a[{i + 1}] = sig_b[{i + 1}] THEN 1 ELSE 0 END' for i in range(NUM_MINHASH))} AS INT) AS n_equal_minhash
+    FROM cand
+    WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
+    ORDER BY doc_a, doc_b
+    """,
+)
+def minhash_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup dedup: the day's batch (here doc_id % 10 = 0,
+    a 10% delta) checked against the standing corpus + itself WITHOUT
+    re-self-joining the corpus — the base bands are only probed on the
+    delta's band keys (lsh_incremental_candidates). THE shape that makes
+    continuous 100 TB dedup affordable: per-ingest cost scales with
+    |delta| × collision rate, not |corpus|². The RECOMPUTING oracle runs
+    the FULL pair join and restricts to delta-touching pairs — green ⟺
+    the incremental path emits exactly the pairs the batch recompute
+    would."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = _minhash_sigs_pandas(d).localCheckpoint(eager=False)
+    delta = sigs.filter(F.col("doc_id") % 10 == 0)
+    base = sigs.filter(F.col("doc_id") % 10 != 0)
+    return lsh_incremental_candidates(base, delta).orderBy("doc_a", "doc_b")
 
 
 @query(

@@ -60,6 +60,7 @@ _DRIVER_PRIORITY: list[str] = [
     # in the hard signal per rotation rule (1).
     "g_cypher_distinct_aggs",  # NEW r5: avg/sum/count/collect(DISTINCT)
     "g_cypher_call_procs",     # NEW r5: CALL db.* catalog procedures
+    "minhash_incremental_candidates",  # NEW r5: ingest-time dedup probe
     "g_cypher_grouped",        # _agg_expr refactor (col_name extraction)
     "approx_distinct_kmv",
     "approx_distinct_kmv_by_flag",
@@ -80,7 +81,6 @@ _DRIVER_PRIORITY: list[str] = [
     "events_ewma",
     "events_markov_transitions",
     "events_ohlc_bars",
-    "events_pivot_daily",
     "events_rollup_two_level",
     "events_salted_type_stats",
     "events_seasonality_profile",
@@ -119,6 +119,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_length_histogram",
     "orders_monthly_growth",
     "value_range_window",
+    "events_pivot_daily",
     "g_import_cycles",
     "g_dead_code",
     "g_module_coupling",

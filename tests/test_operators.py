@@ -354,3 +354,32 @@ def test_half_up_boundary_class_agrees_at_fixture_scale(spark):
                 assert k == ref, f"half_up divergence at {x!r}: kernel {k} ref {ref}"
                 checked += 1
     assert checked >= 1, "boundary class vanished — tighten the filter or drop test"
+
+
+def test_lsh_incremental_equals_full_restricted(spark, sf_dir):
+    """lsh_incremental_candidates' contract: for delta = the new batch,
+    its output is EXACTLY the full self-join's pairs touching >=1 delta
+    doc — same pairs, same agreement counts — while never self-joining
+    the base corpus."""
+    from codegraphdb_spark.queries.text import (
+        _minhash_sigs_pandas,
+        lsh_candidate_pairs,
+        lsh_incremental_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _minhash_sigs_pandas(docs).localCheckpoint(eager=True)
+    delta = sigs.filter(F.col("doc_id") % 10 == 0)
+    base = sigs.filter(F.col("doc_id") % 10 != 0)
+
+    inc = lsh_incremental_candidates(base, delta)
+    full = lsh_candidate_pairs(sigs).filter(
+        (F.col("doc_a") % 10 == 0) | (F.col("doc_b") % 10 == 0)
+    )
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0
+    # and no base-only pair ever leaks out of the incremental path
+    assert (
+        inc.filter((F.col("doc_a") % 10 != 0) & (F.col("doc_b") % 10 != 0)).count()
+        == 0
+    )
