@@ -549,3 +549,53 @@ def test_cusum_stream_drops_uncalibrated_types(spark, ordered_stream_dir):
         for r in spark.sql("select distinct event_type from t_cusum_drop").collect()
     }
     assert types == {"click"}
+
+
+def test_minhash_candidates_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static ingest dedup twin: the delta docs streamed in two
+    micro-batches against the static base signature table emit exactly
+    the delta×base pairs the batch incremental path computes (delta-delta
+    pairs are by-design deferred to the corpus fold)."""
+    from pyspark.sql import functions as F
+
+    from codegraphdb_spark.queries.text import (
+        _minhash_sigs_pandas,
+        lsh_incremental_candidates,
+    )
+    from codegraphdb_spark.sources.tables import load_table
+    from codegraphdb_spark.streaming.dedup import minhash_candidates_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    base_sigs = _minhash_sigs_pandas(base).localCheckpoint(eager=True)
+
+    land = tmp_path / "landing"
+    delta.filter(F.col("doc_id") % 20 == 0).coalesce(1).write.parquet(
+        str(land), mode="append"
+    )
+    delta.filter(F.col("doc_id") % 20 != 0).coalesce(1).write.parquet(
+        str(land), mode="append"
+    )
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    se.run_to_memory(
+        minhash_candidates_stream(stream, base_sigs), "t_mh_stream", "append"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_equal_minhash"]
+        for r in spark.sql("select * from t_mh_stream").collect()
+    }
+    delta_sigs = _minhash_sigs_pandas(delta)
+    expected = {
+        (r["doc_a"], r["doc_b"]): r["n_equal_minhash"]
+        for r in lsh_incremental_candidates(base_sigs, delta_sigs)
+        # batch path also emits delta-delta pairs; the stream defers those
+        .filter((F.col("doc_a") % 10 != 0) | (F.col("doc_b") % 10 != 0))
+        .collect()
+    }
+    assert got == expected
+    assert len(got) > 0  # the fixture corpus has planted near-dups
