@@ -396,6 +396,142 @@ def emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_incremental_ivf_probe",
+    oracle=f"""
+    WITH expl AS (
+      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, (SELECT UNNEST(generate_series(1, {DIM})) AS i)
+    ), bexpl AS (SELECT * FROM expl WHERE vec_id % 10 <> 0),
+    dexpl AS (SELECT * FROM expl WHERE vec_id % 10 = 0),
+    cent AS (
+      SELECT label AS clabel, pos,
+             CAST(CAST(SUM(CAST(ROUND(x * {_IVF_SCALE}) AS BIGINT)) AS DOUBLE)
+                  / COUNT(*) / {_IVF_SCALE} AS DOUBLE) AS c
+      FROM bexpl GROUP BY label, pos
+    ),
+    bd AS (
+      SELECT e.vec_id, c.clabel,
+             SUM(CAST(ROUND((e.x - c.c) * (e.x - c.c) * {_IVF_SCALE}) AS BIGINT)) AS d
+      FROM bexpl e JOIN cent c ON e.pos = c.pos GROUP BY e.vec_id, c.clabel
+    ),
+    bassign AS (
+      SELECT vec_id, clabel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+        FROM bd) WHERE rn = 1
+    ),
+    dd AS (
+      SELECT e.vec_id, c.clabel,
+             SUM(CAST(ROUND((e.x - c.c) * (e.x - c.c) * {_IVF_SCALE}) AS BIGINT)) AS d
+      FROM dexpl e JOIN cent c ON e.pos = c.pos GROUP BY e.vec_id, c.clabel
+    ),
+    dassign AS (
+      SELECT vec_id, clabel, d FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+        FROM dd) WHERE rn = 1
+    ),
+    ve AS (SELECT vec_id, embedding AS e FROM embeddings),
+    pairs AS (
+      SELECT da.vec_id AS probe_id, da.clabel, da.d AS dist_scaled,
+             ba.vec_id AS nn_vec_id,
+             {_sql_ddot('pe.e', 'be.e')} /
+             (SQRT({_sql_ddot('pe.e', 'pe.e')}) * SQRT({_sql_ddot('be.e', 'be.e')})) AS cosine
+      FROM dassign da JOIN bassign ba ON da.clabel = ba.clabel
+      JOIN ve pe ON pe.vec_id = da.vec_id
+      JOIN ve be ON be.vec_id = ba.vec_id
+    )
+    SELECT probe_id, CAST(clabel AS INT) AS cell,
+           CAST(dist_scaled AS BIGINT) AS dist_scaled,
+           CAST(nn_vec_id AS BIGINT) AS nn_vec_id, cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY probe_id ORDER BY cosine DESC, nn_vec_id) AS rn
+          FROM pairs) WHERE rn = 1
+    ORDER BY probe_id
+    """,
+)
+def emb_incremental_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding twin of ingest-time dedup (minhash_incremental_candidates):
+    a NEW batch of vectors (vec_id % 10 = 0) is quantized against the
+    FROZEN coarse index — centroids computed from the BASE corpus only,
+    the ingest reality (nobody retrains the quantizer per batch) — and
+    each probe returns its cell plus the nearest base vector IN THAT CELL
+    by exact scaled-int cosine. At 100 TB the base assignments are the
+    persisted inverted file, partitioned by cell: per-ingest cost is
+    |delta| × (k centroid distances + its own cell's occupancy), never
+    corpus-wide. Same scaled-integer arithmetic as the rest of the IVF
+    family (_IVF_SCALE / _SCALE), so cross-engine doubles match exactly;
+    ties broken by cell id then base vec_id. RECOMPUTING oracle re-derives
+    frozen centroids, both inverted files, and the cell-local rank."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    is_delta = F.col("vec_id") % 10 == 0
+    expl = v.select(
+        "vec_id", "label", F.posexplode("e").alias("pos0", "x")
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "x")
+    bexpl = expl.filter(~is_delta)
+    cent = bexpl.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        (
+            F.sum(F.round(F.col("x") * _IVF_SCALE).cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+            / _IVF_SCALE
+        ).alias("c")
+    )
+    base_cell = (
+        _ivf_ranked(bexpl, cent)
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("nn_vec_id"), "clabel")
+    )
+    delta_cell = (
+        _ivf_ranked(expl.filter(is_delta), cent)
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            "clabel",
+            F.col("d").cast("bigint").alias("dist_scaled"),
+        )
+    )
+    nrm = v.select(
+        "vec_id", "e", F.sqrt(_ddot(F.col("e"), F.col("e"))).alias("nrm")
+    )
+    pairs = (
+        delta_cell.join(base_cell, "clabel")
+        .join(
+            nrm.select(
+                F.col("vec_id").alias("probe_id"),
+                F.col("e").alias("pe"),
+                F.col("nrm").alias("pn"),
+            ),
+            "probe_id",
+        )
+        .join(
+            nrm.select(
+                F.col("vec_id").alias("nn_vec_id"),
+                F.col("e").alias("be"),
+                F.col("nrm").alias("bn"),
+            ),
+            "nn_vec_id",
+        )
+        .withColumn(
+            "cosine",
+            _ddot(F.col("pe"), F.col("be")) / (F.col("pn") * F.col("bn")),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), "nn_vec_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "probe_id",
+            F.col("clabel").cast("int").alias("cell"),
+            "dist_scaled",
+            F.col("nn_vec_id").cast("bigint").alias("nn_vec_id"),
+            "cosine",
+        )
+        .orderBy("probe_id")
+    )
+
+
+@query(
     "emb_centroid_by_label",
     oracle="""
     WITH expl AS (

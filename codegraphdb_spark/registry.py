@@ -61,6 +61,7 @@ _DRIVER_PRIORITY: list[str] = [
     "g_cypher_distinct_aggs",  # NEW r5: avg/sum/count/collect(DISTINCT)
     "g_cypher_call_procs",     # NEW r5: CALL db.* catalog procedures
     "minhash_incremental_candidates",  # NEW r5: ingest-time dedup probe
+    "emb_incremental_ivf_probe",       # NEW r5: frozen-quantizer ingest probe
     "g_cypher_grouped",        # _agg_expr refactor (col_name extraction)
     "approx_distinct_kmv",
     "approx_distinct_kmv_by_flag",
@@ -86,7 +87,6 @@ _DRIVER_PRIORITY: list[str] = [
     "events_seasonality_profile",
     "events_time_weighted_avg",
     "events_top_paths",
-    "events_unpivot_daily",
     "events_value_mad",
     "exclusive_late_supplier",
     "g_bucketed_children",
@@ -120,6 +120,7 @@ _DRIVER_PRIORITY: list[str] = [
     "orders_monthly_growth",
     "value_range_window",
     "events_pivot_daily",
+    "events_unpivot_daily",
     "g_import_cycles",
     "g_dead_code",
     "g_module_coupling",

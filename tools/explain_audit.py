@@ -144,9 +144,11 @@ HEADLINE = [
     "events_cusum_drift",
     "events_user_features",
     "events_session_duration_stats",
-    # round 5: Cypher-corner closures
+    # round 5: Cypher-corner closures + ingest-time incremental probes
     "g_cypher_distinct_aggs",
     "g_cypher_call_procs",
+    "minhash_incremental_candidates",
+    "emb_incremental_ivf_probe",
 ]
 
 
