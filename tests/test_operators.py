@@ -383,3 +383,43 @@ def test_lsh_incremental_equals_full_restricted(spark, sf_dir):
         inc.filter((F.col("doc_a") % 10 != 0) & (F.col("doc_b") % 10 != 0)).count()
         == 0
     )
+
+
+def test_lsh_ingest_fold_cycle(spark, sf_dir):
+    """The full ingest cycle: probe batch-1 against the corpus, FOLD it in
+    (signature union — the corpus band table is derived from signatures,
+    so folding is one append), then probe batch-2 against the folded
+    corpus. Every incremental result must equal the full self-join
+    restricted to its delta — including batch-1 docs acting as CORPUS
+    members for batch-2 (pairs across the two batches surface in cycle 2,
+    proving nothing is lost between folds)."""
+    from codegraphdb_spark.queries.text import (
+        _minhash_sigs_pandas,
+        lsh_candidate_pairs,
+        lsh_incremental_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _minhash_sigs_pandas(docs).localCheckpoint(eager=True)
+    b1 = sigs.filter(F.col("doc_id") % 10 == 0)
+    b2 = sigs.filter(F.col("doc_id") % 10 == 1)
+    corpus0 = sigs.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 1))
+
+    inc1 = lsh_incremental_candidates(corpus0, b1)
+    corpus1 = corpus0.unionByName(b1)  # the fold
+    inc2 = lsh_incremental_candidates(corpus1, b2)
+
+    full = lsh_candidate_pairs(sigs).cache()
+    exp1 = full.filter(
+        (F.col("doc_a") % 10 == 0) | (F.col("doc_b") % 10 == 0)
+    ).filter((F.col("doc_a") % 10 != 1) & (F.col("doc_b") % 10 != 1))
+    exp2 = full.filter((F.col("doc_a") % 10 == 1) | (F.col("doc_b") % 10 == 1))
+    for inc, exp in ((inc1, exp1), (inc2, exp2)):
+        assert inc.exceptAll(exp).count() == 0
+        assert exp.exceptAll(inc).count() == 0
+    # cross-batch pairs exist and landed in cycle 2 (batch-1 as corpus)
+    assert (
+        inc2.filter((F.col("doc_a") % 10 == 0) | (F.col("doc_b") % 10 == 0)).count()
+        > 0
+    )
+    full.unpersist()
