@@ -1,0 +1,133 @@
+"""Scale execution proof for ingest-time incremental dedup.
+
+Runs on the K=10 fixtures (tools/gen_scale.py → testdata_sf1, ~10× the
+driver corpus with planted cross-replica duplicates): splits documents
+90/10 into corpus/ingest-batch, then measures
+
+  * FULL recompute  — lsh_candidate_pairs over the whole corpus
+    (what a naive pipeline pays every ingest), and
+  * INCREMENTAL     — lsh_incremental_candidates: the batch probes the
+    corpus band buckets,
+
+and asserts the incremental result equals the full result restricted to
+delta-touching pairs (same invariant the sf0.01 oracle checks, here
+demonstrated at 10×). Prints one JSON line with wall times, pair counts,
+and the speedup — the number that justifies the "per-ingest cost scales
+with the delta" claim by execution rather than argument.
+
+Usage: python tools/stress_ingest.py [sf_dir]   (default testdata_sf1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from codegraphdb_spark.queries.text import (  # noqa: E402
+    _band_signatures,
+    _minhash_sigs_pandas,
+    _sig_agreement,
+    lsh_candidate_pairs,
+    lsh_incremental_candidates,
+)
+from codegraphdb_spark.session import get_spark  # noqa: E402
+from codegraphdb_spark.sources.tables import load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
+    spark = get_spark("stress-ingest")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    # signatures are shared input for both paths — checkpoint so neither
+    # path's timing includes the Arrow signature stage of the other
+    sigs = _minhash_sigs_pandas(docs).localCheckpoint(eager=True)
+    delta = sigs.filter(F.col("doc_id") % 10 == 0)
+    base = sigs.filter(F.col("doc_id") % 10 != 0)
+
+    t0 = time.time()
+    full = lsh_candidate_pairs(sigs).localCheckpoint(eager=True)
+    n_full = full.count()
+    full_sec = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    inc = lsh_incremental_candidates(base, delta).localCheckpoint(eager=True)
+    n_inc = inc.count()
+    inc_sec = round(time.time() - t0, 3)
+
+    # Production shape: the corpus band table is PERSISTED (the inverted
+    # file) — an ingest pays only delta banding + the bucket probe, never
+    # corpus re-banding. Same helpers as the operator, base side
+    # pre-materialized; includes the within-batch pairs via union so the
+    # output contract matches lsh_incremental_candidates exactly.
+    persisted = _band_signatures(base.unionByName(delta)).localCheckpoint(
+        eager=True
+    )
+    persisted.count()
+    t0 = time.time()
+    delta_b = _band_signatures(delta)
+    cand = (
+        delta_b.alias("a")
+        .join(
+            persisted.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("a.sig"))
+            .otherwise(F.col("b.sig"))
+            .alias("sig_a"),
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.sig"))
+            .otherwise(F.col("a.sig"))
+            .alias("sig_b"),
+        )
+        .distinct()
+    )
+    probe = _sig_agreement(cand).localCheckpoint(eager=True)
+    n_probe = probe.count()
+    probe_sec = round(time.time() - t0, 3)
+
+    expected = full.filter(
+        (F.col("doc_a") % 10 == 0) | (F.col("doc_b") % 10 == 0)
+    )
+    mismatch = inc.exceptAll(expected).count() + expected.exceptAll(inc).count()
+    mismatch += probe.exceptAll(expected).count() + expected.exceptAll(probe).count()
+
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "n_docs": n_docs,
+                "full_pairs": n_full,
+                "full_sec": full_sec,
+                "incremental_pairs": n_inc,
+                "incremental_sec": inc_sec,
+                "persisted_probe_pairs": n_probe,
+                "persisted_probe_sec": probe_sec,
+                "speedup_vs_full": round(full_sec / inc_sec, 2) if inc_sec else None,
+                "persisted_speedup_vs_full": (
+                    round(full_sec / probe_sec, 2) if probe_sec else None
+                ),
+                "mismatched_rows": mismatch,
+            },
+            separators=(",", ":"),
+        )
+    )
+    if mismatch:
+        raise SystemExit(1)
+    print("INGEST STRESS OK")
+
+
+if __name__ == "__main__":
+    main()
