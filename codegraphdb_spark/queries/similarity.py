@@ -490,42 +490,89 @@ def emb_incremental_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").cast("bigint").alias("dist_scaled"),
         )
     )
-    nrm = v.select(
-        "vec_id", "e", F.sqrt(_ddot(F.col("e"), F.col("e"))).alias("nrm")
+    # Cell-local scoring rides the SAME numpy block kernel shape as
+    # emb_near_dup_pairs (bit-identical arithmetic to the declarative
+    # _ddot form: per-element HALF_UP of x*y*_SCALE, exact int64 sum, two
+    # IEEE divisions) — the interpreted zip_with/aggregate fold measured
+    # 163 s vs 20 s at the 10× stress (tools/stress_ingest.py). Each cell's
+    # probes and members cross Arrow ONCE; the probe×member product
+    # tensor is chunked so batch memory stays bounded by cell design.
+    import numpy as np
+    import pandas as pd
+
+    base_in = base_cell.join(
+        v.select(F.col("vec_id").alias("nn_vec_id"), "e"), "nn_vec_id"
+    ).select(
+        "clabel",
+        F.col("nn_vec_id").alias("vid"),
+        "e",
+        F.lit(False).alias("is_probe"),
+        F.lit(None).cast("bigint").alias("dist_scaled"),
     )
-    pairs = (
-        delta_cell.join(base_cell, "clabel")
-        .join(
-            nrm.select(
-                F.col("vec_id").alias("probe_id"),
-                F.col("e").alias("pe"),
-                F.col("nrm").alias("pn"),
-            ),
-            "probe_id",
-        )
-        .join(
-            nrm.select(
-                F.col("vec_id").alias("nn_vec_id"),
-                F.col("e").alias("be"),
-                F.col("nrm").alias("bn"),
-            ),
-            "nn_vec_id",
-        )
-        .withColumn(
-            "cosine",
-            _ddot(F.col("pe"), F.col("be")) / (F.col("pn") * F.col("bn")),
-        )
+    delta_in = delta_cell.join(
+        v.select(F.col("vec_id").alias("probe_id"), "e"), "probe_id"
+    ).select(
+        "clabel",
+        F.col("probe_id").alias("vid"),
+        "e",
+        F.lit(True).alias("is_probe"),
+        "dist_scaled",
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), "nn_vec_id")
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        probes = pdf[pdf["is_probe"]].sort_values("vid").reset_index(drop=True)
+        base = pdf[~pdf["is_probe"]].sort_values("vid").reset_index(drop=True)
+        empty = pd.DataFrame(
+            {"probe_id": [], "cell": [], "dist_scaled": [], "nn_vec_id": [],
+             "cosine": []}
+        ).astype(
+            {"probe_id": "int64", "cell": "int32", "dist_scaled": "int64",
+             "nn_vec_id": "int64", "cosine": "float64"}
+        )
+        if len(probes) == 0 or len(base) == 0:
+            return empty
+
+        def _half_up(x):
+            return (x + np.copysign(0.5, x)).astype(np.int64)
+
+        bm = np.stack(base["e"].values)  # (nb, D)
+        bnrm = np.sqrt(_half_up(bm * bm * _SCALE).sum(axis=1) / _SCALE)
+        bids = base["vid"].to_numpy()
+        out = []
+        for lo in range(0, len(probes), 64):  # chunk probes: bound temporaries
+            pm = np.stack(probes["e"].values[lo : lo + 64])  # (np, D)
+            pnrm = np.sqrt(_half_up(pm * pm * _SCALE).sum(axis=1) / _SCALE)
+            dots = (
+                _half_up(pm[:, None, :] * bm[None, :, :] * _SCALE).sum(axis=2)
+                / _SCALE
+            )
+            cos = dots / (pnrm[:, None] * bnrm[None, :])
+            # argmax = first occurrence; base sorted by vid, so ties break
+            # toward the smallest nn_vec_id (ORDER BY cosine DESC, vid)
+            best = cos.argmax(axis=1)
+            rows = probes.iloc[lo : lo + 64]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "probe_id": rows["vid"].to_numpy(),
+                        "cell": np.int32(pdf["clabel"].iloc[0]),
+                        "dist_scaled": rows["dist_scaled"].to_numpy(
+                            dtype="int64"
+                        ),
+                        "nn_vec_id": bids[best],
+                        "cosine": cos[np.arange(len(best)), best],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "probe_id",
-            F.col("clabel").cast("int").alias("cell"),
-            "dist_scaled",
-            F.col("nn_vec_id").cast("bigint").alias("nn_vec_id"),
-            "cosine",
+        base_in.unionByName(delta_in)
+        .groupBy("clabel")
+        .applyInPandas(
+            score_cell,
+            schema="probe_id bigint, cell int, dist_scaled bigint, "
+            "nn_vec_id bigint, cosine double",
         )
         .orderBy("probe_id")
     )
