@@ -527,3 +527,20 @@ def test_foreach_refusals(spark):
         "FOREACH (x IN [] | MERGE (n {full_name: x}))", nodes, edges
     )
     assert _rows(n2) == _rows(nodes) and _rows(e2) == _rows(edges)
+
+
+def test_foreach_batch_scales_to_cap(spark):
+    """The batched-MERGE claim at the cap: a 1000-element FOREACH still
+    compiles to ONE join (constant plan depth — the reason the batch cap
+    is 10× the sequential cap) and upserts every key."""
+    nodes, edges = _snapshot(spark)
+    elems = ", ".join(f"'m.f{i:04d}'" for i in range(1000))
+    n2, _ = run_cypher_write(
+        f"FOREACH (fn IN [{elems}] | MERGE (n:FUNCTION {{full_name: fn}}))",
+        nodes,
+        edges,
+        version="v2",
+    )
+    assert _join_count(n2) == 1
+    assert n2.filter(F.col("kind") == "FUNCTION").count() == 1000
+    assert n2.count() == nodes.count() + 1000
