@@ -126,6 +126,37 @@ def main() -> None:
     )
     if mismatch:
         raise SystemExit(1)
+
+    # Embedding mirror at the same 10×: the frozen-quantizer probe must
+    # complete at scale with every delta vector assigned exactly once
+    # (cell-local ranking bounds the pair work by cell occupancy, so this
+    # is the execution check that no cell degenerated into all-pairs).
+    from codegraphdb_spark import registry
+
+    registry.load_all()
+    t0 = time.time()
+    probe_rows = registry.QUERIES["emb_incremental_ivf_probe"](
+        spark, sf_dir
+    ).collect()
+    emb_sec = round(time.time() - t0, 3)
+    n_delta = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 10 == 0)
+        .count()
+    )
+    print(
+        json.dumps(
+            {
+                "emb_probe_rows": len(probe_rows),
+                "emb_delta_vectors": n_delta,
+                "emb_probe_sec": emb_sec,
+                "one_row_per_probe": len(probe_rows) == n_delta,
+            },
+            separators=(",", ":"),
+        )
+    )
+    if len(probe_rows) != n_delta:
+        raise SystemExit(1)
     print("INGEST STRESS OK")
 
 
