@@ -544,3 +544,44 @@ def test_foreach_batch_scales_to_cap(spark):
     assert _join_count(n2) == 1
     assert n2.filter(F.col("kind") == "FUNCTION").count() == 1000
     assert n2.count() == nodes.count() + 1000
+
+
+def test_foreach_batch_equals_sequential_reference(spark):
+    """Property pin (fixed corpus of generated cases, no Spark-per-example
+    hypothesis cost): for ANY same-template list — new keys, existing
+    keys, keys colliding with the loop variable's name, int property
+    values — the BATCHED FOREACH result equals applying the MERGE
+    element-by-element through run_cypher_write (the sequential reference
+    semantics openCypher defines). Cases are distinct-keyed because
+    duplicate keys refuse by contract (tested above)."""
+    import random
+
+    rng = random.Random(5)
+    nodes0, edges0 = _snapshot(spark)
+    for case in range(4):
+        n_elems = rng.choice([1, 2, 5])
+        keys = rng.sample(
+            ["m.C", "m.C.f", "ghost", "m.aa", "m.bb", "pkg.x", "fn", "n"],
+            n_elems,
+        )
+        var = rng.choice(["x", "fn", "n"])  # may collide with a key string
+        cs = rng.randint(1, 99)
+        template = (
+            f"MERGE (nn:FUNCTION {{full_name: {var!r}, code_start: {cs}}})"
+        )
+        elems = ", ".join(f"'{k}'" for k in keys)
+        batched, _ = run_cypher_write(
+            f"FOREACH ({var} IN [{elems}] | "
+            + template.replace(repr(var), var)
+            + ")",
+            nodes0,
+            edges0,
+            version="v9",
+        )
+        seq = nodes0
+        for k in keys:
+            seq, _ = run_cypher_write(
+                template.replace(repr(var), f"'{k}'"), seq, edges0, version="v9"
+            )
+        assert batched.exceptAll(seq).count() == 0, (case, keys, var)
+        assert seq.exceptAll(batched).count() == 0, (case, keys, var)
