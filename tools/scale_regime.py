@@ -68,6 +68,9 @@ FACT_JOIN = [
     "shipping_priority_topk",
     "customer_revenue_concentration",
     "events_funnel",
+    # r5: the ingest probe's band join is fact×fact (both sides are
+    # stats-less Arrow stages) — must shuffle when broadcasting is off
+    "minhash_incremental_candidates",
 ]
 
 # Fact-scale queries whose plans legitimately show NO shuffled join even
