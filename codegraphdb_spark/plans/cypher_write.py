@@ -571,7 +571,9 @@ def _substitute_var(body: str, var: str, value) -> str:
     else:
         lit = str(value)
     spans = _string_spans(body)
-    rx = re.compile(rf"(?<![\w.:$]){re.escape(var)}(?![\w.])(?!\s*:)")
+    # lookbehind/lookahead also exclude backticks: :`x` is a (backticked)
+    # label even when its text equals the loop variable
+    rx = re.compile(rf"(?<![\w.:$`]){re.escape(var)}(?![\w.`])(?!\s*:)")
     out: list[str] = []
     last = 0
     changed = False

@@ -585,3 +585,17 @@ def test_foreach_batch_equals_sequential_reference(spark):
             )
         assert batched.exceptAll(seq).count() == 0, (case, keys, var)
         assert seq.exceptAll(batched).count() == 0, (case, keys, var)
+
+
+def test_foreach_backticked_label_is_not_the_loop_variable(spark):
+    """A backticked label whose TEXT equals the loop variable must not be
+    substituted — it's a label token, not a value use. The version-label
+    refusal fires on the label itself (the engine's normal contract), not
+    on a corrupted substitution."""
+    nodes, edges = _snapshot(spark)
+    with pytest.raises(CypherError, match="version label"):
+        run_cypher_write(
+            "FOREACH (x IN ['m.a'] | MERGE (n:`x` {full_name: x}))",
+            nodes,
+            edges,
+        )
