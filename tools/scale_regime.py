@@ -198,12 +198,18 @@ def main() -> None:
         else sorted(n for n in registry.QUERIES if not n.startswith("g_"))
     )
 
-    spark = get_spark("scale-regime")
-    spark.sparkContext.setLogLevel("ERROR")
     record: dict = {"sf_dir": sf_dir, "k": 10, "base_sf": 0.1, "modes": {}}
     problems: list[str] = []
 
     for mode in ("nobroadcast", "default"):
+        # FRESH session per mode: a single session running ~300 queries
+        # accumulates enough heap/codegen-cache pressure to invert some
+        # per-mode comparisons (measured: doc_semantic_dedup 131 s in the
+        # second mode vs 76 s in the first, restored to the expected
+        # ordering in isolated sessions). Restarting makes the two modes'
+        # numbers comparable; each still pays its own first-touch costs.
+        spark = get_spark(f"scale-regime-{mode}")
+        spark.sparkContext.setLogLevel("ERROR")
         if mode == "nobroadcast":
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
@@ -211,7 +217,6 @@ def main() -> None:
             spark.conf.set(
                 "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
             )
-            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         clear_session_caches(spark)
         t0 = time.time()
         timings, plans, failures = run_catalog(spark, sf_dir, names)
@@ -227,6 +232,8 @@ def main() -> None:
             mode_rec["skew_probe"] = skew_probe(spark, sf_dir)
         record["modes"][mode] = mode_rec
         problems.extend(f"[{mode}] {f}" for f in failures)
+        clear_session_caches(spark)
+        spark.stop()
 
     nb = record["modes"]["nobroadcast"]
     for name in FACT_JOIN:
