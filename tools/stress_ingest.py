@@ -157,6 +157,49 @@ def main() -> None:
     )
     if len(probe_rows) != n_delta:
         raise SystemExit(1)
+
+    # Streaming twin at the same 10×: the delta lands as parquet files and
+    # streams through minhash_candidates_stream in ~4 micro-batches
+    # against the static corpus signatures — output must equal the batch
+    # incremental result minus its (by-design deferred) delta×delta pairs.
+    import tempfile
+
+    from codegraphdb_spark.sources.tables import load_table as _lt
+    from codegraphdb_spark.streaming.dedup import minhash_candidates_stream
+    from codegraphdb_spark.streaming.events import run_to_memory
+
+    docs = _lt(spark, sf_dir, "documents").select("doc_id", "text")
+    with tempfile.TemporaryDirectory() as land:
+        docs.filter(F.col("doc_id") % 10 == 0).repartition(4).write.parquet(
+            land, mode="overwrite"
+        )
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        t0 = time.time()
+        run_to_memory(
+            minhash_candidates_stream(stream, base), "stress_mh_stream", "append"
+        )
+        stream_sec = round(time.time() - t0, 3)
+        got = spark.sql("select * from stress_mh_stream").localCheckpoint(
+            eager=True
+        )
+    want = inc.filter((F.col("doc_a") % 10 != 0) | (F.col("doc_b") % 10 != 0))
+    stream_mismatch = got.exceptAll(want).count() + want.exceptAll(got).count()
+    print(
+        json.dumps(
+            {
+                "stream_pairs": got.count(),
+                "stream_sec": stream_sec,
+                "stream_mismatched_rows": stream_mismatch,
+            },
+            separators=(",", ":"),
+        )
+    )
+    if stream_mismatch:
+        raise SystemExit(1)
     print("INGEST STRESS OK")
 
 
