@@ -1057,15 +1057,13 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                      * (CAST(SUM(CAST(ROUND(val * {_DSCALE}) AS BIGINT)) AS DOUBLE)
                         / {_DSCALE} / COUNT(*))) + 1e-9) AS sd
       FROM x GROUP BY dim
-    ), params AS (
-      SELECT list(m ORDER BY dim) AS means, list(sd ORDER BY dim) AS sds FROM st
     )
-    SELECT e.vec_id,
-           list_transform(range(1, {DIM + 1}),
-             i -> (CAST(e.embedding[i] AS DOUBLE) - p.means[i]) / p.sds[i])
-             AS whitened
-    FROM embeddings e CROSS JOIN params p
-    ORDER BY e.vec_id
+    SELECT v.vec_id, v.dim,
+           (v.val - s.m) / s.sd AS whitened_val
+    FROM (SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+          FROM embeddings, (SELECT UNNEST(generate_series(1, {DIM})) AS i)) v
+    JOIN st s ON v.dim = s.dim
+    ORDER BY v.vec_id, v.dim
     """,
 )
 def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1076,7 +1074,13 @@ def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the corpus is touched once, nothing corpus-sized shuffles.
     Bit-exact across engines: moments accumulate in scaled-int space and
     every remaining op (−, /, sqrt, + 1e-9) is IEEE correctly-rounded, so
-    identical inputs give identical doubles."""
+    identical inputs give identical doubles.
+
+    Output is EXPLODED to one row per (vec_id, dim) with a scalar double
+    column: top-level ARRAY columns are unhashable for the driver's pandas
+    canonicalizer (the r5 lesson — same failure class as the r1
+    grouped_collect_sorted fix at queries/relational.py:911), and scalar
+    rows keep the oracle trivially alignable."""
     d = load_table(spark, sf_dir, "embeddings")
     x = d.select(
         "vec_id",
@@ -1106,13 +1110,20 @@ def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.crossJoin(F.broadcast(params))
         .select(
             "vec_id",
-            F.transform(
-                emb,
-                lambda xv, i: (xv - F.element_at("means", i + 1))
-                / F.element_at("sds", i + 1),
-            ).alias("whitened"),
+            F.posexplode(
+                F.transform(
+                    emb,
+                    lambda xv, i: (xv - F.element_at("means", i + 1))
+                    / F.element_at("sds", i + 1),
+                )
+            ).alias("pos", "whitened_val"),
         )
-        .orderBy("vec_id")
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("bigint").alias("dim"),
+            "whitened_val",
+        )
+        .orderBy("vec_id", "dim")
     )
 
 
