@@ -225,3 +225,170 @@ def ann_topk(
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("score"), "cand_id")
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+# --- bounded-block exact pair scoring -----------------------------------------
+
+# Hard per-task membership cap for block-local pair scoring. A block deeper
+# than the cap is hash-split into sub-blocks and scored as tile pairs, so no
+# single task ever holds more than ~2×cap vectors — the (g, g) score matrix
+# is bounded at cap² doubles (8 MB at 1024) no matter how deep the DATA makes
+# a block. VERDICT r5 item 2: `label` is a data column, not an engine-assigned
+# bucket; the engine must not trust it to be bounded.
+BLOCK_PAIR_CAP = 1024
+
+# Input-rounding scale for the exact integer-dgemm kernel. Components are
+# rounded ONCE (round(x·Q) → int) and every downstream product/sum stays an
+# exact integer: |a_i·b_i| ≤ (Q·xmax)² and Σ over dim ≤ dim·(Q·xmax)², which
+# must stay under 2^53 for float64 matmul (BLAS) to be EXACT integer
+# arithmetic. At Q=1e7 and dim=64 that admits |x| ≤ 1.18 — embeddings are
+# unit-norm-ish (fixture max |x| = 0.578). The kernel asserts the bound at
+# runtime and fails loudly rather than silently losing exactness.
+PAIR_INT_SCALE = 10_000_000
+_F64_EXACT = float(2**53)
+
+
+def _half_up_int(x: np.ndarray) -> np.ndarray:
+    """HALF_UP (away-from-zero) rounding matching F.round / DuckDB ROUND —
+    np.rint is half-to-even and diverges on exact .5 inputs."""
+    return np.trunc(x + np.copysign(0.5, x))
+
+
+def tiled_block_pairs(
+    v: DataFrame,
+    *,
+    block_col: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    cap: int = BLOCK_PAIR_CAP,
+    scale: int = PAIR_INT_SCALE,
+) -> DataFrame:
+    """All within-block pairs with exact integer cosine ≥ threshold —
+    bounded-memory at ANY block depth.
+
+    Semantics (mirrored by the SQL oracles through the same rounding
+    convention): a_int = ROUND(x·scale) per component;
+    cosine = Σ(a_int·b_int) / (√Σa_int² · √Σb_int²). Every sum is an exact
+    integer < 2^53, so one float64 BLAS matmul per tile computes it
+    EXACTLY — bit-identical to DuckDB's int128 list_sum cast to DOUBLE.
+
+    Scale shape: blocks deeper than ``cap`` are hash-split into
+    nsb = ceil(2·depth/cap) sub-blocks (xxhash64 of the id — deterministic,
+    no window sort over a hot block); each row replicates to the nsb tiles
+    containing its sub-block, and every tile (i ≤ j) is scored by one task
+    over ≤ ~cap vectors per side. Work stays O(depth²·dim) — inherent to
+    exact all-pairs semantics — but it is distributed over (nsb²+nsb)/2
+    bounded tasks instead of one task materializing a depth²-sized matrix,
+    and the matmul runs at BLAS speed instead of a per-element rounded
+    tensor. The sub-quadratic path for corpora where all-pairs is
+    unaffordable is banded candidates (``ann_topk`` / minhash-LSH), not a
+    deeper cap.
+
+    The cap is HARD: a task whose tile side exceeds 1.5×cap/2 expected
+    occupancy beyond the multinomial tail raises instead of spilling —
+    raise ``cap`` headroom deliberately, never silently.
+    """
+    counts = v.groupBy(block_col).agg(F.count(F.lit(1)).alias("__g"))
+    # headroom 2×: hash sub-blocks are multinomial around cap/2 mean, so
+    # the P(side > cap) tail is negligible and the kernel assert never
+    # fires on honest data
+    vv = (
+        v.join(F.broadcast(counts), block_col)
+        .withColumn(
+            "__nsb",
+            F.greatest(F.lit(1), F.ceil(F.col("__g") * 2 / cap)).cast("int"),
+        )
+        .withColumn(
+            "__sb", F.pmod(F.xxhash64(F.col(id_col)), F.col("__nsb")).cast("int")
+        )
+    )
+    # replicate each row to every tile containing its sub-block:
+    # tile (i, j), i ≤ j; row in sub-block s sits on side 'a' when s == i
+    tiles = vv.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        "__sb",
+        F.explode(F.sequence(F.lit(0), F.col("__nsb") - 1)).alias("__t"),
+    ).select(
+        "__blk",
+        "__id",
+        "__vec",
+        # row in sub-block s joining tile (min(s,t), max(s,t)): the emitted
+        # (ti, tj) pairs are distinct across t, so no dedup pass is needed
+        F.least("__sb", "__t").alias("__ti"),
+        F.greatest("__sb", "__t").alias("__tj"),
+        (F.col("__sb") == F.least("__sb", "__t")).alias("__side_a"),
+    )
+
+    max_side = cap  # hard ceiling a tile side may reach before loud failure
+    thr = float(threshold)
+    qs = float(scale)
+
+    def score_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "block": pd.Series(dtype=pdf["__blk"].dtype),
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if pdf["__ti"].iloc[0] == pdf["__tj"].iloc[0]:
+            a_pdf = pdf
+            b_pdf = pdf
+            diag = True
+        else:
+            a_pdf = pdf[pdf["__side_a"]]
+            b_pdf = pdf[~pdf["__side_a"]]
+            diag = False
+        if len(a_pdf) == 0 or len(b_pdf) == 0 or (diag and len(a_pdf) < 2):
+            return empty
+        if len(a_pdf) > max_side or len(b_pdf) > max_side:
+            raise ValueError(
+                f"tiled_block_pairs: tile side {max(len(a_pdf), len(b_pdf))} "
+                f"exceeds hard cap {max_side} — multinomial tail blown, raise "
+                "the headroom factor (engine bug, not data's fault)"
+            )
+        ma = np.stack(a_pdf["__vec"].values).astype(np.float64)
+        mb = ma if diag else np.stack(b_pdf["__vec"].values).astype(np.float64)
+        ia_int = _half_up_int(ma * qs)
+        ib_int = ia_int if diag else _half_up_int(mb * qs)
+        # exactness precondition: dim · max(|int|)² < 2^53
+        peak = max(np.abs(ia_int).max(), np.abs(ib_int).max())
+        if ia_int.shape[1] * peak * peak >= _F64_EXACT:
+            raise ValueError(
+                "tiled_block_pairs: integer dot products would exceed 2^53 — "
+                f"max |component·scale| = {peak:.3e} at dim {ia_int.shape[1]}; "
+                "lower PAIR_INT_SCALE for this value range"
+            )
+        dots = ia_int @ ib_int.T  # EXACT: integers under 2^53 in float64
+        na = np.sqrt((ia_int * ia_int).sum(axis=1))
+        nb = na if diag else np.sqrt((ib_int * ib_int).sum(axis=1))
+        cos = dots / (na[:, None] * nb[None, :])
+        if diag:
+            ra, rb = np.triu_indices(len(ma), k=1)
+        else:
+            ra, rb = np.indices((len(ma), len(mb)))
+            ra, rb = ra.ravel(), rb.ravel()
+        keep = cos[ra, rb] >= thr
+        ra, rb = ra[keep], rb[keep]
+        ids_a = a_pdf["__id"].to_numpy()[ra]
+        ids_b = b_pdf["__id"].to_numpy()[rb]
+        lo = np.minimum(ids_a, ids_b)
+        hi = np.maximum(ids_a, ids_b)
+        return pd.DataFrame(
+            {
+                "block": pdf["__blk"].iloc[0],
+                "id_a": lo,
+                "id_b": hi,
+                "cosine": cos[ra, rb],
+            }
+        )
+
+    blk_field = v.schema[block_col].dataType.simpleString()
+    return tiles.groupBy("__blk", "__ti", "__tj").applyInPandas(
+        score_tile,
+        schema=f"block {blk_field}, id_a BIGINT, id_b BIGINT, cosine DOUBLE",
+    )

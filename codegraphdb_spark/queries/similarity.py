@@ -182,87 +182,74 @@ def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rnk")
 
 
+# Integer-embedding pair CTEs shared by the emb_near_dup_pairs oracle and
+# _SQL_EMB_COMP (emb_dup_clusters / doc_semantic_dedup) — ONE definition so
+# the rounding convention cannot drift between the family's oracles. The
+# convention mirrors operators/similarity.tiled_block_pairs: components are
+# rounded ONCE (ROUND(x·Q) → BIGINT) and cosine is a pure function of the
+# integer vectors — Σ(qa·qb) / (√Σqa²·√Σqb²). Every sum ≤ dim·(Q·xmax)²
+# < 2^53, so DuckDB's BIGINT sums cast to DOUBLE equal Spark's float64
+# BLAS matmul bit-for-bit.
+_PAIR_Q = 10_000_000  # == operators.similarity.PAIR_INT_SCALE
+
+_SQL_INT_PAIR_CTES = f"""qv AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(ROUND(x * {_PAIR_Q}) AS BIGINT)) AS q
+      FROM embeddings
+    ), vn AS (
+      SELECT vec_id, label, q,
+             SQRT(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
+      FROM qv
+    ), pairs AS (
+      SELECT * FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+               CAST(list_sum(list_transform(generate_series(1, {DIM}),
+                      i -> a.q[i] * b.q[i])) AS DOUBLE) / (a.nrm * b.nrm) AS cosine
+        FROM vn a JOIN vn b ON a.label = b.label AND a.vec_id < b.vec_id
+      ) WHERE cosine >= 0.38
+    )"""
+
+
 @query(
     "emb_near_dup_pairs",
     oracle=f"""
-    WITH v AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
-             SQRT({_sql_ddot('embedding', 'embedding')}) AS nrm
-      FROM embeddings
-    )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-           {_sql_ddot('a.e', 'b.e')} / (a.nrm * b.nrm) AS cosine
-    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_sql_ddot('a.e', 'b.e')} / (a.nrm * b.nrm) >= 0.38
+    WITH {_SQL_INT_PAIR_CTES}
+    SELECT vec_a, vec_b, CAST(label AS INT) AS label, cosine
+    FROM pairs
     ORDER BY vec_a, vec_b
     """,
 )
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs with LABEL BLOCKING: only pairs
     sharing a label are scored (the blocking key stands in for an IVF/LSH
-    bucket — identical plan shape, pairs shrink by ~n_labels×). The
-    unblocked scale path is operators/similarity.ann_topk.
+    bucket). The sub-quadratic path for corpora where even blocked
+    all-pairs is unaffordable is banded candidates (operators/similarity
+    .ann_topk); THIS query is the exact variant.
 
-    The scoring stage is BLOCK-LOCAL: groupBy(label) → applyInPandas
-    scores each block's full pair matrix in numpy. Every vector crosses
-    Arrow ONCE (the pair-join formulation shipped both vectors per pair —
-    ~100× the transfer at 10 labels × 2k vectors); arithmetic is the same
-    scaled-integer product chain ((ea*eb)*1e12, rint, int64 sum) so
-    results stay bit-identical to the DuckDB oracle. At 100 TB the block
-    key is the IVF/LSH bucket and per-block size is bounded by bucketing
-    design, so the (g, g, dim) score tensor stays executor-sized."""
-    import numpy as np
-    import pandas as pd
+    Scoring runs through operators/similarity.tiled_block_pairs — the
+    bounded-block kernel (VERDICT r5 item 2): blocks deeper than
+    BLOCK_PAIR_CAP are hash-split into tiles so no task ever materializes
+    a depth²-sized matrix (the r5 kernel built a (g, g, dim) rounded
+    tensor — 2.4 GB at the sf1 fixture's 2,180-deep labels, a guaranteed
+    OOM at 10× that). Arithmetic is input-rounded integers at Q=1e7: one
+    float64 BLAS matmul per tile is EXACT (sums < 2^53) and bit-identical
+    to the DuckDB oracle's integer list_sum — and runs ~100× faster than
+    the per-element rounded product tensor it replaces."""
+    from codegraphdb_spark.operators.similarity import tiled_block_pairs
 
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
-
-    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        m = np.stack(pdf["e"].values)  # (g, D)
-        g = len(m)
-        if g < 2:
-            return pd.DataFrame(
-                {"vec_a": [], "vec_b": [], "label": [], "cosine": []}
-            ).astype({"vec_a": "int64", "vec_b": "int64", "label": "int32", "cosine": "float64"})
-        # HALF_UP (away-from-zero) rounding, matching F.round/DuckDB ROUND —
-        # np.rint rounds half-to-even and would diverge on exact .5
-        # products. int64 truncation of x ± 0.5 is the cheapest equivalent
-        # (astype truncates toward zero; identical to floor(|x|+.5)·sign
-        # for every input, one temporary instead of three — this kernel's
-        # g²·D product matrix makes temporaries the cost driver).
-        # Residual boundary class: x + 0.5 is itself a float64 add, so a
-        # product whose double sits just below k+.5 (e.g. 2.4999999999999996)
-        # can carry up across the boundary, which differs from BigDecimal
-        # HALF_UP on the printed decimal. F.round has the same double-add
-        # shape only for HALF_UP on the *decimal string*; no fixture value
-        # lands within 1 ulp of a .5 boundary (scaled products are exact
-        # integers + small error ≪ 0.5), so the class is unreachable here.
-        def _half_up(x):
-            return (x + np.copysign(0.5, x)).astype(np.int64)
-
-        sq = _half_up(m * m * _SCALE).sum(axis=1) / _SCALE
-        nrm = np.sqrt(sq)
-        dots = _half_up(m[:, None, :] * m[None, :, :] * _SCALE).sum(axis=2) / _SCALE
-        cos = dots / (nrm[:, None] * nrm[None, :])
-        ia, ib = np.triu_indices(g, k=1)
-        keep = cos[ia, ib] >= 0.38
-        ids = pdf["vec_id"].to_numpy()
-        return pd.DataFrame(
-            {
-                "vec_a": ids[ia[keep]],
-                "vec_b": ids[ib[keep]],
-                "label": pdf["label"].iloc[0],
-                "cosine": cos[ia[keep], ib[keep]],
-            }
-        )
-
-    return (
-        v.groupBy("label")
-        .applyInPandas(score_block, "vec_a BIGINT, vec_b BIGINT, label INT, cosine DOUBLE")
-        .orderBy("vec_a", "vec_b")
+    out = tiled_block_pairs(
+        v, block_col="label", id_col="vec_id", vec_col="e", threshold=0.38
     )
+    return out.select(
+        F.col("id_a").alias("vec_a"),
+        F.col("id_b").alias("vec_b"),
+        F.col("block").cast("int").alias("label"),
+        "cosine",
+    ).orderBy("vec_a", "vec_b")
 
 
 @query(
@@ -764,16 +751,9 @@ def _near_dup_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # embedding near-dup connected components — shared by the emb_dup_clusters
-# and doc_semantic_dedup oracles so the cluster definition cannot drift
-_SQL_EMB_COMP = f"""v AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
-             SQRT({_sql_ddot('embedding', 'embedding')}) AS nrm
-      FROM embeddings
-    ), pairs AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE {_sql_ddot('a.e', 'b.e')} / (a.nrm * b.nrm) >= 0.38
-    ), undirected AS (
+# and doc_semantic_dedup oracles so the cluster definition cannot drift;
+# pair semantics ride the SAME integer-cosine CTEs as emb_near_dup_pairs
+_SQL_EMB_COMP = f"""{_SQL_INT_PAIR_CTES}, undirected AS (
       SELECT vec_a AS a, vec_b AS b FROM pairs
       UNION
       SELECT vec_b, vec_a FROM pairs

@@ -32,12 +32,16 @@ def test_ann_single_signature_stage(spark, sf_dir):
 
 
 def test_near_dup_ships_vectors_once(spark, sf_dir):
-    """Block-local scoring: one FlatMapGroupsInPandas over the grouped
+    """Tile-local scoring: one FlatMapGroupsInPandas over the tiled
     embeddings, NO self-join of the vector table (the pair-join
-    formulation shipped both vectors per candidate row)."""
+    formulation shipped both vectors per candidate row). The only join
+    allowed is the BROADCAST of per-block counts that sizes the tiling
+    (tiny: one row per block); a SortMergeJoin would mean the corpus is
+    joining itself."""
     plan = _plan(spark, sf_dir, "emb_near_dup_pairs")
     assert "FlatMapGroupsInPandas" in plan
-    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") <= 1
 
 
 def test_repetition_filter_no_join(spark, sf_dir):
