@@ -143,9 +143,37 @@ def main() -> None:
 
     docs = load_table(spark, base, "documents")
     s_doc = stride_of(docs, "doc_id")
-    new_text = F.when(
-        (F.col("__r") == 0) | (F.col("doc_id") % 10 == 0), F.col("text")
-    ).otherwise(F.concat_ws(" ", F.concat(F.lit("replica"), F.col("__r")), "text"))
+    # Replica text must be GENUINELY novel, or replication silently grows
+    # near-dup clusters K× DEEPER instead of K× more numerous (the r5 wall
+    # numbers measured exactly that: a one-token prefix left every base
+    # trigram intact, so all K replicas of every doc were mutual near-dups
+    # and the true answer itself grew quadratically). Suffixing every 3rd
+    # token with a replica tag breaks EVERY trigram window across replicas
+    # (each window contains ≥1 changed token, and the tag text differs per
+    # replica), while shared windows WITHIN a replica transform identically
+    # — so the base corpus's planted near-dup structure replicates per
+    # replica: more clusters, not deeper clusters. A prepended replica
+    # token guarantees byte-difference even for <3-token docs.
+    # DELIBERATE residual depth: ~1% of docs (doc_id % 101 == 0) stay
+    # byte-identical across replicas — deep K-sized clusters that keep the
+    # engine's bounded-block caps and equal-set collapse honest without
+    # letting depth dominate the corpus.
+    deep = F.col("doc_id") % 101 == 0
+    perturbed = F.concat_ws(
+        " ",
+        F.concat(F.lit("replica"), F.col("__r")),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda tok, i: F.when(
+                    i % 3 == F.col("__r") % 3,
+                    F.concat(tok, F.lit("~r"), F.col("__r")),
+                ).otherwise(tok),
+            ),
+        ),
+    )
+    new_text = F.when((F.col("__r") == 0) | deep, F.col("text")).otherwise(perturbed)
     emit(
         docs, "documents", 4,
         shift("doc_id", s_doc),
@@ -156,6 +184,7 @@ def main() -> None:
 
     emb = load_table(spark, base, "embeddings")
     s_vec = stride_of(emb, "vec_id")
+    s_lbl = stride_of(emb, "label")
     rot = F.col("__r") % F.lit(EMB_DIM)
     emit(
         emb, "embeddings", 2,
@@ -164,7 +193,12 @@ def main() -> None:
             F.slice("embedding", rot + 1, F.lit(EMB_DIM) - rot),
             F.slice("embedding", F.lit(1), rot),
         ).alias("embedding"),
-        "label",
+        # replica labels are DISTINCT blocks: K× more label blocks at the
+        # base depth ("more groups"), matching how a real corpus grows.
+        # Depth-robustness is the engine's job (tiled_block_pairs' hard
+        # cap), proven separately by tools/stress_deepblock.py — not by
+        # quietly making every fixture block 10× deeper.
+        (F.col("label") + F.col("__r") * F.lit(s_lbl)).cast("int").alias("label"),
     )
     print(f"done → {out_dir}")
 
