@@ -222,22 +222,37 @@ def _real_resample(payload: bytes, width: int, height: int) -> bytes:
     return img.tobytes()
 
 
+# 1×1 transparent PNG — a VALID encoded image, so the codec probe only
+# passes when the library can actually open and resample real bytes
+_PROBE_PNG = bytes.fromhex(
+    "89504e470d0a1a0a0000000d4948445200000001000000010806000000"
+    "1f15c4890000000d49444154789c63646060f8cf0000020800017a82c5"
+    "7a0000000049454e44ae426082"
+)
+
+
 def _pick_resampler(codec, width: int, height: int):
     """Resolve the resample function ONCE per Arrow batch stream, inside
     the executor worker (codec availability is an executor property, not
-    a driver one): an injected codec wins, else the real codec if its
-    library imports, else the deterministic double. The probe uses a
-    1-byte payload so a broken codec library fails the probe, not the
-    batch."""
+    a driver one): an injected codec wins, else the real codec if the
+    probe FULLY SUCCEEDS on a valid 1×1 PNG, else the deterministic
+    double. ADVICE r5: the old 1-byte probe treated ANY
+    non-NotImplementedError failure as codec-present, so an importable
+    Pillow routed every payload — including this repo's own FAKE doubles
+    and corrupt files — through real decode and crashed the batch; a
+    broken-but-importable codec library now fails the probe, not the
+    batch. Payloads the real codec cannot decode fall back to the double
+    PER PAYLOAD (see resize_images), keeping output
+    environment-independent for undecodable bytes."""
     if codec is not None:
         return codec
     try:
-        _real_resample(b"\x00", 1, 1)
-    except NotImplementedError:
-        return _fake_thumbnail
-    except Exception:  # noqa: BLE001 — codec present; probe bytes aren't an image
+        out = _real_resample(_PROBE_PNG, 1, 1)
+        if len(out) == 3:  # 1×1 RGB — full contract, not just no-crash
+            return _real_resample
+    except Exception:  # noqa: BLE001 — absent OR broken codec: use the double
         pass
-    return _real_resample
+    return _fake_thumbnail
 
 
 def _fake_thumbnail(payload: bytes, width: int, height: int) -> bytes:
@@ -267,6 +282,20 @@ def resize_images(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         resample = _pick_resampler(codec, width, height)
+        # per-payload fallback ONLY for the auto-selected real codec: bytes
+        # it cannot decode (this repo's FAKE doubles, corrupt files) get the
+        # deterministic double instead of killing the Arrow batch. An
+        # INJECTED codec's failures propagate — the injection contract test
+        # relies on seeing its own errors.
+        if resample is _real_resample:
+            chosen = resample
+
+            def resample(payload: bytes, w: int, h: int) -> bytes:  # noqa: F811
+                try:
+                    return chosen(payload, w, h)
+                except Exception:  # noqa: BLE001 — undecodable payload
+                    return _fake_thumbnail(payload, w, h)
+
         for pdf in it:
             out = {k: [] for k in ("path", "format", "src_width", "src_height",
                                     "width", "height", "thumbnail")}

@@ -30,6 +30,7 @@ def salted_aggregate(
     merge_aggs: dict[str, Column],
     n_salts: int = 16,
     row_discriminator: Column | None = None,
+    mix_partition_id: bool = False,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation.
 
@@ -42,35 +43,43 @@ def salted_aggregate(
             {"n": F.count(F.lit(1)), "s": F.sum("x")},
             {"n": F.sum("n"), "s": F.sum("s")})
 
-    Duplicate-heavy hot keys (r4→r5 hardening): a pure content hash sends
-    fully-IDENTICAL rows of a hot key to ONE salt bucket, silently
-    re-concentrating the exact skew shape raw logs have (results stay
-    correct, the mitigation degenerates). The default salt therefore
-    mixes in ``spark_partition_id()`` — a stable PRE-SHUFFLE
-    discriminator: a re-executed map task keeps its partition index, and
-    partition contents are deterministic wherever Spark's own
-    recomputation is (hash shuffles are deterministic; round-robin
-    repartition sorts first post-SPARK-23207). Duplicates that span map
-    partitions — the only way a key gets hot at scale — then spread over
-    ~min(n_input_partitions, n_salts) reducers; duplicates WITHIN one map
-    partition still share a bucket, but that is bounded by
-    maxPartitionBytes, not by the key's corpus-wide row count. Pass
-    ``row_discriminator`` to override (any column stable under task
-    re-execution that varies within duplicate groups, e.g. a monotonic id
-    over a CHECKPOINTED input — a raw monotonically_increasing_id over a
-    lazy nondeterministic plan does NOT qualify).
+    The DEFAULT salt is a pure CONTENT hash: it travels with the row, so
+    it is stable under partial stage recomputation even when the upstream
+    plan is nondeterministic (sample, nondeterministic UDF source, legacy
+    round-robin) — a row that migrates input partitions on recompute
+    keeps its phase-1 shuffle key. Mixing ``spark_partition_id()`` into
+    the salt breaks exactly that guarantee (the r5 default did, enabling
+    the SPARK-23207-class lost/double-counted rows this function exists
+    to prevent — ADVICE r5).
+
+    Known degeneration of the content-only default: fully-IDENTICAL rows
+    of a hot key hash to ONE salt bucket, re-concentrating the skew
+    (results stay correct; the mitigation does nothing for them). Two
+    opt-in escapes, in preference order:
+
+    * ``row_discriminator`` — any column stable under task re-execution
+      that varies within duplicate groups, e.g. a monotonic id over a
+      CHECKPOINTED input (a raw monotonically_increasing_id over a lazy
+      nondeterministic plan does NOT qualify);
+    * ``mix_partition_id=True`` — adds ``spark_partition_id()`` to the
+      hash. PRECONDITION (caller-asserted, not checkable here): the
+      input's partitioning is deterministic under recomputation — true
+      for file scans and hash shuffles, FALSE after sample()/
+      nondeterministic UDFs/legacy round-robin. Under that precondition
+      duplicates spanning map partitions spread over
+      ~min(n_input_partitions, n_salts) reducers.
     """
-    # CONTENT+partition-derived salt, not rand(): rand is only
-    # deterministic for a fixed (partition, row order) — under partial
-    # stage recomputation (fetch failure, speculation) re-executed map
-    # tasks can assign rows different salts than the blocks already
-    # fetched, silently losing or double-counting rows in phase 1 (the
-    # SPARK-23207 class of bug). Row hash and partition index are both
-    # stable under recomputation.
+    # CONTENT-derived salt, not rand(): rand is only deterministic for a
+    # fixed (partition, row order) — under partial stage recomputation
+    # (fetch failure, speculation) re-executed map tasks can assign rows
+    # different salts than the blocks already fetched, silently losing or
+    # double-counting rows in phase 1 (the SPARK-23207 class of bug). A
+    # row-content hash is stable no matter where the row lands.
     salt_inputs: list[Column] = [F.col(c) for c in df.columns]
-    salt_inputs.append(
-        row_discriminator if row_discriminator is not None else F.spark_partition_id()
-    )
+    if row_discriminator is not None:
+        salt_inputs.append(row_discriminator)
+    elif mix_partition_id:
+        salt_inputs.append(F.spark_partition_id())
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64(*salt_inputs), F.lit(n_salts)).cast("int")
     )

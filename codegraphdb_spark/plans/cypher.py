@@ -1343,17 +1343,36 @@ def _run_call(cypher: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
     elif proc == "relationshipTypes":
         df = edges.select(F.col("rel_type").alias(canonical)).distinct()
     else:
-        # one map-side-combinable aggregate row; the key list is the fixed
-        # schema (bounded), so the collect is a scalar probe, not a scan
-        counts = nodes.agg(
-            *[F.count(F.col(f"`{c}`")).alias(c) for c in _NODE_PROP_KEYS]
-        ).collect()[0]
-        keys = [c for c in _NODE_PROP_KEYS if counts[c] > 0]
-        if edges.agg(F.count("association_type")).collect()[0][0] > 0:
-            keys.append("association_type")
-        df = nodes.sparkSession.createDataFrame(
-            [(k,) for k in sorted(keys)], f"{canonical} string"
+        # LAZY key-presence computation (ADVICE r5): the old form ran two
+        # eager collect() jobs inside run_cypher and materialized the key
+        # list driver-side — callers composing the returned DataFrame
+        # would re-execute stale driver-computed values instead of
+        # reflecting the current graph. One map-side-combinable aggregate
+        # row per side, exploded and filtered, keeps the result a lazy
+        # plan like every other run_cypher path; the key universe is the
+        # fixed schema (bounded), so the exploded array is tiny.
+        node_keys = (
+            nodes.agg(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("k"),
+                            F.count(F.col(f"`{c}`")).alias("n"),
+                        )
+                        for c in _NODE_PROP_KEYS
+                    ]
+                ).alias("a")
+            )
+            .select(F.explode("a").alias("s"))
+            .filter(F.col("s.n") > 0)
+            .select(F.col("s.k").alias(canonical))
         )
+        edge_key = (
+            edges.agg(F.count("association_type").alias("n"))
+            .filter(F.col("n") > 0)
+            .select(F.lit("association_type").alias(canonical))
+        )
+        df = node_keys.unionByName(edge_key)
     out_name = canonical
     if m.group("ycol"):
         if m.group("ycol") != canonical:

@@ -571,15 +571,33 @@ def _substitute_var(body: str, var: str, value) -> str:
     else:
         lit = str(value)
     spans = _string_spans(body)
-    # lookbehind/lookahead also exclude backticks: :`x` is a (backticked)
-    # label even when its text equals the loop variable
-    rx = re.compile(rf"(?<![\w.:$`]){re.escape(var)}(?![\w.`])(?!\s*:)")
+    # lookbehind/lookahead exclude backticks: :`x` is a (backticked)
+    # label even when its text equals the loop variable. ':' is NOT in the
+    # lookbehind (ADVICE r5): a colon right before the token is a LABEL
+    # marker only in a pattern head (brace depth 0); inside a map literal
+    # ({full_name:x}, no space) it is the key separator and the token IS a
+    # value use of the loop variable — decided per match by brace depth.
+    rx = re.compile(rf"(?<![\w.$`]){re.escape(var)}(?![\w.`])(?!\s*:)")
+    depth_at = [0] * (len(body) + 1)
+    d = 0
+    for i, ch in enumerate(body):
+        if not any(a <= i < b for a, b in spans):
+            if ch == "{":
+                d += 1
+            elif ch == "}":
+                d = max(0, d - 1)
+        depth_at[i + 1] = d
     out: list[str] = []
     last = 0
     changed = False
     for m in rx.finditer(body):
         if any(a <= m.start() < b for a, b in spans):
             continue
+        j = m.start() - 1
+        while j >= 0 and body[j] in " \t\n":
+            j -= 1
+        if j >= 0 and body[j] == ":" and depth_at[m.start()] == 0:
+            continue  # label position (e.g. MERGE (n:x)), not a value use
         out.append(body[last : m.start()])
         out.append(lit)
         last = m.end()

@@ -485,6 +485,39 @@ def test_foreach_map_key_is_not_the_loop_variable(spark):
     assert row["name"] == "fixed"
 
 
+def test_foreach_map_value_without_space_substitutes(spark):
+    """ADVICE r5: '{full_name:x}' — a map VALUE written without a space
+    after the colon — is a value use of the loop variable (the colon is
+    the key separator inside braces, not a label marker) and must
+    substitute; '(n:x)' at brace depth 0 stays a label."""
+    nodes, edges = _snapshot(spark)
+    n2, _ = run_cypher_write(
+        "FOREACH (x IN ['m.y1', 'm.y2'] | MERGE (n:FUNCTION {full_name:x}))",
+        nodes,
+        edges,
+        version="v2",
+    )
+    got = sorted(
+        r["full_name"]
+        for r in n2.filter(F.col("full_name").isin("m.y1", "m.y2")).collect()
+    )
+    assert got == ["m.y1", "m.y2"]
+
+
+def test_foreach_label_named_like_loop_variable_still_refuses(spark):
+    """The label position must NOT be treated as a value use even after
+    the colon rule relaxation: a body whose only 'x' is the label (n:x)
+    still raises the never-uses-the-loop-variable refusal."""
+    nodes, edges = _snapshot(spark)
+    with pytest.raises(Exception, match="never uses the loop variable"):
+        run_cypher_write(
+            "FOREACH (x IN ['FUNCTION'] | MERGE (n:x {full_name: 'm.z'}))",
+            nodes,
+            edges,
+            version="v2",
+        )
+
+
 def test_foreach_refusals(spark):
     nodes, edges = _snapshot(spark)
     with pytest.raises(CypherError, match="nested FOREACH"):

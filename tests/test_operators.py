@@ -210,11 +210,35 @@ def test_multimodal_codec_seam(spark, tmp_path):
         with pytest.raises(NotImplementedError):
             multimodal._real_resample(img, 8, 4)
     else:
-        # with a real codec on the executors the double must NOT run
+        # with a real codec on the executors, a payload the codec cannot
+        # decode (this FAKE container) falls back to the double PER
+        # PAYLOAD (ADVICE r5) — output is environment-independent for
+        # undecodable bytes in both worlds
         dflt = bytes(
             multimodal.resize_images(binary, 8, 4).collect()[0]["thumbnail"]
         )
-        assert not dflt.startswith(b"FAKE")
+        assert dflt == multimodal._fake_thumbnail(img, 8, 4)
+
+
+def test_pick_resampler_survives_broken_codec(monkeypatch):
+    """ADVICE r5: a codec library that IMPORTS but cannot decode (broken
+    native deps, truncated install) must fail the PROBE — selecting the
+    deterministic double — not the batch. The old 1-byte probe treated
+    any non-NotImplementedError failure as codec-present."""
+
+    def broken(payload, width, height):
+        raise OSError("libjpeg symbol missing")
+
+    monkeypatch.setattr(multimodal, "_real_resample", broken)
+    picked = multimodal._pick_resampler(None, 8, 4)
+    assert picked is multimodal._fake_thumbnail
+
+    def wrong_contract(payload, width, height):
+        return b"xy"  # decodes but violates the w*h*3 output contract
+
+    monkeypatch.setattr(multimodal, "_real_resample", wrong_contract)
+    picked = multimodal._pick_resampler(None, 8, 4)
+    assert picked is multimodal._fake_thumbnail
 
 
 def test_multimodal_frame_sampling(spark, tmp_path):
