@@ -323,21 +323,76 @@ def _ivf_expl_cent(spark: SparkSession, sf_dir: str):
 def _ivf_ranked(expl: DataFrame, cent: DataFrame, keep_label: bool = False):
     """Scaled-int squared distances of every vector to every centroid,
     ranked per vector (rn=1 is the assignment; rn<=nprobe the probe
-    cells). Broadcast centroids, one shuffle keyed on the vector."""
-    keys = ["vec_id", "label", "clabel"] if keep_label else ["vec_id", "clabel"]
-    dists = (
-        expl.join(F.broadcast(cent), "pos")
-        .groupBy(*keys)
-        .agg(
-            F.sum(
-                F.round(
-                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * _IVF_SCALE
-                ).cast("bigint")
-            ).alias("d")
-        )
+    cells). Same output contract and bit-identical arithmetic as the SQL
+    oracles: d = Σ_pos ROUND((x−c)²·S) per (vector, cell), HALF_UP, ties
+    by (d, clabel).
+
+    r6 shape: the exploded centroid JOIN generated N×dim×cells rows into
+    the aggregate (128M at the 10× fixture once labels stopped being 10 —
+    33 s wall); the centroid matrix is k×dim doubles — a coarse quantizer
+    is ALWAYS a materialized artifact in a production IVF — so it is
+    collected once per call and the distances run as one chunked numpy
+    kernel over re-assembled vectors: per Arrow batch, a (chunk, cells,
+    dim) difference tensor → HALF_UP per element → int64 sums. All cells
+    are emitted per vector (N×cells rows — what the old aggregate emitted)
+    with the rank computed in-kernel, so every caller (assign rn=1,
+    probes rn≤nprobe, Lloyd step) keeps its exact contract."""
+    import numpy as np
+    import pandas as pd
+
+    crows = cent.select("clabel", "pos", "c").collect()
+    cells = sorted({r["clabel"] for r in crows})
+    cell_idx = {cl: i for i, cl in enumerate(cells)}
+    cmat = np.zeros((len(cells), DIM), dtype=np.float64)
+    for r in crows:
+        cmat[cell_idx[r["clabel"]], r["pos"] - 1] = r["c"]
+    cell_arr = np.asarray(cells, dtype=np.int64)
+
+    gcols = ["vec_id", "label"] if keep_label else ["vec_id"]
+    vecs = expl.groupBy(*gcols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "x"))),
+            lambda s: s["x"],
+        ).alias("xs")
     )
-    w = Window.partitionBy("vec_id").orderBy("d", "clabel")
-    return dists.withColumn("rn", F.row_number().over(w))
+
+    out_cols = gcols + ["clabel", "d", "rn"]
+
+    # keep the (chunk, cells, dim) difference tensor under ~64 MB per step
+    # regardless of Arrow batch size or cell count
+    chunk = max(1, 8_000_000 // (len(cells) * DIM))
+
+    def batches(it):
+        for pdf in it:
+            for s in range(0, len(pdf), chunk):
+                sub = pdf.iloc[s : s + chunk]
+                m = np.stack(sub["xs"].values)  # (g, dim)
+                diff = m[:, None, :] - cmat[None, :, :]  # (g, cells, dim)
+                prod = diff * diff * _IVF_SCALE
+                d = (
+                    np.trunc(prod + np.copysign(0.5, prod))  # HALF_UP, F.round
+                    .sum(axis=2)
+                    .astype(np.int64)
+                )  # (g, cells); each |value| << 2^53, sums exact
+                order = np.lexsort(
+                    (np.broadcast_to(cell_arr, d.shape), d), axis=1
+                )
+                rn = np.empty_like(order)
+                np.put_along_axis(
+                    rn, order, np.arange(1, d.shape[1] + 1), axis=1
+                )
+                g, k = d.shape
+                out = {c: np.repeat(sub[c].to_numpy(), k) for c in gcols}
+                out["clabel"] = np.tile(cell_arr, g)
+                out["d"] = d.ravel()
+                out["rn"] = rn.ravel()
+                yield pd.DataFrame(out)[out_cols]
+
+    lbl = ", label INT" if keep_label else ""
+    return vecs.mapInPandas(
+        batches,
+        schema=f"vec_id BIGINT{lbl}, clabel INT, d BIGINT, rn INT",
+    )
 
 
 @query(
@@ -917,7 +972,9 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     never O(corpus)."""
     v = load_table(spark, sf_dir, "embeddings")
     expl, cent = _ivf_expl_cent(spark, sf_dir)
-    ranked = _ivf_ranked(expl, cent)
+    # ranked feeds two consumers (assignment + probe cells): truncate so
+    # the distance kernel runs once
+    ranked = _ivf_ranked(expl, cent).localCheckpoint(eager=False)
     assigned = ranked.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("cand_id"), F.col("clabel").alias("cell")
     )
@@ -1350,7 +1407,10 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is touched once to encode (codes = what stays hot at 100 TB);
     the ADC join shuffles probes × nprobe cells, never probes × corpus."""
     expl, cent = _ivf_expl_cent(spark, sf_dir)
-    ranked = _ivf_ranked(expl, cent)
+    # ranked and resid each feed TWO consumers below (assignment + probe
+    # cells; codebook + encoding) — truncate so the kernel/residual stages
+    # run once, not once per consumer
+    ranked = _ivf_ranked(expl, cent).localCheckpoint(eager=False)
     assigned = ranked.filter(F.col("rn") == 1).select(
         "vec_id", F.col("clabel").alias("cell")
     )
@@ -1358,10 +1418,15 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centr = cent.select(
         F.col("clabel").alias("ccell"), F.col("pos").alias("cpos"), "c"
     )
+    # NO broadcast hints on the tiny corpus-derived aggregates (VERDICT r5
+    # item 5): each hint serializes the aggregate through the driver and
+    # the measured sf1 default mode ran SLOWER than nobroadcast because of
+    # exactly these; AQE sees the real post-shuffle sizes and broadcasts
+    # when (and only when) it pays.
     resid = (
         expl.join(assigned, "vec_id")
         .join(
-            F.broadcast(centr),
+            centr,
             (F.col("ccell") == F.col("cell")) & (F.col("cpos") == F.col("pos")),
         )
         .select(
@@ -1372,12 +1437,13 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("rsx"),
         )
+        .localCheckpoint(eager=False)
     )
     rcb = resid.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").cast("int").alias("k"), "m", "j", F.col("rsx").alias("cbv")
     )
     rsubdist = (
-        resid.join(F.broadcast(rcb), ["m", "j"])
+        resid.join(rcb, ["m", "j"])
         .groupBy("vec_id", "m", "k")
         .agg(
             F.sum((F.col("rsx") - F.col("cbv")) * (F.col("rsx") - F.col("cbv"))).alias(
@@ -1397,7 +1463,7 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     presid = (
         pcells.join(expl, pcells.probe_id == expl.vec_id)
         .join(
-            F.broadcast(centr),
+            centr,
             (F.col("ccell") == F.col("cell")) & (F.col("cpos") == F.col("pos")),
         )
         .select(
@@ -1411,7 +1477,7 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ptab = (
-        presid.join(F.broadcast(rcb), ["m", "j"])
+        presid.join(rcb, ["m", "j"])
         .groupBy("probe_id", "cell", "m", "k")
         .agg(
             F.sum(
@@ -1426,7 +1492,7 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = (
         rcoded.join(assigned, "vec_id")
         .join(
-            F.broadcast(ptabr),
+            ptabr,
             (F.col("cell") == F.col("pcell"))
             & (F.col("m") == F.col("pm"))
             & (F.col("code") == F.col("k")),
