@@ -86,7 +86,57 @@ def _pruned_update_bench(spark, n_pkgs: int) -> dict:
     pe.count()
     pruned_sec = round(time.time() - t0, 3)
 
-    n_affected = affected_files(facts2, facts, change_list).count()
+    aff_df = affected_files(facts2, facts, change_list)
+    n_affected = aff_df.count()
+
+    # PERSISTED update (the 100-TB cost that matters): full overwrite
+    # rewrites the whole snapshot to flip one version cell per row; the
+    # manifest-based incremental writer rewrites only the affected file
+    # buckets + a manifest line. Measure wall AND bytes written.
+    import shutil
+    import tempfile
+
+    def _du(p):
+        total = 0
+        for root, _, fns in os.walk(p):
+            for fn in fns:
+                total += os.path.getsize(os.path.join(root, fn))
+        return total
+
+    tmp = tempfile.mkdtemp(prefix="bench_snap_")
+    try:
+        base = os.path.join(tmp, "snap")
+        eng.write_snapshot_incremental_base(nodes, edges, base)
+        base_bytes = _du(base)
+
+        t0 = time.time()
+        eng.write_snapshot(fn, fe, os.path.join(tmp, "full_v2"))
+        full_write_sec = round(time.time() - t0, 3)
+        full_write_bytes = _du(os.path.join(tmp, "full_v2"))
+
+        aff_list = [r["file_path"] for r in aff_df.collect()]
+        t0 = time.time()
+        eng.write_snapshot_update(pn, pe, base, "v2", aff_list)
+        pruned_write_sec = round(time.time() - t0, 3)
+        pruned_write_bytes = _du(base) - base_bytes
+        # hard gate: the manifest read must reproduce the merged frames
+        rn, re_ = eng.read_snapshot_incremental(base)
+        cols_n = sorted(pn.columns)
+        cols_e = sorted(pe.columns)
+        for label, a, b in (
+            ("snap nodes", rn.select(*cols_n), pn.select(*cols_n)),
+            ("snap nodes rev", pn.select(*cols_n), rn.select(*cols_n)),
+            ("snap edges", re_.select(*cols_e), pe.select(*cols_e)),
+            ("snap edges rev", pe.select(*cols_e), re_.select(*cols_e)),
+        ):
+            diff = a.exceptAll(b)
+            if not diff.isEmpty():
+                raise AssertionError(
+                    f"incremental snapshot != merged on {label}: "
+                    f"{diff.limit(3).collect()}"
+                )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
     # correctness gate, not just a timing: the pruned path must be
     # result-equal to the full recompile AT THIS SCALE
@@ -109,7 +159,12 @@ def _pruned_update_bench(spark, n_pkgs: int) -> dict:
         "build_sec": build_sec,
         "full_update_sec": full_sec,
         "pruned_update_sec": pruned_sec,
+        "full_persist_sec": round(full_sec + full_write_sec, 3),
+        "pruned_persist_sec": round(pruned_sec + pruned_write_sec, 3),
+        "full_write_bytes": full_write_bytes,
+        "pruned_write_bytes": pruned_write_bytes,
         "result_equal": True,
+        "snapshot_roundtrip_equal": True,
     }
 
 

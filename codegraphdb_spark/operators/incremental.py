@@ -148,21 +148,88 @@ def _dependent_modules(
 
 
 def affected_files(
-    facts_new: DataFrame, old_facts: DataFrame, change_list: list[str]
+    facts_new: DataFrame,
+    old_facts: DataFrame,
+    change_list: list[str],
+    force_distributed: bool = False,
 ) -> DataFrame:
     """One-column DataFrame ``file_path`` of every file whose compiled
     output may change: the changed files plus every file whose module
     reaches a changed module in the import graph (transitive, via reverse
-    BFS from the changed set — _dependent_modules). Checkpointed —
-    callers semi-join facts against it."""
-    mod_nodes_new = facts_new.filter(
-        (F.col("fact") == "node") & (F.col("kind") == "MODULE")
-    ).select("full_name", "file_path")
-    # deleted files have no new facts — their module names come from the
-    # OLD facts so consumers of a deleted module still invalidate
-    mod_nodes_old = old_facts.filter(
-        (F.col("fact") == "node") & (F.col("kind") == "MODULE")
-    ).select("full_name", "file_path")
+    BFS from the changed set — _dependent_modules). Callers semi-join
+    facts against it.
+
+    Hybrid like _dependent_modules: the module table is one row per file
+    and the import-edge table is modules × imports — both tiny relative
+    to the corpus — so under DRIVER_CLOSURE_LIMIT rows the WHOLE
+    computation (module maps, reverse BFS, file projection) runs from
+    three plain collects and returns a LocalTableScan that downstream
+    semi-joins broadcast. The r5 shape ran it as ~6 distributed jobs plus
+    a checkpoint (2.7 s of a 9 s pruned update whose point is to be
+    cheap); above the limit the distributed frontier path is unchanged."""
+    spark = facts_new.sparkSession
+    mod_filter = (F.col("fact") == "node") & (F.col("kind") == "MODULE")
+    if not force_distributed:
+        mods_new = (
+            facts_new.filter(mod_filter)
+            .select("full_name", "file_path")
+            .limit(DRIVER_CLOSURE_LIMIT + 1)
+            .collect()
+        )
+        if len(mods_new) <= DRIVER_CLOSURE_LIMIT:
+            mods_old = (
+                old_facts.filter(mod_filter)
+                .select("full_name", "file_path")
+                .limit(DRIVER_CLOSURE_LIMIT + 1)
+                .collect()
+            )
+            dep_rows = (
+                import_dependency_edges(
+                    facts_new.filter(F.col("fact") == "import")
+                )
+                .dropDuplicates()
+                .limit(DRIVER_CLOSURE_LIMIT + 1)
+                .collect()
+            )
+            if (
+                len(mods_old) <= DRIVER_CLOSURE_LIMIT
+                and len(dep_rows) <= DRIVER_CLOSURE_LIMIT
+            ):
+                from collections import defaultdict, deque
+
+                import pandas as pd
+
+                changed = set(change_list)
+                # deleted files have no new facts — their module names
+                # come from the OLD facts so consumers of a deleted
+                # module still invalidate
+                mod_to_files: dict[str, list[str]] = defaultdict(list)
+                seeds: set[str] = set()
+                for r in mods_new + mods_old:
+                    mod_to_files[r.full_name].append(r.file_path)
+                    if r.file_path in changed:
+                        seeds.add(r.full_name)
+                radj: dict[str, list[str]] = defaultdict(list)
+                for r in dep_rows:
+                    if r.src != r.dst:
+                        radj[r.dst].append(r.src)
+                seen: set[str] = set()
+                q = deque(seeds)
+                while q:
+                    for importer in radj.get(q.popleft(), ()):
+                        if importer not in seen and importer not in seeds:
+                            seen.add(importer)
+                            q.append(importer)
+                files = set(change_list)
+                for mod in seen | seeds:
+                    files.update(mod_to_files.get(mod, ()))
+                # pandas input → JVM LocalTableScan (E1-closure rationale)
+                return spark.createDataFrame(
+                    pd.DataFrame({"file_path": sorted(files)})
+                )
+
+    mod_nodes_new = facts_new.filter(mod_filter).select("full_name", "file_path")
+    mod_nodes_old = old_facts.filter(mod_filter).select("full_name", "file_path")
     # duplicates are harmless everywhere mod_file flows (semi-join probe,
     # final dropDuplicates) — skipping the dedup saves a shuffle
     mod_file = mod_nodes_new.unionByName(mod_nodes_old)
@@ -172,10 +239,9 @@ def affected_files(
     )
 
     dep = import_dependency_edges(facts_new.filter(F.col("fact") == "import"))
-    dependent_mods = _dependent_modules(dep, changed_mods)
+    dependent_mods = _dependent_modules(dep, changed_mods, force_distributed)
     aff_mods = dependent_mods.unionByName(changed_mods).dropDuplicates()
 
-    spark = facts_new.sparkSession
     changed_files_df = spark.createDataFrame(
         [(p,) for p in change_list], "file_path string"
     )

@@ -1,0 +1,122 @@
+"""Manifest-based incremental snapshot (VERDICT r5 item 4): an update
+rewrites only the file-hash buckets containing affected files (plus the
+null-file placeholder bucket), records a (version, affected) manifest
+entry, and the read side re-derives EXACT version arrays by folding the
+manifest — asserted equal to the in-memory merged frames, the hard
+round-trip gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from codegraphdb_spark.engine import GraphEngine
+from codegraphdb_spark.operators.incremental import affected_files
+from codegraphdb_spark.sources.repo import files_from_pairs
+from codegraphdb_spark import mini_repo
+
+
+def _assert_frames_equal(a, b, label):
+    for x, y, d in ((a, b, "a-b"), (b, a, "b-a")):
+        diff = x.exceptAll(y)
+        assert diff.isEmpty(), f"{label} {d}: {diff.limit(3).collect()}"
+
+
+@pytest.fixture()
+def built(spark):
+    eng = GraphEngine(spark)
+    nodes, edges, facts = eng.build(
+        files_from_pairs(spark, mini_repo.V1 + mini_repo.DEEP_V1), "v1"
+    )
+    return eng, nodes.localCheckpoint(), edges.localCheckpoint(), facts
+
+
+def test_incremental_snapshot_round_trip(spark, tmp_path, built):
+    eng, nodes, edges, facts = built
+    base = str(tmp_path / "snap")
+    eng.write_snapshot_incremental_base(nodes, edges, base)
+
+    # update one file, persist via the incremental writer
+    change_list = list(mini_repo.CHANGE_LIST)
+    changed = files_from_pairs(spark, mini_repo.V2_CHANGED_ONLY)
+    n2, e2, facts2 = eng.update_version_pruned(
+        nodes, edges, facts, changed, change_list, "v2"
+    )
+    n2 = n2.localCheckpoint()
+    e2 = e2.localCheckpoint()
+    aff = [r["file_path"] for r in affected_files(facts2, facts, change_list).collect()]
+    eng.write_snapshot_update(n2, e2, base, "v2", aff)
+
+    rn, re_ = eng.read_snapshot_incremental(base)
+    assert sorted(rn.columns) == sorted(n2.columns)
+    assert sorted(re_.columns) == sorted(e2.columns)
+    _assert_frames_equal(
+        rn.select(*sorted(rn.columns)), n2.select(*sorted(n2.columns)), "nodes"
+    )
+    _assert_frames_equal(
+        re_.select(*sorted(re_.columns)), e2.select(*sorted(e2.columns)), "edges"
+    )
+
+
+def test_incremental_snapshot_two_chained_updates(spark, tmp_path, built):
+    """Two updates on top of one base: the manifest folds in order and the
+    second update's rewritten buckets carry already-exact arrays through
+    the first entry's idempotent union."""
+    eng, nodes, edges, facts = built
+    base = str(tmp_path / "snap2")
+    eng.write_snapshot_incremental_base(nodes, edges, base)
+
+    cur_n, cur_e, cur_f = nodes, edges, facts
+    all_aff: set[str] = set()
+    for i, ver in enumerate(["v2", "v3"]):
+        change_list = list(mini_repo.CHANGE_LIST)
+        changed = files_from_pairs(
+            spark,
+            [
+                (p, c + f"\nEXTRA_{i} = {i}\n")
+                for p, c in mini_repo.V2_CHANGED_ONLY
+            ],
+        )
+        n2, e2, f2 = eng.update_version_pruned(
+            cur_n, cur_e, cur_f, changed, change_list, ver
+        )
+        n2 = n2.localCheckpoint()
+        e2 = e2.localCheckpoint()
+        aff = [
+            r["file_path"]
+            for r in affected_files(f2, cur_f, change_list).collect()
+        ]
+        eng.write_snapshot_update(n2, e2, base, ver, aff)
+        all_aff.update(aff)
+        cur_n, cur_e, cur_f = n2, e2, f2
+
+    rn, re_ = eng.read_snapshot_incremental(base)
+    _assert_frames_equal(
+        rn.select(*sorted(rn.columns)), cur_n.select(*sorted(cur_n.columns)), "nodes"
+    )
+    _assert_frames_equal(
+        re_.select(*sorted(re_.columns)), cur_e.select(*sorted(cur_e.columns)), "edges"
+    )
+    # the unaffected-majority rows really were carried by the manifest,
+    # not rewritten: stored arrays for files outside every affected set
+    # (and outside their hash buckets) must lack v3. Bucket collisions can
+    # legitimately rewrite an unaffected file sharing a bucket with an
+    # affected one, so exclude those buckets from the check.
+    stored = spark.read.parquet(f"{base}/nodes")
+    aff_buckets = {
+        r["fb"]
+        for r in spark.createDataFrame(
+            [(p,) for p in sorted(all_aff)], "file_path string"
+        )
+        .select(GraphEngine._fbucket(F.col("file_path")).alias("fb"))
+        .distinct()
+        .collect()
+    }
+    unaff = stored.filter(
+        F.col("file_path").isNotNull()
+        & ~F.col("file_path").isin(sorted(all_aff))
+        & ~F.col("fb").isin(sorted(aff_buckets))
+    )
+    assert unaff.count() > 0, "fixture too small to exercise carried rows"
+    with_v3 = unaff.filter(F.array_contains("versions", "v3")).count()
+    assert with_v3 == 0, "unaffected rows were rewritten with new stamps"
