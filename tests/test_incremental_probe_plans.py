@@ -1,0 +1,42 @@
+"""VERDICT r5 item 6: the registered incremental-ingest probes must BE the
+production plan — the standing corpus index is a persisted bucket table
+built once per session, and the query's own plan contains no corpus-side
+re-banding / re-quantization (no Python stage over the corpus)."""
+
+from __future__ import annotations
+
+from codegraphdb_spark import registry
+import __spark_entry__  # noqa: F401 — populate the registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = registry.QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_minhash_probe_reads_persisted_buckets(spark):
+    plan = _plan(spark, "minhash_incremental_candidates")
+    # the standing band table appears as a BUCKETED file scan...
+    assert "inc_bands_" in plan, "standing band bucket table not in plan"
+    assert "Bucketed: true" in plan, "standing table scan not bucketed"
+    # ...and the corpus is never re-signed or re-banded inside the query:
+    # the delta's signature pass sits behind its lazy checkpoint (Scan
+    # ExistingRDD), so the query plan itself must contain NO Python stage
+    assert plan.count("MapInPandas") == 0, plan.count("MapInPandas")
+    assert "FlatMapGroupsInPandas" not in plan
+    # the only non-table inputs are the checkpointed delta signatures
+    assert "Scan ExistingRDD" in plan
+
+
+def test_ivf_probe_reads_persisted_inverted_file(spark):
+    plan = _plan(spark, "emb_incremental_ivf_probe")
+    assert "inc_ivf_" in plan, "persisted inverted file not in plan"
+    assert "Bucketed: true" in plan, "inverted-file scan not bucketed"
+    # exactly two Python stages: the delta's centroid-distance kernel
+    # (MapInPandas over the DELTA only) and the cell-local scorer
+    # (FlatMapGroupsInPandas); the corpus side is a bucket-table scan —
+    # re-quantizing it would show as a second MapInPandas
+    assert plan.count("MapInPandas") == 1, plan.count("MapInPandas")
+    assert plan.count("FlatMapGroupsInPandas") == 1
