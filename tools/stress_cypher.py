@@ -99,6 +99,64 @@ def main() -> None:
     # catalog procedures on the full graph
     run("call_labels", "CALL db.labels()")
     run("call_reltypes", "CALL db.relationshipTypes()")
+    # r6: the r5 Cypher corners at monorepo scale (VERDICT r5 item 8) —
+    # CALL db.* with YIELD/RETURN tails (now fully lazy plans) and the
+    # batched FOREACH MERGE write path, all with closed-form checks.
+    rows = run(
+        "call_propkeys_tail",
+        "CALL db.propertyKeys() YIELD propertyKey AS k "
+        "RETURN k ORDER BY k LIMIT 3",
+        expect_rows=3,
+    )
+    if rows and rows[0]["k"] > rows[-1]["k"]:
+        checks.append("call_propkeys_tail: not sorted ascending")
+    rows = run(
+        "call_labels_tail",
+        "CALL db.labels() YIELD label RETURN label ORDER BY label DESC LIMIT 4",
+        expect_rows=4,
+    )
+
+    from codegraphdb_spark.plans.cypher_write import run_cypher_write
+
+    def run_write(name: str, q: str, version: str):
+        t = time.time()
+        n2, e2 = run_cypher_write(q, nodes, edges, version=version)
+        n2 = n2.localCheckpoint(eager=True)
+        got = n2.count()
+        timings[name] = round(time.time() - t, 3)
+        return n2, got
+
+    # batched FOREACH MERGE: 1000 NEW keys against the full graph — must
+    # add exactly 1000 nodes, every one carrying the write version
+    new_keys = ", ".join(f"'stress.gen.f{i}'" for i in range(1000))
+    n2, got = run_write(
+        "foreach_merge_new_1000",
+        f"FOREACH (x IN [{new_keys}] | MERGE (n:FUNCTION {{full_name: x}}))",
+        "v2",
+    )
+    if got != n_nodes + 1000:
+        checks.append(f"foreach_merge_new_1000: {got} != {n_nodes}+1000")
+    from pyspark.sql import functions as F
+
+    stamped = (
+        n2.filter(n2.full_name.startswith("stress.gen.f"))
+        .filter(~F.array_contains("versions", "v2"))
+        .count()
+    )
+    if stamped != 0:
+        checks.append(f"foreach_merge_new_1000: {stamped} rows missing v2")
+    # batched FOREACH MERGE over 500 EXISTING class keys: pure matches,
+    # node count must NOT change
+    mids = ", ".join(
+        f"'pkg{i:05d}.core.Base{i}'" for i in range(0, min(500, n_pkgs))
+    )
+    _, got = run_write(
+        "foreach_merge_existing_500",
+        f"FOREACH (x IN [{mids}] | MERGE (n:CLASS {{full_name: x}}))",
+        "v1",
+    )
+    if got != n_nodes:
+        checks.append(f"foreach_merge_existing_500: {got} != {n_nodes}")
 
     print(
         json.dumps(
