@@ -49,78 +49,79 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # covers ALL queries regardless — the rotation only governs the driver's
 # independent record.
 _DRIVER_PRIORITY: list[str] = [
-    # ============ ROUND-5 WINDOW (VERDICT r4 item 4) ====================
-    # Lead with every query that has NEVER had a driver CORRECTNESS row
-    # (the judge's r4 sweep list, 45 + this round's new
-    # g_cypher_varlen_undirected = 46), then the queries whose behavior
-    # this round touched. Late-round additions displaced three simple
-    # aggregates past the boundary (all three carry the judge's r4
-    # exact-compare verification): the brand-new Cypher-corner queries
-    # and g_cypher_grouped (exercises the refactored _agg_expr) MUST be
-    # in the hard signal per rotation rule (1).
-    "g_cypher_distinct_aggs",  # NEW r5: avg/sum/count/collect(DISTINCT)
-    "g_cypher_call_procs",     # NEW r5: CALL db.* catalog procedures
-    "minhash_incremental_candidates",  # NEW r5: ingest-time dedup probe
-    "emb_incremental_ivf_probe",       # NEW r5: frozen-quantizer ingest probe
-    "g_cypher_grouped",        # _agg_expr refactor (col_name extraction)
-    "approx_distinct_kmv",
-    "approx_distinct_kmv_by_flag",
-    "doc_bigram_lm_quality",
-    "doc_lang_confusion",
-    "doc_minhash_jaccard_est",
+    # ============ ROUND-6 WINDOW ========================================
+    # Rotation rule (1): the 5 queries that have NEVER had a driver
+    # CORRECTNESS row lead (VERDICT r5 item 3 — after this window every
+    # registered query has ≥1 lifetime driver row), followed by the only
+    # never-GREEN row (emb_whiten — r5's harness-representation red, now
+    # exploded to scalar rows), then EVERY query whose behavior round 6
+    # touched: the bounded-block near-dup family (tiled integer-dgemm
+    # kernel + new rounding convention), the set-overlap frame consumers
+    # (set collapse + array_intersect verification), the simhash value
+    # collapse, the IVF family (numpy distance kernel, dropped broadcast
+    # hints), the persisted-bucket ingest probes, and the salted-agg
+    # default change.
+    "doc_length_histogram",    # never driver-checked (displaced in r5)
+    "orders_monthly_growth",   # never driver-checked
+    "value_range_window",      # never driver-checked
+    "events_pivot_daily",      # never driver-checked
+    "events_unpivot_daily",    # never driver-checked
+    "emb_whiten",              # r5's only red row: now (vec_id, dim, val)
+    # -- bounded-block near-dup family (kernel + convention change) ------
+    "emb_near_dup_pairs",
+    "emb_dup_clusters",
     "doc_semantic_dedup",
-    "doc_shingle_novelty",
-    "doc_stratified_sample",
-    "doc_top_collocations",
-    "emb_centroid_affinity",
-    "emb_ivfpq_topk",
-    "emb_knn_classify",
-    "emb_label_outliers",
-    "emb_mmr_diversify",
-    "emb_recall_at_k",
-    "emb_whiten",
-    "events_ewma",
-    "events_markov_transitions",
-    "events_ohlc_bars",
-    "events_rollup_two_level",
-    "events_salted_type_stats",
-    "events_seasonality_profile",
-    "events_time_weighted_avg",
-    "events_top_paths",
-    "events_value_mad",
-    "exclusive_late_supplier",
-    "g_bucketed_children",
-    "g_cypher_case",
-    "g_cypher_path",
-    "g_cypher_pattern_pred",
-    "g_cypher_rel_props",
-    "g_cypher_shortest",
-    "g_cypher_unwind_params",
-    "g_cypher_unwind_prop",
-    "g_cypher_varlen_undirected",
-    "g_cypher_with_topn",
-    "g_cypher_write_roundtrip",
-    "g_triangle_count",
-    "having_share_threshold",
-    "promo_revenue_ratio",
     "simhash_near_dup_pairs",
-    # -- round-5 behavior-adjacent changes --------------------------------
-    "events_cusum_drift",      # variance clamp (greatest(...,0)) both sides
-    "events_anomaly_zscore",   # same clamp
-    "doc_dup_span_scrub",      # forced broadcast hint dropped (AQE decides)
-    "g_cypher_union",          # UNION-token misparse fix (identifier-named union)
+    # -- set-overlap frame restructure (collapse + intersect verify) -----
+    "doc_containment_pairs",
+    "ngram_jaccard_pairs",
+    "doc_minhash_jaccard_est",
+    "doc_dup_clusters",
+    "doc_dedup_keep_best",
+    "doc_dedup_funnel",
+    "source_overlap_matrix",
+    # -- IVF family: numpy distance kernel, hints dropped ----------------
+    "emb_ivf_assign",
+    "emb_ivf_topk",
+    "emb_ivfpq_topk",
+    "emb_pq_topk",
+    "emb_pq_encode",
+    "emb_kmeans_step",
+    "emb_centroid_affinity",
+    # -- persisted-bucket ingest probes (standing tables) ----------------
+    "minhash_incremental_candidates",
+    "emb_incremental_ivf_probe",
+    # -- behavior-adjacent ------------------------------------------------
+    "events_salted_type_stats",  # content-only salt default (ADVICE r5)
+    "g_cypher_call_procs",       # lazy propertyKeys (ADVICE r5)
+    "multimodal_resolution_filter",  # codec probe change (ADVICE r5)
+    "multimodal_frame_census",
+    # -- longest outside the window (rotation rule 2): r1-green queries
+    # that have not re-entered the hard signal since --------------------
+    "revenue_by_nation",
+    "pricing_summary",
+    "g_point_lookup",
+    "g_filter_kind_name",
+    "g_methods_of_class",
+    "g_module_children",
+    "g_code_hydration",
+    "g_kind_census",
+    "g_version_stamping",
+    "minhash_lsh_candidates",
+    "doc_exact_dedup",
+    "simhash_fingerprint",
+    "emb_cosine_topk",
+    "emb_ann_topk",
+    "emb_norm_stats",
+    "doc_tfidf_top_terms",
+    "rolling_7d_customer_revenue",
+    "doc_quality_score",
+    "window_last_wins_merge",
+    "grouped_collect_sorted",
     # ======================= 50-query window boundary ===================
-    # Everything below has >=1 green driver CORRECTNESS row from r1-r4
-    # (143 distinct queries) plus the local check_oracle sweeps; the most
-    # recently validated window (r4) rotates directly after the boundary.
-    # First: the three never-driver-checked simple aggregates displaced by
-    # this round's late additions — judge-verified (r4 exact-compare
-    # sweep), queued to lead the r6 window.
-    "doc_length_histogram",
-    "orders_monthly_growth",
-    "value_range_window",
-    "events_pivot_daily",
-    "events_unpivot_daily",
+    # Everything below has >=1 green driver CORRECTNESS row from r1-r5
+    # plus the local check_oracle sweeps (both SFs, exact compare); the
+    # most recently validated window (r5) rotates directly after.
     "g_import_cycles",
     "g_dead_code",
     "g_module_coupling",
