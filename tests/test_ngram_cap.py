@@ -16,10 +16,13 @@ from codegraphdb_spark.queries.text import NGRAM_DF_CAP, _jaccard_pairs_uncached
 
 @pytest.fixture(scope="module")
 def hot_shingle_dir(spark, tmp_path_factory):
-    """40 identical boilerplate docs (one shingle, df=40) plus two docs
-    sharing one rare shingle (df=2, Jaccard 1/3)."""
+    """40 DISTINCT docs sharing one boilerplate shingle (set-df=40) plus
+    two docs sharing one rare shingle (df=2, Jaccard 1/3). Docs are
+    distinct on purpose: identical docs collapse to one shingle SET since
+    the r6 overlap restructure and their pairs bypass the join entirely
+    (see test_identical_clique_reported)."""
     d = tmp_path_factory.mktemp("hotshingle")
-    rows = [(i, "HOT1 HOT2 HOT3") for i in range(1, 41)]
+    rows = [(i, f"HOT1 HOT2 HOT3 u{i}") for i in range(1, 41)]
     rows += [(41, "x y z q"), (42, "x y z r")]
     spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
         str(d / "documents.parquet")
@@ -29,17 +32,34 @@ def hot_shingle_dir(spark, tmp_path_factory):
 
 def test_hot_shingle_pairs_bounded(spark, hot_shingle_dir):
     capped = _jaccard_pairs_uncached(spark, hot_shingle_dir, df_cap=10).collect()
-    # the 40-doc boilerplate clique (780 pairs) is gone; the rare-shingle
-    # pair (df=2 <= cap, jaccard 1/3 >= 0.2) survives
+    # the 40-doc boilerplate clique (780 pairs through the hot shingle) is
+    # gone; the rare-shingle pair (df=2 <= cap, jaccard 1/3 >= 0.2) survives
     assert [(r.doc_a, r.doc_b) for r in capped] == [(41, 42)]
     assert capped[0].jaccard == pytest.approx(1 / 3)
 
 
 def test_uncapped_explodes(spark, hot_shingle_dir):
-    # sanity: without the cap the boilerplate clique IS quadratic
-    # (40*39/2 identical-text pairs at jaccard 1.0, plus the rare pair)
+    # sanity: without the cap the boilerplate clique IS quadratic — each
+    # doc holds 2 shingles (HOT triple + its unique tail window) and every
+    # pair shares the HOT one (jaccard 1/3), plus the rare pair
     uncapped = _jaccard_pairs_uncached(spark, hot_shingle_dir, df_cap=10**9)
     assert uncapped.count() == 40 * 39 // 2 + 1
+
+
+def test_identical_clique_reported(spark, tmp_path_factory):
+    """BYTE-IDENTICAL docs collapse to one shingle set (r6 overlap
+    restructure): their pairs are emitted directly as equal-set rows —
+    exact-duplicate signal the uncapped ORACLE also reports — at
+    O(output) cost with ZERO candidate-join work, so the df cap (whose
+    job is bounding join work) deliberately does not suppress them."""
+    d = tmp_path_factory.mktemp("identclique")
+    rows = [(i, "HOT1 HOT2 HOT3") for i in range(1, 41)]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    got = _jaccard_pairs_uncached(spark, str(d), df_cap=10).collect()
+    assert len(got) == 40 * 39 // 2
+    assert all(r.jaccard == 1.0 for r in got)
 
 
 def test_default_cap_inert_at_fixture_scale(spark):

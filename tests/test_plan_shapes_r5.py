@@ -14,19 +14,19 @@ def _plan(spark, sf_dir, name):
 
 
 def test_incremental_candidates_never_self_joins_the_corpus(spark, sf_dir):
-    """lsh_incremental_candidates' whole point: the base corpus is only
-    PROBED — one band join in the plan (delta × base∪delta), never the
-    full self-join. The signature stage (the expensive Arrow pass) runs
-    from ONE checkpointed subtree: delta/base are filters of the same
-    checkpointed signatures, so no second corpus-wide Python stage
-    appears per side."""
+    """The probe's whole point: the base corpus is only PROBED — since r6
+    it is a PERSISTED bucket table (inc_bands_*), and the plan holds
+    exactly TWO equi-joins on (band_idx, band_key): the delta→standing-
+    bucket probe and the small delta↔delta self-join. The corpus never
+    self-joins and never re-bands (its only appearance is the bucketed
+    file scan; tests/test_incremental_probe_plans.py pins that side)."""
     plan = _plan(spark, sf_dir, "minhash_incremental_candidates")
-    # exactly one equi-join on (band_idx, band_key) — the bucket probe
     assert (
         plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
         + plan.count("ShuffledHashJoin")
-        == 1
+        == 2
     ), plan
+    assert "inc_bands_" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
