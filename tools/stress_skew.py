@@ -5,10 +5,13 @@ shape raw logs have, and exactly the shape a content-only salt cannot
 spread (identical rows hash identically). Measures the per-reducer
 (phase-1 bucket) row-count profile of salted_aggregate under
 
-  * the old content-only salt (row_discriminator=lit(0)), and
-  * the new default (spark_partition_id() mixed in),
+  * the DEFAULT content-only salt (recomputation-safe even over
+    nondeterministic upstreams — ADVICE r5 made this the default again;
+    on exact duplicates it is correct but degenerate, by contract), and
+  * the OPT-IN ``mix_partition_id=True`` escape (valid here: the input is
+    a deterministic checkpointed frame),
 
-and asserts the new max bucket is ≥8× smaller. Also cross-checks that
+and asserts the opt-in max bucket is ≥8× smaller. Also cross-checks that
 both profiles merge to the identical final aggregate (the algebraic
 split-invariance contract).
 
@@ -48,7 +51,7 @@ def main() -> None:
     )
     df = hot.unionByName(cold).localCheckpoint(eager=True)
 
-    def profile(disc, tag):
+    def profile(tag, **kw):
         t0 = time.time()
         rows = salted_aggregate(
             df,
@@ -60,7 +63,7 @@ def main() -> None:
                 "buckets": F.count(F.lit(1)),
                 "max_bucket": F.max("n"),
             },
-            row_discriminator=disc,
+            **kw,
         ).collect()
         wall = time.time() - t0
         hotrow = next(r for r in rows if r["k"] == "HOT")
@@ -73,13 +76,14 @@ def main() -> None:
             "hot_max_bucket": hotrow["max_bucket"],
         }, total
 
-    old, merged_old = profile(F.lit(0), "content_only_salt")
-    new, merged_new = profile(None, "default_partition_mixed")
+    old, merged_old = profile("default_content_only")
+    new, merged_new = profile("optin_partition_mixed", mix_partition_id=True)
 
     assert old["hot_total"] == new["hot_total"] == n_hot
     assert merged_old == merged_new, "two-phase split changed the final aggregate"
     spread = old["hot_max_bucket"] / new["hot_max_bucket"]
     assert old["hot_buckets"] == 1, "content-only salt unexpectedly spread duplicates"
+    # the degenerate default is the documented trade; the escape must work
     assert spread >= 8, f"spread only {spread:.1f}x (need >=8x)"
     print(
         json.dumps(
