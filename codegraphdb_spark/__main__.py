@@ -51,6 +51,13 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--prefix", default="s")
     st.add_argument("--max-files-per-trigger", type=int, default=None)
     st.add_argument(
+        "--incremental",
+        action="store_true",
+        help="persist via the manifest snapshot (O(affected buckets) disk "
+        "traffic per batch instead of a full rewrite; see "
+        "streaming/repo_index.index_batch for the atomicity trade)",
+    )
+    st.add_argument(
         "--drain",
         action="store_true",
         help="process the current backlog (availableNow) and exit instead "
@@ -152,6 +159,7 @@ def main(argv: list[str] | None = None) -> int:
             version_prefix=args.prefix,
             max_files_per_trigger=args.max_files_per_trigger,
             available_now=args.drain,
+            incremental=args.incremental,
         )
         query.awaitTermination()
         print(f"stream drained -> {args.snapshot_dir}" if args.drain else "stream stopped")

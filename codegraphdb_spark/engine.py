@@ -944,6 +944,69 @@ class GraphEngine:
             "append"
         ).text(f"{path}/_manifest")
 
+    def write_facts_incremental_base(self, facts: DataFrame, path: str) -> None:
+        """Facts in the file-hash-bucket layout (same partitioning rule as
+        the incremental snapshot): facts are EXTRACTION-level — an
+        unchanged file's facts are byte-identical across versions — so an
+        update only ever rewrites the buckets containing changed files,
+        with no manifest needed."""
+        (
+            facts.withColumn("fb", self._fbucket(F.col("file_path")))
+            .repartition("fb")
+            .write.partitionBy("fb")
+            .mode("overwrite")
+            .parquet(path)
+        )
+
+    def write_facts_update(
+        self, facts_new: DataFrame, path: str, changed_files: list[str]
+    ) -> None:
+        """Rewrite only the buckets containing changed files. The delta
+        subset is checkpointed before the write: facts_new's lineage reads
+        the OLD facts at ``path`` (prepare_update_facts carries unchanged
+        facts by filter), and Spark refuses to overwrite a path it is
+        reading from — truncation breaks the cycle and only materializes
+        O(changed buckets) rows."""
+        spark = self.spark
+        buckets = [
+            r["fb"]
+            for r in spark.createDataFrame(
+                [(p,) for p in changed_files], "file_path string"
+            )
+            .select(self._fbucket(F.col("file_path")).alias("fb"))
+            .distinct()
+            .collect()
+        ]
+        sub = (
+            facts_new.withColumn("fb", self._fbucket(F.col("file_path")))
+            .filter(F.col("fb").isin(buckets))
+            .localCheckpoint(eager=True)
+        )
+        saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            sub.repartition("fb").write.partitionBy("fb").mode("overwrite").parquet(
+                path
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+        # dynamic overwrite only touches partitions PRESENT in the written
+        # data: a bucket whose only file was DELETED gets zero new rows and
+        # its stale partition would silently survive — clear those
+        # explicitly (facts rows, unlike snapshot rows, really are removed
+        # on deletion)
+        present = {r["fb"] for r in sub.select("fb").distinct().collect()}
+        from codegraphdb_spark.streaming.repo_index import _hadoop_fs
+
+        fs, _ = _hadoop_fs(spark, path)
+        for b in set(buckets) - present:
+            fs.delete(
+                spark._jvm.org.apache.hadoop.fs.Path(f"{path}/fb={b}"), True
+            )
+
+    def read_facts_incremental(self, path: str) -> DataFrame:
+        return self.spark.read.parquet(path).drop("fb")
+
     def _read_manifest(self, path: str) -> list[dict]:
         import json
 

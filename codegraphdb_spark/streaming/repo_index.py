@@ -183,6 +183,7 @@ def index_batch(
     change_list: list[str],
     snapshot_dir: str,
     version: str,
+    incremental: bool = False,
 ) -> None:
     """One indexing step: build if no usable snapshot exists yet, else the
     incremental update (re-extract THIS batch only, carry everything else
@@ -193,7 +194,21 @@ def index_batch(
     layout ``facts`` → the batch CLI's newest ``facts_<version>`` (a
     CLI-bootstrapped snapshot) → full build (also covers a batch-0 crash
     that died between the snapshot commit and nothing: replay rebuilds
-    from the same batch instead of wedging on a missing facts dir)."""
+    from the same batch instead of wedging on a missing facts dir).
+
+    ``incremental=True`` switches persistence to the manifest snapshot
+    (engine.write_snapshot_update): per batch the disk traffic is
+    O(affected buckets) — the pruned recompile's affected cone for
+    nodes/edges, the changed files' buckets for facts — instead of a
+    full-corpus rewrite per micro-batch. The TRADE, stated plainly: the
+    default staged-swap commit is torn-write-safe (readers never see
+    mixed tables); dynamic partition overwrite is not cross-partition
+    atomic, so a writer dying mid-batch can leave a torn update — replay
+    of the same batch_id repairs it (versions merge idempotently), but a
+    reader racing the crash window can observe it. Deployments wanting
+    both run the incremental tail with a periodic atomic re-base
+    (write_snapshot_incremental_base). Equivalence of the two modes is
+    pinned by tests/test_streaming_incremental_snapshot.py."""
     if not change_list:
         return
     eng = GraphEngine(spark, small_repo=True)
@@ -202,17 +217,42 @@ def index_batch(
     if _fs_exists(spark, os.path.join(snapshot_dir, "nodes")):
         if _fs_exists(spark, facts_dir):
             old_facts = spark.read.parquet(facts_dir)
+            if incremental and "fb" in old_facts.columns:
+                old_facts = old_facts.drop("fb")
         else:
             cli_facts = _latest_cli_facts(spark, snapshot_dir)
             if cli_facts is not None:
                 old_facts = spark.read.parquet(cli_facts)
     if old_facts is None:
         nodes, edges, facts = eng.build(files, version)
-    else:
-        old_nodes, old_edges = eng.read_snapshot(snapshot_dir)
-        nodes, edges, facts = eng.update_version(
+        nodes = nodes.localCheckpoint(eager=True)
+        edges = edges.localCheckpoint(eager=True)
+        if incremental:
+            eng.write_snapshot_incremental_base(nodes, edges, snapshot_dir)
+            eng.write_facts_incremental_base(facts, facts_dir)
+        else:
+            _staged_commit(spark, eng, nodes, edges, facts, snapshot_dir)
+        return
+    if incremental:
+        from codegraphdb_spark.operators.incremental import affected_files
+
+        old_nodes, old_edges = eng.read_snapshot_incremental(snapshot_dir)
+        nodes, edges, facts2 = eng.update_version_pruned(
             old_nodes, old_edges, old_facts, files, change_list, version
         )
+        nodes = nodes.localCheckpoint(eager=True)
+        edges = edges.localCheckpoint(eager=True)
+        aff = [
+            r["file_path"]
+            for r in affected_files(facts2, old_facts, change_list).collect()
+        ]
+        eng.write_snapshot_update(nodes, edges, snapshot_dir, version, aff)
+        eng.write_facts_update(facts2, facts_dir, change_list)
+        return
+    old_nodes, old_edges = eng.read_snapshot(snapshot_dir)
+    nodes, edges, facts = eng.update_version(
+        old_nodes, old_edges, old_facts, files, change_list, version
+    )
     # materialize BEFORE the staged swap replaces the inputs they were
     # derived from (facts is already checkpointed inside build/update)
     nodes = nodes.localCheckpoint(eager=True)
@@ -228,6 +268,7 @@ def start_repo_indexer(
     version_prefix: str = "s",
     max_files_per_trigger: int | None = None,
     available_now: bool = False,
+    incremental: bool = False,
 ):
     """Start the streaming indexer; returns the StreamingQuery. Versions
     are ``{prefix}{batch_id}`` — monotone, replay-stable (foreachBatch
@@ -241,7 +282,14 @@ def start_repo_indexer(
             return
         files = load_files(spark, uris, watch_dir)
         change_list = [uri_to_relative(u, watch_dir) for u in uris]
-        index_batch(spark, files, change_list, snapshot_dir, f"{version_prefix}{batch_id}")
+        index_batch(
+            spark,
+            files,
+            change_list,
+            snapshot_dir,
+            f"{version_prefix}{batch_id}",
+            incremental=incremental,
+        )
 
     writer = stream.writeStream.foreachBatch(per_batch).option(
         "checkpointLocation", checkpoint_dir
