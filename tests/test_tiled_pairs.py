@@ -91,6 +91,39 @@ def test_blocks_do_not_mix(spark):
     assert len(keys) == len(set(keys))
 
 
+def test_partitioning_invariance(spark):
+    """The pair set and every cosine must be IDENTICAL no matter how the
+    input is partitioned: sub-block assignment derives from xxhash64 of
+    the row id (content, not placement), and the integer-dgemm sums are
+    exact, so neither task boundaries nor summation order can leak into
+    the result."""
+    rng = np.random.default_rng(5)
+    dim = 12
+    m = rng.normal(size=(200, dim))
+    m[1::3] = m[0] + rng.normal(size=dim) * 0.05
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(200, dtype=np.int64),
+            "label": np.int32(0),
+            "e": [row.tolist() for row in m],
+        }
+    )
+    outs = []
+    for nparts in (1, 7, 64):
+        v = spark.createDataFrame(pdf).repartition(nparts)
+        outs.append(
+            sorted(
+                (r["id_a"], r["id_b"], r["cosine"])
+                for r in tiled_block_pairs(
+                    v, block_col="label", id_col="vec_id", vec_col="e",
+                    threshold=0.6, cap=32,
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) > 50  # the planted structure actually fired
+
+
 def test_exactness_guard_fires(spark):
     """Components large enough to break the 2^53 exactness bound must raise
     loudly, never silently lose integer exactness."""
