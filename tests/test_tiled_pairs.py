@@ -99,8 +99,8 @@ def test_partitioning_invariance(spark):
     the result."""
     rng = np.random.default_rng(5)
     dim = 12
-    m = rng.normal(size=(200, dim))
-    m[1::3] = m[0] + rng.normal(size=dim) * 0.05
+    m = rng.normal(size=(200, dim)) / np.sqrt(dim)
+    m[1::3] = m[0] + rng.normal(size=dim) * 0.02
     pdf = pd.DataFrame(
         {
             "vec_id": np.arange(200, dtype=np.int64),
