@@ -1005,15 +1005,20 @@ def _apply_with(
         F.col(c) for p in carried for c in df.columns if c.startswith(f"{p}__")
     ]
     if aggs:
-        if distinct_with:
-            raise CypherError(
-                "WITH DISTINCT cannot combine with aggregates (the implicit "
-                "grouping already dedupes keys)"
-            )
         # implicit grouping: every carried column is functionally dependent
         # on the variable's identity, so grouping by the full prefix set
         # preserves var.prop access downstream without a re-join
         df = df.groupBy(*carried_cols, *plain_items).agg(*aggs)
+        if distinct_with:
+            # openCypher accepts DISTINCT alongside aggregates: it applies
+            # to the RESULT rows, post-aggregation (per-input dedup is the
+            # separate agg(DISTINCT x) form). Under implicit grouping every
+            # output row is already unique on its grouping keys, so this
+            # dedup is a provable no-op — accepted for syntax parity
+            # instead of the r5 refusal, and kept literal (one dedup over
+            # the already-aggregated, group-count-sized frame) rather than
+            # silently elided.
+            df = df.dropDuplicates()
     else:
         df = df.select(*carried_cols, *plain_items)
         if distinct_with:

@@ -671,9 +671,10 @@ def g_version_stamping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- kind census (B1/B3/B4 aggregate view) ----------------------------------------
 
-@query(
-    "g_kind_census",
-    oracle=f"""
+# kind census over the merged graph (B3 promotion + B4 placeholder
+# synthesis) — ONE definition shared by the g_kind_census oracle and the
+# Cypher DISTINCT-projection twin so the census semantics cannot drift
+_SQL_KIND_CENSUS = f"""
     WITH {_merged_nodes_sql()},
     {_EDGES_UNION_SQL},
     nonzoo AS (
@@ -696,7 +697,12 @@ def g_version_stamping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT kind, CAST(COUNT(*) AS BIGINT) AS n
     FROM census_rows GROUP BY kind ORDER BY kind
-    """,
+    """
+
+
+@query(
+    "g_kind_census",
+    oracle=_SQL_KIND_CENSUS,
 )
 def g_kind_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Node census by kind: proves label promotion (B3) — only the
@@ -1842,6 +1848,30 @@ def g_cypher_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges,
     )
     return out.withColumn("names", F.array_join("names", ","))
+
+
+@query(
+    "g_cypher_distinct_agg_projection",
+    oracle=_SQL_KIND_CENSUS,
+)
+def g_cypher_distinct_agg_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 corner closed in r6: ``RETURN DISTINCT <keys>, <aggregates>`` —
+    the last named refusal of the DISTINCT family. openCypher semantics:
+    DISTINCT applies to the RESULT rows post-aggregation (per-input dedup
+    is the separate agg(DISTINCT x) form), which under implicit grouping
+    is a provable no-op — so the checked contract is equality with the
+    DISTINCT-free aggregation, enforced by this oracle recomputing the
+    kind census independently. The compiled plan keeps the dedup literal
+    (one dropDuplicates over the group-count-sized aggregate output)
+    rather than silently eliding it."""
+    from codegraphdb_spark.plans.cypher import run_cypher
+
+    nodes, edges, _ = _graph(spark)
+    return run_cypher(
+        "MATCH (n) RETURN DISTINCT n.kind AS kind, count(n) AS n ORDER BY kind",
+        nodes,
+        edges,
+    )
 
 
 @query(

@@ -92,6 +92,7 @@ _DRIVER_PRIORITY: list[str] = [
     "minhash_incremental_candidates",
     "emb_incremental_ivf_probe",
     # -- behavior-adjacent ------------------------------------------------
+    "g_cypher_distinct_agg_projection",  # NEW r6: last DISTINCT refusal closed
     "events_salted_type_stats",  # content-only salt default (ADVICE r5)
     "g_cypher_call_procs",       # lazy propertyKeys (ADVICE r5)
     "multimodal_resolution_filter",  # codec probe change (ADVICE r5)
@@ -117,7 +118,6 @@ _DRIVER_PRIORITY: list[str] = [
     "rolling_7d_customer_revenue",
     "doc_quality_score",
     "window_last_wins_merge",
-    "grouped_collect_sorted",
     # ======================= 50-query window boundary ===================
     # Everything below has >=1 green driver CORRECTNESS row from r1-r5
     # plus the local check_oracle sweeps (both SFs, exact compare); the

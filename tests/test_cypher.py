@@ -583,14 +583,23 @@ def test_with_distinct_node_variable_dedupes(graph):
     ).collect()
     names = [r[0] for r in rows]
     assert names == sorted(set(names)) and names
-    # DISTINCT alongside an aggregate stays refused (implicit grouping
-    # already dedupes keys)
-    with pytest.raises(CypherError):
-        run_cypher(
-            "MATCH (c:CLASS) WITH DISTINCT c, count(c) AS n RETURN n",
-            nodes,
-            edges,
-        )
+    # DISTINCT alongside an aggregate is ACCEPTED since r6 (openCypher
+    # semantics: DISTINCT applies to the result rows post-aggregation —
+    # a provable no-op under implicit grouping) and must equal the
+    # DISTINCT-free form
+    with_d = run_cypher(
+        "MATCH (c:CLASS)-[:HAS_METHOD]->(m) "
+        "RETURN DISTINCT c.name AS n, count(m) AS k ORDER BY n",
+        nodes,
+        edges,
+    ).collect()
+    without = run_cypher(
+        "MATCH (c:CLASS)-[:HAS_METHOD]->(m) "
+        "RETURN c.name AS n, count(m) AS k ORDER BY n",
+        nodes,
+        edges,
+    ).collect()
+    assert with_d == without and with_d
 
 
 # --- round-3 review fixes: regression coverage --------------------------------
