@@ -915,22 +915,41 @@ class GraphEngine:
             .distinct()
             .collect()
         ] + [-1]
+        nsub = nfb.filter(F.col("fb").isin(rewrite))
+        esub = (
+            self._edges_with_src_file(nodes, edges)
+            .withColumn("fb", self._fbucket(F.col("src_file")))
+            .filter(F.col("fb").isin(rewrite))
+        )
+        # bounded collects (|kinds| × |rewritten buckets|): dynamic
+        # partition overwrite only replaces partitions PRESENT in the
+        # written data, so a (kind|rel_type, fb) partition whose last row
+        # migrated out — kind change, 'none'-placeholder promotion, file
+        # move re-bucketing — would otherwise survive as a stale duplicate
+        # the manifest fold cannot repair (its file IS affected). Record
+        # what the write will contain, then delete any rewritten-bucket
+        # partition dir absent from it (write_facts_update's emptied-bucket
+        # cleanup, generalized to two partition levels).
+        n_pairs = {
+            (r["kind"], r["fb"])
+            for r in nsub.select("kind", "fb").distinct().collect()
+        }
+        e_pairs = {
+            (r["rel_type"], r["fb"])
+            for r in esub.select("rel_type", "fb").distinct().collect()
+        }
         saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             (
-                nfb.filter(F.col("fb").isin(rewrite))
-                .repartition("kind", "fb")
+                nsub.repartition("kind", "fb")
                 .sortWithinPartitions("full_name")
                 .write.partitionBy("kind", "fb")
                 .mode("overwrite")
                 .parquet(f"{path}/nodes")
             )
             (
-                self._edges_with_src_file(nodes, edges)
-                .withColumn("fb", self._fbucket(F.col("src_file")))
-                .filter(F.col("fb").isin(rewrite))
-                .repartition("rel_type", "fb")
+                esub.repartition("rel_type", "fb")
                 .sortWithinPartitions("src", "dst")
                 .write.partitionBy("rel_type", "fb")
                 .mode("overwrite")
@@ -938,11 +957,45 @@ class GraphEngine:
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+        self._cleanup_stale_buckets(f"{path}/nodes", "kind", rewrite, n_pairs)
+        self._cleanup_stale_buckets(f"{path}/edges", "rel_type", rewrite, e_pairs)
         seq = len(self._read_manifest(path))
         entry = json.dumps({"seq": seq, "version": new_version, "affected": affected})
         spark.createDataFrame([(entry,)], "value string").coalesce(1).write.mode(
             "append"
         ).text(f"{path}/_manifest")
+
+    def _cleanup_stale_buckets(
+        self,
+        table_path: str,
+        part_col: str,
+        rewrite: list[int],
+        present: set[tuple[str, int]],
+    ) -> None:
+        """Delete on-disk (part_col=value, fb=b) partition dirs for b in the
+        rewrite set that the just-written data lacks — those buckets were
+        declared rewritten (their files are affected), so any surviving old
+        partition is stale, not carried-forward state."""
+        from urllib.parse import unquote
+
+        from codegraphdb_spark.streaming.repo_index import _hadoop_fs
+
+        fs, tpath = _hadoop_fs(self.spark, table_path)
+        if not fs.exists(tpath):
+            return
+        jvm = self.spark._jvm
+        prefix = f"{part_col}="
+        for st in fs.listStatus(tpath):
+            name = st.getPath().getName()
+            if not name.startswith(prefix):
+                continue
+            val = unquote(name[len(prefix):])
+            for b in rewrite:
+                if (val, b) in present:
+                    continue
+                sub = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{name}/fb={b}")
+                if fs.exists(sub):
+                    fs.delete(sub, True)
 
     def write_facts_incremental_base(self, facts: DataFrame, path: str) -> None:
         """Facts in the file-hash-bucket layout (same partitioning rule as

@@ -342,6 +342,13 @@ def _ivf_ranked(expl: DataFrame, cent: DataFrame, keep_label: bool = False):
 
     crows = cent.select("clabel", "pos", "c").collect()
     cells = sorted({r["clabel"] for r in crows})
+    lbl = ", label INT" if keep_label else ""
+    schema = f"vec_id BIGINT{lbl}, clabel INT, d BIGINT, rn INT"
+    if not cells:
+        # no centroids → no (vector, cell) rows, matching the old
+        # aggregate-join formulation (an empty join side yields an empty
+        # result) instead of a ZeroDivisionError in the chunk sizing
+        return expl.sparkSession.createDataFrame([], schema)
     cell_idx = {cl: i for i, cl in enumerate(cells)}
     cmat = np.zeros((len(cells), DIM), dtype=np.float64)
     for r in crows:
@@ -388,11 +395,7 @@ def _ivf_ranked(expl: DataFrame, cent: DataFrame, keep_label: bool = False):
                 out["rn"] = rn.ravel()
                 yield pd.DataFrame(out)[out_cols]
 
-    lbl = ", label INT" if keep_label else ""
-    return vecs.mapInPandas(
-        batches,
-        schema=f"vec_id BIGINT{lbl}, clabel INT, d BIGINT, rn INT",
-    )
+    return vecs.mapInPandas(batches, schema=schema)
 
 
 @query(

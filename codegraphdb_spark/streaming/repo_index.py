@@ -90,6 +90,25 @@ def _latest_cli_facts(spark: SparkSession, snapshot_dir: str) -> str | None:
     return best.getPath().toString()
 
 
+# read-side manifest folds before an automatic atomic re-base: each
+# write_snapshot_update adds one conditional-array_union layer to every
+# subsequent read plan, so a long-running stream must periodically compact
+# (write_snapshot_incremental_base) or its per-batch read plan grows
+# without bound
+SNAPSHOT_REBASE_MANIFEST_LEN = 24
+
+
+def _is_manifest_layout(spark: SparkSession, snapshot_dir: str) -> bool:
+    """True if the on-disk snapshot uses the incremental (manifest) layout —
+    detected by the fb= second-level partition dirs under nodes, not by the
+    _manifest file (a fresh incremental base write has no manifest yet)."""
+    glob = spark._jvm.org.apache.hadoop.fs.Path(
+        os.path.join(snapshot_dir, "nodes", "*", "fb=*")
+    )
+    fs, _ = _hadoop_fs(spark, snapshot_dir)
+    return bool(fs.globStatus(glob))
+
+
 def read_arrivals_stream(
     spark: SparkSession, watch_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -205,10 +224,19 @@ def index_batch(
     mixed tables); dynamic partition overwrite is not cross-partition
     atomic, so a writer dying mid-batch can leave a torn update — replay
     of the same batch_id repairs it (versions merge idempotently), but a
-    reader racing the crash window can observe it. Deployments wanting
-    both run the incremental tail with a periodic atomic re-base
-    (write_snapshot_incremental_base). Equivalence of the two modes is
-    pinned by tests/test_streaming_incremental_snapshot.py."""
+    reader racing the crash window can observe it. The periodic atomic
+    re-base is AUTOMATIC: once the manifest reaches
+    SNAPSHOT_REBASE_MANIFEST_LEN entries the batch persists through
+    write_snapshot_incremental_base instead (compacting the read-side fold
+    and restoring a clean atomicity point). Equivalence of the two modes
+    is pinned by tests/test_streaming_incremental_snapshot.py.
+
+    Layout changes across batches are detected (fb= partition dirs under
+    nodes) and MIGRATED through one full write of the requested mode —
+    incremental=True over a staged snapshot base-writes the incremental
+    layout; incremental=False over a manifest snapshot reads through the
+    manifest fold, staged-swaps the flat tables, and drops the manifest —
+    never a dynamic overwrite into a flat table or a fold-skipping read."""
     if not change_list:
         return
     eng = GraphEngine(spark, small_repo=True)
@@ -217,7 +245,7 @@ def index_batch(
     if _fs_exists(spark, os.path.join(snapshot_dir, "nodes")):
         if _fs_exists(spark, facts_dir):
             old_facts = spark.read.parquet(facts_dir)
-            if incremental and "fb" in old_facts.columns:
+            if "fb" in old_facts.columns:
                 old_facts = old_facts.drop("fb")
         else:
             cli_facts = _latest_cli_facts(spark, snapshot_dir)
@@ -233,23 +261,48 @@ def index_batch(
         else:
             _staged_commit(spark, eng, nodes, edges, facts, snapshot_dir)
         return
+    # layout guard: dynamic-overwriting fb= partition dirs into a staged
+    # flat snapshot (or staged-swapping over a manifest layout without
+    # reading it through the manifest fold) would leave mixed layouts /
+    # stale version arrays — detect the on-disk layout FIRST and migrate
+    # through a full write of the requested mode when they disagree
+    manifest_layout = _is_manifest_layout(spark, snapshot_dir)
     if incremental:
         from codegraphdb_spark.operators.incremental import affected_files
 
-        old_nodes, old_edges = eng.read_snapshot_incremental(snapshot_dir)
+        if manifest_layout:
+            old_nodes, old_edges = eng.read_snapshot_incremental(snapshot_dir)
+        else:
+            old_nodes, old_edges = eng.read_snapshot(snapshot_dir)
         nodes, edges, facts2 = eng.update_version_pruned(
             old_nodes, old_edges, old_facts, files, change_list, version
         )
         nodes = nodes.localCheckpoint(eager=True)
         edges = edges.localCheckpoint(eager=True)
-        aff = [
-            r["file_path"]
-            for r in affected_files(facts2, old_facts, change_list).collect()
-        ]
-        eng.write_snapshot_update(nodes, edges, snapshot_dir, version, aff)
+        if not manifest_layout:
+            # migration from the staged layout: one full base write in the
+            # incremental layout (static overwrite truncates the old flat
+            # tables), O(affected) updates from the next batch on
+            eng.write_snapshot_incremental_base(nodes, edges, snapshot_dir)
+            eng.write_facts_incremental_base(facts2, facts_dir)
+            return
+        if len(eng._read_manifest(snapshot_dir)) >= SNAPSHOT_REBASE_MANIFEST_LEN:
+            # periodic atomic re-base: compact the manifest fold out of
+            # every subsequent read plan (and restore full-write atomicity
+            # at this point in the stream)
+            eng.write_snapshot_incremental_base(nodes, edges, snapshot_dir)
+        else:
+            aff = [
+                r["file_path"]
+                for r in affected_files(facts2, old_facts, change_list).collect()
+            ]
+            eng.write_snapshot_update(nodes, edges, snapshot_dir, version, aff)
         eng.write_facts_update(facts2, facts_dir, change_list)
         return
-    old_nodes, old_edges = eng.read_snapshot(snapshot_dir)
+    if manifest_layout:
+        old_nodes, old_edges = eng.read_snapshot_incremental(snapshot_dir)
+    else:
+        old_nodes, old_edges = eng.read_snapshot(snapshot_dir)
     nodes, edges, facts = eng.update_version(
         old_nodes, old_edges, old_facts, files, change_list, version
     )
@@ -258,6 +311,12 @@ def index_batch(
     nodes = nodes.localCheckpoint(eager=True)
     edges = edges.localCheckpoint(eager=True)
     _staged_commit(spark, eng, nodes, edges, facts, snapshot_dir)
+    if manifest_layout:
+        # the staged swap replaced the tables wholesale with exact arrays;
+        # a surviving manifest would double-apply its folds on a later
+        # incremental read
+        fs, mpath = _hadoop_fs(spark, os.path.join(snapshot_dir, "_manifest"))
+        fs.delete(mpath, True)
 
 
 def start_repo_indexer(

@@ -120,3 +120,43 @@ def test_incremental_snapshot_two_chained_updates(spark, tmp_path, built):
     assert unaff.count() > 0, "fixture too small to exercise carried rows"
     with_v3 = unaff.filter(F.array_contains("versions", "v3")).count()
     assert with_v3 == 0, "unaffected rows were rewritten with new stamps"
+
+
+def test_partition_migration_leaves_no_stale_rows(spark, tmp_path):
+    """A row migrating OUT of its (kind, fb) partition — here a v1
+    function re-declared as a v2 class — empties the old partition;
+    dynamic overwrite never touches partitions absent from the written
+    data, so without the explicit stale-bucket cleanup the old
+    kind=function dir survives and the manifest-folded read returns a
+    duplicate full_name with a stale kind."""
+    import os
+
+    eng = GraphEngine(spark)
+    v1 = [("mig.py", "def thing():\n    return 1\n")]
+    v2 = [("mig.py", "class thing:\n    def run(self):\n        return 2\n")]
+    nodes, edges, facts = eng.build(files_from_pairs(spark, v1), "v1")
+    nodes, edges = nodes.localCheckpoint(), edges.localCheckpoint()
+    base = str(tmp_path / "snap_mig")
+    eng.write_snapshot_incremental_base(nodes, edges, base)
+
+    n2, e2, facts2 = eng.update_version_pruned(
+        nodes, edges, facts, files_from_pairs(spark, v2), ["mig.py"], "v2"
+    )
+    n2, e2 = n2.localCheckpoint(), e2.localCheckpoint()
+    aff = [r["file_path"] for r in affected_files(facts2, facts, ["mig.py"]).collect()]
+    eng.write_snapshot_update(n2, e2, base, "v2", aff)
+
+    rn, re_ = eng.read_snapshot_incremental(base)
+    _assert_frames_equal(
+        rn.select(*sorted(rn.columns)), n2.select(*sorted(n2.columns)), "nodes"
+    )
+    _assert_frames_equal(
+        re_.select(*sorted(re_.columns)), e2.select(*sorted(e2.columns)), "edges"
+    )
+    # and the emptied partition dir itself is gone from disk
+    fb = (
+        spark.createDataFrame([("mig.py",)], "file_path string")
+        .select(GraphEngine._fbucket(F.col("file_path")).alias("fb"))
+        .collect()[0]["fb"]
+    )
+    assert not os.path.exists(f"{base}/nodes/kind=function/fb={fb}")
