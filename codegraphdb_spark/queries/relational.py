@@ -417,18 +417,66 @@ def approx_distinct_kmv_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_orders")  # no oracle: HLL sketches differ across engines
+@query(
+    "approx_distinct_orders",
+    oracle="""
+    SELECT 'l_orderkey' AS key_col,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+           TRUE AS rel_err_le_5pct
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_partkey',
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+           TRUE
+    FROM lineitem
+    ORDER BY key_col
+    """,
+)
 def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct — the scale guard for 100 TB cardinality stats
     (SURVEY §2.G last row). HLL++ sketch: constant memory per group, exact
-    COUNT(DISTINCT) would shuffle every distinct value."""
+    COUNT(DISTINCT) would shuffle every distinct value.
+
+    CHECKABLE CONTRACT (VERDICT r6 item 7): the raw HLL register values
+    can never hash-match another engine, so the emitted — and
+    oracle-hashed — columns are the exact count and the sketch's accuracy
+    CONTRACT, |approx − exact| / exact ≤ 0.05 (2.5σ at rsd=0.02; HLL is
+    deterministic per input, so the flag is run-stable). The oracle emits
+    literal TRUE: a sketch drifting past tolerance flips the flag and
+    hash-fails the row. The exact count exists here only to judge the
+    sketch; the production query at 100 TB is the sketch alone
+    (approx_distinct_kmv is the oracle-exact sketch family)."""
     li = load_table(spark, sf_dir, "lineitem")
     # rsd=0.02: sketch update cost scales with register count (~1/rsd^2) —
     # 0.01 measured ~4x slower for a precision tier cardinality stats
     # never need (measured 1.9s vs 0.44s on sf0.1 lineitem, warm)
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    agg = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a_ord"),
+        F.countDistinct("l_orderkey").alias("e_ord"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_part"),
+        F.countDistinct("l_partkey").alias("e_part"),
+    )
+
+    def row(key: str, a: str, e: str):
+        return F.struct(
+            F.lit(key).alias("key_col"),
+            F.col(e).cast("bigint").alias("exact_distinct"),
+            (
+                F.abs(F.col(a) - F.col(e)) / F.col(e) <= F.lit(0.05)
+            ).alias("rel_err_le_5pct"),
+        )
+
+    return (
+        agg.select(
+            F.explode(
+                F.array(
+                    row("l_orderkey", "a_ord", "e_ord"),
+                    row("l_partkey", "a_part", "e_part"),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .orderBy("key_col")
     )
 
 

@@ -63,6 +63,8 @@ def clear_session_caches(spark) -> None:
         similarity._EMB_PAIRS_CACHE,
         text._PAIRS_CACHE,
         text._OVERLAP_CACHE,
+        text._SHSETS_CACHE,
+        text._OVL_INDEX_CACHE,
     ):
         cache.clear()
     spark.catalog.clearCache()
