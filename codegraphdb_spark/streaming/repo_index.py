@@ -102,11 +102,14 @@ def _is_manifest_layout(spark: SparkSession, snapshot_dir: str) -> bool:
     """True if the on-disk snapshot uses the incremental (manifest) layout —
     detected by the fb= second-level partition dirs under nodes, not by the
     _manifest file (a fresh incremental base write has no manifest yet)."""
-    glob = spark._jvm.org.apache.hadoop.fs.Path(
-        os.path.join(snapshot_dir, "nodes", "*", "fb=*")
-    )
     fs, _ = _hadoop_fs(spark, snapshot_dir)
-    return bool(fs.globStatus(glob))
+    for pat in ("fb=*", "*/fb=*"):  # fb-only layout; legacy (kind, fb)
+        glob = spark._jvm.org.apache.hadoop.fs.Path(
+            os.path.join(snapshot_dir, "nodes", pat)
+        )
+        if fs.globStatus(glob):
+            return True
+    return False
 
 
 def read_arrivals_stream(

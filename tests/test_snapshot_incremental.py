@@ -122,6 +122,31 @@ def test_incremental_snapshot_two_chained_updates(spark, tmp_path, built):
     assert with_v3 == 0, "unaffected rows were rewritten with new stamps"
 
 
+def test_fbucket_py_matches_spark_column(spark):
+    """write_snapshot_update derives its rewrite-bucket set driver-side
+    (engine._fbucket_py / _xxh64) — it must be BIT-identical to the
+    executor-side _fbucket column for every path shape, or an update
+    would rewrite the wrong buckets and silently duplicate rows."""
+    import random
+    import string
+
+    random.seed(7)
+    samples = (
+        ["", "a", "pkg00000/core.py", "日本語/路径.py", "x" * 31, "y" * 32, "z" * 33]
+        + [
+            "".join(
+                random.choices(string.printable, k=random.randint(0, 200))
+            )
+            for _ in range(200)
+        ]
+    )
+    df = spark.createDataFrame([(s,) for s in samples], "p string")
+    rows = df.select("p", GraphEngine._fbucket(F.col("p")).alias("fb")).collect()
+    for r in rows:
+        assert GraphEngine._fbucket_py(r["p"]) == r["fb"], repr(r["p"])
+    assert GraphEngine._fbucket_py(None) == -1
+
+
 def test_partition_migration_leaves_no_stale_rows(spark, tmp_path):
     """A row migrating OUT of its (kind, fb) partition — here a v1
     function re-declared as a v2 class — empties the old partition;
@@ -153,10 +178,12 @@ def test_partition_migration_leaves_no_stale_rows(spark, tmp_path):
     _assert_frames_equal(
         re_.select(*sorted(re_.columns)), e2.select(*sorted(e2.columns)), "edges"
     )
-    # and the emptied partition dir itself is gone from disk
-    fb = (
-        spark.createDataFrame([("mig.py",)], "file_path string")
-        .select(GraphEngine._fbucket(F.col("file_path")).alias("fb"))
-        .collect()[0]["fb"]
+    # and the stale pre-migration row is gone from the STORED files too
+    # (the rewrite pre-deletes the whole fb dir before appending)
+    stored = spark.read.parquet(f"{base}/nodes")
+    stale = stored.filter(
+        (F.col("full_name") == "mig.thing") & (F.col("kind") == "function")
     )
-    assert not os.path.exists(f"{base}/nodes/kind=function/fb={fb}")
+    assert stale.isEmpty()
+    fb = GraphEngine._fbucket_py("mig.py")
+    assert os.path.exists(f"{base}/nodes/fb={fb}")

@@ -1,0 +1,90 @@
+"""Re-baseline the per-query bench numbers (VERDICT r6 item 2).
+
+BASELINE.md's original table covered only the first ~74 queries, so the
+"within 2× of BASELINE" gate could not bind the expensive half of the
+catalog, and single cold runs can't separate regression from JIT/cold
+variance. This tool runs the FULL bench protocol N times (default 3),
+each in a fresh subprocess — cold SparkSession per run, flagship +
+worker-pool warm-up, wall time around a full collect() per query,
+exactly what the driver records as BENCH_r{N}.json — and writes the
+per-query MEDIANS to BASELINE_QUERIES.json at the repo root.
+
+bench.py then compares every run against these medians and records any
+query >1.5× its median in "regressions_vs_baseline", so each round's
+BENCH record carries its own regression table.
+
+Usage:
+    python tools/rebaseline.py [runs]       # default 3, sf0.1
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    per_run: list[dict[str, float]] = []
+    graph_builds: list[float] = []
+    standing_builds: list[float] = []
+    for i in range(runs):
+        t0 = time.time()
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        # the regression report needs a baseline to exist; suppress it
+        # while MEASURING the baseline so run 1 of a fresh re-baseline
+        # doesn't compare against the file it is about to replace
+        env["SPARK_GRAFT_NO_REGRESSION_REPORT"] = "1"
+        subprocess.run(
+            [sys.executable, os.path.join(HERE, "bench.py")],
+            cwd=HERE,
+            env=env,
+            check=True,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        with open(os.path.join(HERE, "BENCH_local.json")) as fh:
+            rec = json.load(fh)
+        per_run.append(rec["queries"])
+        graph_builds.append(rec.get("graph_build_sec", 0.0))
+        standing_builds.append(rec.get("standing_index_build_sec", 0.0))
+        print(
+            f"run {i + 1}/{runs}: total {rec['value']}s "
+            f"({round(time.time() - t0, 1)}s wall)",
+            flush=True,
+        )
+    names = sorted(set().union(*[set(r) for r in per_run]))
+    medians = {
+        n: round(statistics.median([r[n] for r in per_run if n in r]), 3)
+        for n in names
+    }
+    out = {
+        "protocol": (
+            "median of cold per-query wall seconds over "
+            f"{runs} fresh-session bench.py runs (BASELINE.md §2)"
+        ),
+        "sf_dir": sf_dir,
+        "runs": runs,
+        "graph_build_sec_median": round(statistics.median(graph_builds), 3),
+        "standing_index_build_sec_median": round(
+            statistics.median(standing_builds), 3
+        ),
+        "queries": medians,
+    }
+    path = os.path.join(HERE, "BASELINE_QUERIES.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    total = round(sum(medians.values()), 1)
+    print(f"wrote {path}: {len(medians)} queries, median total {total}s")
+
+
+if __name__ == "__main__":
+    main()
