@@ -49,7 +49,69 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # covers ALL queries regardless — the rotation only governs the driver's
 # independent record.
 _DRIVER_PRIORITY: list[str] = [
-    # ============ ROUND-6 WINDOW ========================================
+    # ============ ROUND-7 WINDOW ========================================
+    # Rotation rule (1): every query whose behavior round 7 touched —
+    # the set-overlap family (posting-list standing index, join-free
+    # in-array pair counting, two-BIGINT set keys), every consumer of the
+    # _par_guard'd document Arrow passes (shingle/minhash/simhash/dup-span
+    # hashing now parallelizes past single-split scans), the IVF
+    # empty-centroid guard's cheapest family row, and
+    # approx_distinct_orders' NEW checkable contract (exact + rel_err
+    # flag — first oracle-checked driver row, VERDICT r6 item 7).
+    "approx_distinct_orders",   # new (exact, rel_err_le_5pct) contract
+    "doc_containment_pairs",    # the r6 perf-weak item: 8.8s -> ~2.9s
+    "ngram_jaccard_pairs",
+    "doc_minhash_jaccard_est",
+    "doc_dup_clusters",
+    "doc_dedup_keep_best",
+    "doc_dedup_funnel",
+    "source_overlap_matrix",
+    "doc_train_test_split",     # _jaccard_pairs consumer; also r1-green only
+    "simhash_fingerprint",
+    "simhash_near_dup_pairs",   # sf1 growth 3.37x -> ~1.8x (_par_guard)
+    "minhash_lsh_candidates",
+    "minhash_incremental_candidates",
+    "doc_dup_spans",
+    "doc_dup_span_stats",
+    "doc_dup_span_scrub",
+    "emb_ivf_assign",           # empty-centroid guard (ADVICE r6)
+    # Rotation rule (2): longest outside the window — every remaining
+    # query whose last driver row is r1, then r2, in name order.
+    "case_when_bucketing",
+    "date_parts_orders",
+    "doc_fingerprint",
+    "doc_lang_heuristic",
+    "doc_token_stats",
+    "events_asof_join",
+    "events_dedup_first_per_key",
+    "events_funnel",
+    "events_json_extract",
+    "events_range_join",
+    "events_rollup_report",
+    "events_sessionization",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "fuzzy_name_pairs",
+    "pipeline_clean_corpus",
+    "regex_group_extract",
+    "scalar_string_funcs",
+    "topk_orders",
+    "agg_stats_by_segment",
+    "anti_join_dormant_customers",
+    "broadcast_dim_join",
+    "dedupe_drop_duplicates",
+    "doc_weighted_source_mix",
+    "emb_centroid_by_label",
+    "emb_int8_quantize",
+    "filter_prefix_isin",
+    "grouped_collect_sorted",
+    "join_part_supplier_lineitem",
+    "left_outer_orders_per_customer",
+    "moments_exact",
+    "percentiles_by_segment",
+    "pivot_status_by_segment",
+    # ================== r7 50-query window boundary =====================
+    # ============ ROUND-6 WINDOW (previous) =============================
     # Rotation rule (1): the 5 queries that have NEVER had a driver
     # CORRECTNESS row lead (VERDICT r5 item 3 — after this window every
     # registered query has ≥1 lifetime driver row), followed by the only
