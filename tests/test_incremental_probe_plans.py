@@ -40,3 +40,23 @@ def test_ivf_probe_reads_persisted_inverted_file(spark):
     # re-quantizing it would show as a second MapInPandas
     assert plan.count("MapInPandas") == 1, plan.count("MapInPandas")
     assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_overlap_family_probes_standing_posting_table(spark):
+    """r7: the set-overlap family's pair counting must read the persisted
+    posting-list table (ovl_post_*) — no shingle re-hashing (Python
+    stage), no collapse/df-cap recompute, and no join in the pair-count
+    segment (pairs are generated in-array from each bounded posting
+    list)."""
+    from codegraphdb_spark.queries.text import _pair_overlap_uncached
+
+    # the registered queries read the session-cached pair frame; the
+    # production shape to pin is the frame's own materialization plan
+    df = _pair_overlap_uncached(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ovl_post_" in plan, "standing posting-list table not in plan"
+    # the corpus is never re-shingled inside the frame: the md5 Arrow
+    # pass happens once, at index-build time
+    assert plan.count("MapInPandas") == 0, plan.count("MapInPandas")
+    # sizes / doc-map come from their eager checkpoints
+    assert "Scan ExistingRDD" in plan
