@@ -405,7 +405,12 @@ def _par_guard(df: DataFrame) -> DataFrame:
     the sf1 fingerprint pass was the dominant term of the 3.4× near-dup
     wall growth). Only repartitions when the scan yields fewer splits
     than cores — at cluster scale the scan is already wide and no shuffle
-    of the text corpus is added."""
+    of the text corpus is added. Streaming inputs pass through untouched:
+    partition counts are a batch-plan concept (`.rdd` is illegal on a
+    streaming frame), and micro-batch parallelism is the source's job
+    (maxFilesPerTrigger / ingest partitioning)."""
+    if df.isStreaming:
+        return df
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
