@@ -1155,17 +1155,23 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def batches(it):
         weights = (1 << np.arange(28, dtype=np.int64))
+        # per-task token-hash memo: natural-language vocabulary repeats
+        # across documents, so most md5 calls are recomputation (memory is
+        # bounded by the task's distinct vocabulary)
+        memo: dict[str, int] = {}
+
+        def h(t: str) -> int:
+            v = memo.get(t)
+            if v is None:
+                v = int(hashlib.md5(t.encode()).hexdigest()[:7], 16)
+                memo[t] = v
+            return v
+
         for pdf in it:
             ids, fps = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = dict.fromkeys(text.split(" "))  # distinct, order-free
-                hs = np.array(
-                    [
-                        int(hashlib.md5(t.encode()).hexdigest()[:7], 16)
-                        for t in toks
-                    ],
-                    dtype=np.int64,
-                )
+                hs = np.array([h(t) for t in toks], dtype=np.int64)
                 bits = (hs[:, None] >> np.arange(28)) & 1  # (n_tokens, 28)
                 votes = (bits * 2 - 1).sum(axis=0)
                 fp = int(weights[votes > 0].sum())
@@ -1249,17 +1255,20 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def batches(it):
         weights = 1 << np.arange(n_bits, dtype=np.int64)
+        memo: dict[str, int] = {}  # per-task vocabulary memo (see 28-bit pass)
+
+        def h(t: str) -> int:
+            v = memo.get(t)
+            if v is None:
+                v = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                memo[t] = v
+            return v
+
         for pdf in it:
             ids, fps = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = dict.fromkeys(text.split(" "))  # distinct, order-free
-                hs = np.array(
-                    [
-                        int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
-                        for t in toks
-                    ],
-                    dtype=np.int64,
-                )
+                hs = np.array([h(t) for t in toks], dtype=np.int64)
                 bits = (hs[:, None] >> np.arange(n_bits)) & 1
                 votes = (bits * 2 - 1).sum(axis=0)
                 fps.append(int(weights[votes > 0].sum()))
@@ -1288,34 +1297,55 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The expansion emits exactly the true answer: quadratic OUTPUT stays
     # (it is the answer), quadratic SCORING is gone.
     vals = fp.select("simhash").distinct().localCheckpoint(eager=False)
-    mask = (1 << SIMHASH_BAND_BITS) - 1
-    vbands = vals.select(
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", SIMHASH_BAND_BITS * b)
-                    .bitwiseAND(F.lit(mask))
-                    for b in range(SIMHASH_PAIR_BANDS)
-                ]
+    # TWO-LEVEL banding on the distinct values — still EXACT. Level 1 is
+    # the classic 4×15-bit split (any pair within hamming 3 matches ≥1
+    # band by pigeonhole). A matched band alone leaves hot groups: a
+    # 15-bit band over n values collects n²/2^16 birthday pairs PLUS the
+    # near-dup cluster mass (measured at the 10× fixture: 6.7M raw join
+    # rows, deepest group 822, for 16k true pairs). Level 2 uses the rest
+    # of the budget: inside a level-1 match the pair's ≤3 remaining diffs
+    # all live in the complementary 45 bits, so splitting THOSE into 4
+    # sub-bands (12+11+11+11) pigeonholes again — ≥1 sub-band matches.
+    # Joining on (band, sub-band) packed into one BIGINT key therefore
+    # loses nothing and collapses hot groups by the sub-band's extra
+    # 11-12 bits (measured: 6.7M → 730k raw rows, deepest group 212).
+    # 16 key rows per distinct value — key volume is linear in values.
+    bb = SIMHASH_BAND_BITS
+    sub_off = [0, 12, 23, 34]
+    sub_bits = [12, 11, 11, 11]
+    keys = []
+    for b in range(SIMHASH_PAIR_BANDS):
+        band_val = F.shiftright("simhash", bb * b).bitwiseAND(
+            F.lit((1 << bb) - 1)
+        )
+        low = F.col("simhash").bitwiseAND(F.lit((1 << (bb * b)) - 1))
+        high = F.shiftright("simhash", bb * (b + 1))
+        comp = low.bitwiseOR(F.shiftleft(high, bb * b))  # other 45 bits
+        for si, (off, nb) in enumerate(zip(sub_off, sub_bits)):
+            sub = F.shiftright(comp, off).bitwiseAND(F.lit((1 << nb) - 1))
+            keys.append(
+                (F.lit(b * 4 + si) * F.lit(1 << 27))
+                + F.shiftleft(band_val, 12)
+                + sub
             )
-        ).alias("band_idx", "band_val"),
-    )
+    vbands = vals.select("simhash", F.explode(F.array(*keys)).alias("k"))
     va, vb = vbands.alias("a"), vbands.alias("b")
     vpairs = (
         va.join(
             vb,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
+            (F.col("a.k") == F.col("b.k"))
             & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .select(
             F.col("a.simhash").alias("sim_a"),
             F.col("b.simhash").alias("sim_b"),
         )
-        .distinct()
+        # verify BEFORE the distinct: hamming is a pure function of the
+        # pair, so filtering first shrinks the distinct's shuffle ~45×
+        # (730k raw → 16k) without changing its result
         .withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)").cast("int"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
     )
     x, y = fp.alias("x"), fp.alias("y")
     cross = (
