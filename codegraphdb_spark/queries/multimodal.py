@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from codegraphdb_spark.operators.multimodal import _fake_feature, parse_header
+from codegraphdb_spark.queries.text import _par_guard
 from codegraphdb_spark.registry import query
 from codegraphdb_spark.sources.tables import load_table
 
@@ -116,7 +117,12 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles 32-byte digests + scalars, never payloads — the same
     100 TB-safe shape as doc_exact_dedup."""
     d = load_table(spark, sf_dir, "documents")
-    payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    # _par_guard: the documents scan is a handful of splits at test SFs,
+    # which would serialize the Arrow decode on 1-2 cores (at cluster
+    # scale the scan is already wide and the guard is a no-op)
+    payloads = _par_guard(
+        d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
     decoded = decode_payloads(payloads)
     return (
         decoded.groupBy("content_hash")
@@ -194,7 +200,7 @@ def multimodal_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["n_bytes"].append(len(payload))
             yield pd.DataFrame(out)
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _par_guard(load_table(spark, sf_dir, "documents").select("doc_id"))
     return d.mapInPandas(batches, schema=_META_SCHEMA).orderBy("doc_id")
 
 
@@ -278,7 +284,7 @@ def multimodal_frame_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion (bounded by every_n), ONE doc-keyed aggregate."""
     from codegraphdb_spark.operators.multimodal import sample_frames
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _par_guard(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
