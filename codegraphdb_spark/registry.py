@@ -75,6 +75,13 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_dup_span_stats",
     "doc_dup_span_scrub",
     "emb_ivf_assign",           # empty-centroid guard (ADVICE r6)
+    # -- r7 in-session plan changes: two-level simhash banding, the
+    # multimodal _par_guard (Arrow pipelines repartitioned past
+    # single-split scans), the approx_distinct split-aggregation --------
+    "multimodal_frame_census",
+    "multimodal_dedup",
+    "multimodal_meta_extract",
+    "multimodal_resolution_filter",
     # Rotation rule (2): longest outside the window — every remaining
     # query whose last driver row is r1, then r2, in name order.
     "case_when_bucketing",
