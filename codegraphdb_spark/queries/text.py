@@ -1191,6 +1191,64 @@ SIMHASH_PAIR_BITS = 60          # 4 bands x 15 bits; md5[:15] fits int64
 SIMHASH_PAIR_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_PAIR_BITS // SIMHASH_PAIR_BANDS
 SIMHASH_MAX_HAMMING = 3         # <= bands-1: banding is EXACT by pigeonhole
+SIMHASH_SUB_OFF = [0, 12, 23, 34]    # level-2 sub-bands over the
+SIMHASH_SUB_BITS = [12, 11, 11, 11]  # complementary 45 bits (sum = 45)
+
+
+def _simhash_value_pairs(vals: DataFrame) -> DataFrame:
+    """(sim_a, sim_b, hamming) for every DISTINCT fingerprint pair within
+    SIMHASH_MAX_HAMMING, via TWO-LEVEL banding — still EXACT. Level 1 is
+    the classic 4×15-bit split (any pair within hamming 3 matches ≥1
+    band by pigeonhole). A matched band alone leaves hot groups: a
+    15-bit band over n values collects n²/2^16 birthday pairs PLUS the
+    near-dup cluster mass (measured at the 10× fixture: 6.7M raw join
+    rows, deepest group 822, for 16k true pairs). Level 2 uses the rest
+    of the budget: inside a level-1 match the pair's ≤3 remaining diffs
+    all live in the complementary 45 bits, so splitting THOSE into 4
+    sub-bands (12+11+11+11) pigeonholes again — ≥1 sub-band matches.
+    Joining on (band, sub-band) packed into one BIGINT key therefore
+    loses nothing and collapses hot groups by the sub-band's extra
+    11-12 bits (measured: 6.7M → 730k raw rows, deepest group 212).
+    16 key rows per distinct value — key volume is linear in values.
+    Exactness pinned by tests/test_simhash_banding.py (adversarial bit
+    placements vs a brute-force cross join)."""
+    bb = SIMHASH_BAND_BITS
+    keys = []
+    for b in range(SIMHASH_PAIR_BANDS):
+        band_val = F.shiftright("simhash", bb * b).bitwiseAND(
+            F.lit((1 << bb) - 1)
+        )
+        low = F.col("simhash").bitwiseAND(F.lit((1 << (bb * b)) - 1))
+        high = F.shiftright("simhash", bb * (b + 1))
+        comp = low.bitwiseOR(F.shiftleft(high, bb * b))  # other 45 bits
+        for si, (off, nb) in enumerate(
+            zip(SIMHASH_SUB_OFF, SIMHASH_SUB_BITS)
+        ):
+            sub = F.shiftright(comp, off).bitwiseAND(F.lit((1 << nb) - 1))
+            keys.append(
+                (F.lit(b * 4 + si) * F.lit(1 << 27))
+                + F.shiftleft(band_val, 12)
+                + sub
+            )
+    vbands = vals.select("simhash", F.explode(F.array(*keys)).alias("k"))
+    va, vb = vbands.alias("a"), vbands.alias("b")
+    return (
+        va.join(
+            vb,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.simhash") < F.col("b.simhash")),
+        )
+        .select(
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        # verify BEFORE the distinct: hamming is a pure function of the
+        # pair, so filtering first shrinks the distinct's shuffle ~45×
+        # (730k raw → 16k) without changing its result
+        .withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)").cast("int"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
 
 
 @query(
@@ -1297,56 +1355,7 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The expansion emits exactly the true answer: quadratic OUTPUT stays
     # (it is the answer), quadratic SCORING is gone.
     vals = fp.select("simhash").distinct().localCheckpoint(eager=False)
-    # TWO-LEVEL banding on the distinct values — still EXACT. Level 1 is
-    # the classic 4×15-bit split (any pair within hamming 3 matches ≥1
-    # band by pigeonhole). A matched band alone leaves hot groups: a
-    # 15-bit band over n values collects n²/2^16 birthday pairs PLUS the
-    # near-dup cluster mass (measured at the 10× fixture: 6.7M raw join
-    # rows, deepest group 822, for 16k true pairs). Level 2 uses the rest
-    # of the budget: inside a level-1 match the pair's ≤3 remaining diffs
-    # all live in the complementary 45 bits, so splitting THOSE into 4
-    # sub-bands (12+11+11+11) pigeonholes again — ≥1 sub-band matches.
-    # Joining on (band, sub-band) packed into one BIGINT key therefore
-    # loses nothing and collapses hot groups by the sub-band's extra
-    # 11-12 bits (measured: 6.7M → 730k raw rows, deepest group 212).
-    # 16 key rows per distinct value — key volume is linear in values.
-    bb = SIMHASH_BAND_BITS
-    sub_off = [0, 12, 23, 34]
-    sub_bits = [12, 11, 11, 11]
-    keys = []
-    for b in range(SIMHASH_PAIR_BANDS):
-        band_val = F.shiftright("simhash", bb * b).bitwiseAND(
-            F.lit((1 << bb) - 1)
-        )
-        low = F.col("simhash").bitwiseAND(F.lit((1 << (bb * b)) - 1))
-        high = F.shiftright("simhash", bb * (b + 1))
-        comp = low.bitwiseOR(F.shiftleft(high, bb * b))  # other 45 bits
-        for si, (off, nb) in enumerate(zip(sub_off, sub_bits)):
-            sub = F.shiftright(comp, off).bitwiseAND(F.lit((1 << nb) - 1))
-            keys.append(
-                (F.lit(b * 4 + si) * F.lit(1 << 27))
-                + F.shiftleft(band_val, 12)
-                + sub
-            )
-    vbands = vals.select("simhash", F.explode(F.array(*keys)).alias("k"))
-    va, vb = vbands.alias("a"), vbands.alias("b")
-    vpairs = (
-        va.join(
-            vb,
-            (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.simhash") < F.col("b.simhash")),
-        )
-        .select(
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
-        # verify BEFORE the distinct: hamming is a pure function of the
-        # pair, so filtering first shrinks the distinct's shuffle ~45×
-        # (730k raw → 16k) without changing its result
-        .withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)").cast("int"))
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .distinct()
-    )
+    vpairs = _simhash_value_pairs(vals)
     x, y = fp.alias("x"), fp.alias("y")
     cross = (
         x.join(vpairs, F.col("x.simhash") == F.col("sim_a"))
