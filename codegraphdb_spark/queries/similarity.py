@@ -282,6 +282,27 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_SCALE = 1_000_000_000
 
+# Coarse-distance quantum (r7): inputs round at Q and the distance is the
+# exact integer Σ(round(x·Q) − round(c·Q))² — computable as ONE dgemm
+# (||xq||² + ||cq||² − 2·xq·cq, every intermediate an integer < 2^53, so
+# float64 BLAS is exact integer arithmetic; the tiled_block_pairs
+# convention). The old per-element Σ ROUND((x−c)²·S) forced a
+# memory-bound (g, cells, dim) difference tensor — cells grow with the
+# corpus (per-label means), so at the K=100 fixture (200k vectors, 2000
+# cells) that kernel was 8-12× slower AND its emit-all-cells contract
+# OOMed the executor. Q=1e6 keeps |d| < 2^53 for |x| ≤ 2 at 64 dims; the
+# kernel asserts the bound loudly.
+_IVF_Q = 1_000_000
+
+# the SQL twin of the kernel's distance, shared by every IVF-family
+# oracle — one definition so the quantum and rounding can never drift
+# between the SQL copies
+def _sql_coarse_d(x: str = "e.x", c: str = "c.c") -> str:
+    xq = f"CAST(ROUND({x} * {_IVF_Q}) AS BIGINT)"
+    cq = f"CAST(ROUND({c} * {_IVF_Q}) AS BIGINT)"
+    return f"SUM(({xq} - {cq}) * ({xq} - {cq}))"
+
+
 # the coarse-quantizer CTE pair shared VERBATIM by every IVF-family oracle
 # (assign / probed top-k / IVF-PQ): one definition so the scale constant
 # and rounding can never drift between the SQL copies — the same rule
@@ -320,23 +341,44 @@ def _ivf_expl_cent(spark: SparkSession, sf_dir: str):
     return expl, cent
 
 
-def _ivf_ranked(expl: DataFrame, cent: DataFrame, keep_label: bool = False):
+def _ivf_ranked(
+    expl: DataFrame,
+    cent: DataFrame,
+    keep_label: bool = False,
+    max_rn: int | None = None,
+):
     """Scaled-int squared distances of every vector to every centroid,
     ranked per vector (rn=1 is the assignment; rn<=nprobe the probe
     cells). Same output contract and bit-identical arithmetic as the SQL
-    oracles: d = Σ_pos ROUND((x−c)²·S) per (vector, cell), HALF_UP, ties
-    by (d, clabel).
+    oracles: d = Σ_pos (ROUND(x·Q) − ROUND(c·Q))² per (vector, cell),
+    HALF_UP inputs at Q=_IVF_Q, exact integer sums, ties by (d, clabel)
+    — the `_sql_coarse_d` twin is the one SQL definition every family
+    oracle embeds.
 
     r6 shape: the exploded centroid JOIN generated N×dim×cells rows into
     the aggregate (128M at the 10× fixture once labels stopped being 10 —
     33 s wall); the centroid matrix is k×dim doubles — a coarse quantizer
     is ALWAYS a materialized artifact in a production IVF — so it is
-    collected once per call and the distances run as one chunked numpy
-    kernel over re-assembled vectors: per Arrow batch, a (chunk, cells,
-    dim) difference tensor → HALF_UP per element → int64 sums. All cells
-    are emitted per vector (N×cells rows — what the old aggregate emitted)
-    with the rank computed in-kernel, so every caller (assign rn=1,
-    probes rn≤nprobe, Lloyd step) keeps its exact contract."""
+    collected once per call and the distances run as a chunked numpy
+    kernel over re-assembled vectors.
+
+    r7 arithmetic: inputs round ONCE at Q (the tiled_block_pairs
+    convention) so the distance decomposes into ||xq||² + ||cq||² −
+    2·xq·cqᵀ — one float64 BLAS matmul per batch, exact integer
+    arithmetic while every intermediate stays < 2^53 (loud assert). The
+    old per-element Σ ROUND((x−c)²·S) could not decompose (rounding per
+    (pos, cell)) and forced a memory-bound (g, cells, dim) tensor, 8-12×
+    slower at the 2000-cell fixture.
+
+    r7: ``max_rn`` bounds the EMISSION — every caller filters rn==1 or
+    rn≤nprobe, yet the kernel emitted (and the topk queries
+    checkpointed) all N×cells rows. Cells grow with the corpus (they are
+    per-label means), so at the K=100 fixture that was 200k×2000 = 400M
+    checkpointed rows — a measured executor OOM at 16g. With max_rn the
+    kernel still scores every cell (the coarse-quantizer FLOPs are the
+    honest assignment cost) but emits only each vector's top max_rn
+    cells: N×nprobe rows cross the stage boundary, independent of cell
+    count. None keeps the legacy emit-all contract."""
     import numpy as np
     import pandas as pd
 
@@ -354,6 +396,12 @@ def _ivf_ranked(expl: DataFrame, cent: DataFrame, keep_label: bool = False):
     for r in crows:
         cmat[cell_idx[r["clabel"]], r["pos"] - 1] = r["c"]
     cell_arr = np.asarray(cells, dtype=np.int64)
+    # input-rounding (the tiled_block_pairs convention): centroid
+    # components quantize ONCE at Q; the distance then runs as one exact
+    # integer dgemm per batch instead of a memory-bound (g, cells, dim)
+    # difference tensor (measured 8-12x on the cells=2000 fixture)
+    cq = np.trunc(cmat * _IVF_Q + np.copysign(0.5, cmat))  # HALF_UP
+    cs = (cq * cq).sum(axis=1)  # (cells,) int-valued, < 2^53
 
     gcols = ["vec_id", "label"] if keep_label else ["vec_id"]
     vecs = expl.groupBy(*gcols).agg(
@@ -365,30 +413,48 @@ def _ivf_ranked(expl: DataFrame, cent: DataFrame, keep_label: bool = False):
 
     out_cols = gcols + ["clabel", "d", "rn"]
 
-    # keep the (chunk, cells, dim) difference tensor under ~64 MB per step
-    # regardless of Arrow batch size or cell count
-    chunk = max(1, 8_000_000 // (len(cells) * DIM))
+    # bound the (chunk, cells) distance matrix per step
+    chunk = max(64, 8_000_000 // len(cells))
 
     def batches(it):
         for pdf in it:
             for s in range(0, len(pdf), chunk):
                 sub = pdf.iloc[s : s + chunk]
                 m = np.stack(sub["xs"].values)  # (g, dim)
-                diff = m[:, None, :] - cmat[None, :, :]  # (g, cells, dim)
-                prod = diff * diff * _IVF_SCALE
-                d = (
-                    np.trunc(prod + np.copysign(0.5, prod))  # HALF_UP, F.round
-                    .sum(axis=2)
-                    .astype(np.int64)
-                )  # (g, cells); each |value| << 2^53, sums exact
+                xq = np.trunc(m * _IVF_Q + np.copysign(0.5, m))  # HALF_UP
+                # ||xq-cq||^2 = ||xq||^2 + ||cq||^2 - 2 xq.cq — every
+                # intermediate is an integer < 2^53, so the float64 BLAS
+                # matmul is exact integer arithmetic (guard below is a
+                # loud failure, never silent drift)
+                d = (xq * xq).sum(axis=1)[:, None] + cs[None, :] - 2.0 * (
+                    xq @ cq.T
+                )  # (g, cells)
+                assert np.abs(d).max() < 2**53, (
+                    "IVF distance overflow: |d|max "
+                    f"{np.abs(d).max():.3e} >= 2^53; lower _IVF_Q"
+                )
+                d = d.astype(np.int64)
                 order = np.lexsort(
                     (np.broadcast_to(cell_arr, d.shape), d), axis=1
                 )
+                g, k = d.shape
+                if max_rn is not None:
+                    mm = min(max_rn, k)
+                    idx = order[:, :mm]  # (g, mm): cells ranked 1..mm
+                    out = {
+                        c: np.repeat(sub[c].to_numpy(), mm) for c in gcols
+                    }
+                    out["clabel"] = cell_arr[idx].ravel()
+                    out["d"] = np.take_along_axis(d, idx, axis=1).ravel()
+                    out["rn"] = np.tile(
+                        np.arange(1, mm + 1, dtype=np.int64), g
+                    )
+                    yield pd.DataFrame(out)[out_cols]
+                    continue
                 rn = np.empty_like(order)
                 np.put_along_axis(
                     rn, order, np.arange(1, d.shape[1] + 1), axis=1
                 )
-                g, k = d.shape
                 out = {c: np.repeat(sub[c].to_numpy(), k) for c in gcols}
                 out["clabel"] = np.tile(cell_arr, g)
                 out["d"] = d.ravel()
@@ -403,7 +469,7 @@ def _ivf_ranked(expl: DataFrame, cent: DataFrame, keep_label: bool = False):
     oracle=f"""
     WITH {_SQL_IVF_EXPL_CENT}, dists AS (
       SELECT e.vec_id, e.label, c.clabel,
-             SUM(CAST(ROUND((e.x - c.c) * (e.x - c.c) * 1000000000) AS BIGINT)) AS d
+             {_sql_coarse_d()} AS d
       FROM expl e JOIN cent c ON e.pos = c.pos
       GROUP BY e.vec_id, e.label, c.clabel
     )
@@ -428,7 +494,7 @@ def emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, linear in corpus size, independent of corpus×corpus."""
     expl, cent = _ivf_expl_cent(spark, sf_dir)
     return (
-        _ivf_ranked(expl, cent, keep_label=True)
+        _ivf_ranked(expl, cent, keep_label=True, max_rn=1)
         .filter(F.col("rn") == 1)
         .select(
             "vec_id",
@@ -481,7 +547,7 @@ def _standing_ivf_tables(
                        sort_cols=["clabel", "pos"])
         cent_t = spark.table(f"inc_ivf_cent_{tag}")
         inverted = (
-            _ivf_ranked(bexpl, cent_t)
+            _ivf_ranked(bexpl, cent_t, max_rn=1)
             .filter(F.col("rn") == 1)
             .select(F.col("vec_id").alias("nn_vec_id"), "clabel")
             .join(base.select(F.col("vec_id").alias("nn_vec_id"), "e"), "nn_vec_id")
@@ -510,7 +576,7 @@ def _standing_ivf_tables(
     ),
     bd AS (
       SELECT e.vec_id, c.clabel,
-             SUM(CAST(ROUND((e.x - c.c) * (e.x - c.c) * {_IVF_SCALE}) AS BIGINT)) AS d
+             {_sql_coarse_d()} AS d
       FROM bexpl e JOIN cent c ON e.pos = c.pos GROUP BY e.vec_id, c.clabel
     ),
     bassign AS (
@@ -520,7 +586,7 @@ def _standing_ivf_tables(
     ),
     dd AS (
       SELECT e.vec_id, c.clabel,
-             SUM(CAST(ROUND((e.x - c.c) * (e.x - c.c) * {_IVF_SCALE}) AS BIGINT)) AS d
+             {_sql_coarse_d()} AS d
       FROM dexpl e JOIN cent c ON e.pos = c.pos GROUP BY e.vec_id, c.clabel
     ),
     dassign AS (
@@ -569,7 +635,7 @@ def emb_incremental_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.posexplode("e").alias("pos0", "x")
     ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "x")
     delta_cell = (
-        _ivf_ranked(dexpl, cent)
+        _ivf_ranked(dexpl, cent, max_rn=1)
         .filter(F.col("rn") == 1)
         .select(
             F.col("vec_id").alias("probe_id"),
@@ -774,7 +840,7 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SQL_IVF_EXPL_CENT}, dists AS (
       SELECT e.vec_id, c.clabel,
-             SUM(CAST(ROUND((e.x - c.c) * (e.x - c.c) * 1000000000) AS BIGINT)) AS d
+             {_sql_coarse_d()} AS d
       FROM expl e JOIN cent c ON e.pos = c.pos
       GROUP BY e.vec_id, c.clabel
     ), assign AS (
@@ -803,7 +869,7 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     k×dim rows ever cross the cluster."""
     expl, cent = _ivf_expl_cent(spark, sf_dir)
     assign = (
-        _ivf_ranked(expl, cent)
+        _ivf_ranked(expl, cent, max_rn=1)
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("clabel").alias("cluster"))
     )
@@ -970,7 +1036,7 @@ IVF_NPROBE = 2
     oracle=f"""
     WITH {_SQL_IVF_EXPL_CENT}, dists AS (
       SELECT e.vec_id, c.clabel,
-             SUM(CAST(ROUND((e.x - c.c) * (e.x - c.c) * 1000000000) AS BIGINT)) AS d
+             {_sql_coarse_d()} AS d
       FROM expl e JOIN cent c ON e.pos = c.pos
       GROUP BY e.vec_id, c.clabel
     ), ranked AS (
@@ -1018,8 +1084,11 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings")
     expl, cent = _ivf_expl_cent(spark, sf_dir)
     # ranked feeds two consumers (assignment + probe cells): truncate so
-    # the distance kernel runs once
-    ranked = _ivf_ranked(expl, cent).localCheckpoint(eager=False)
+    # the distance kernel runs once; max_rn=nprobe bounds the checkpoint
+    # at N×nprobe rows regardless of cell count (assignment uses rn==1)
+    ranked = _ivf_ranked(expl, cent, max_rn=IVF_NPROBE).localCheckpoint(
+        eager=False
+    )
     assigned = ranked.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("cand_id"), F.col("clabel").alias("cell")
     )
@@ -1369,7 +1438,7 @@ _RES_SCALE = 1_000_000
 _SQL_IVFPQ_COMMON = f"""
     {_SQL_IVF_EXPL_CENT}, cdists AS (
       SELECT e.vec_id, c.clabel,
-             SUM(CAST(ROUND((e.x - c.c) * (e.x - c.c) * {_IVF_SCALE}) AS BIGINT)) AS d
+             {_sql_coarse_d()} AS d
       FROM expl e JOIN cent c ON e.pos = c.pos
       GROUP BY e.vec_id, c.clabel
     ), cranked AS (
@@ -1454,8 +1523,11 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     expl, cent = _ivf_expl_cent(spark, sf_dir)
     # ranked and resid each feed TWO consumers below (assignment + probe
     # cells; codebook + encoding) — truncate so the kernel/residual stages
-    # run once, not once per consumer
-    ranked = _ivf_ranked(expl, cent).localCheckpoint(eager=False)
+    # run once, not once per consumer; max_rn=nprobe bounds the checkpoint
+    # at N×nprobe rows regardless of cell count
+    ranked = _ivf_ranked(expl, cent, max_rn=IVF_NPROBE).localCheckpoint(
+        eager=False
+    )
     assigned = ranked.filter(F.col("rn") == 1).select(
         "vec_id", F.col("clabel").alias("cell")
     )
