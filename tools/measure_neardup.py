@@ -58,7 +58,16 @@ def main() -> None:
         for sf_name, sf_dir in sfs:
             clear_session_caches(spark)  # cold per measurement
             t0 = time.time()
-            n = registry.QUERIES[q](spark, sf_dir).count()
+            # hash(*) forces every output column to be COMPUTED (a bare
+            # count() lets Catalyst prune projection-only work — e.g. a
+            # window query with no filter collapses to the input count),
+            # while keeping the driver transfer at one row
+            row = (
+                registry.QUERIES[q](spark, sf_dir)
+                .selectExpr("count(1) AS n", "sum(hash(*)) AS h")
+                .first()
+            )
+            n = row["n"]
             w = round(time.time() - t0, 2)
             record["queries"][q][sf_name] = {"rows": n, "wall_sec": w}
             print(
