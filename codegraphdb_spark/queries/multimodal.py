@@ -113,9 +113,14 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature) → hash-groupBy dedup keeping the lowest doc_id.
 
     Scale: the decode is embarrassingly parallel over Arrow batches
-    (maxRecordsPerBatch bounds memory for large payloads); the dedup
-    shuffles 32-byte digests + scalars, never payloads — the same
-    100 TB-safe shape as doc_exact_dedup."""
+    (maxRecordsPerBatch bounds memory for large payloads); the DEDUP
+    shuffle moves 32-byte digests + scalars, never payloads — the same
+    100 TB-safe shape as doc_exact_dedup. Small-SF exception (ADVICE
+    r7): the _par_guard below fires only when the scan has fewer splits
+    than cores, and its round-robin DOES move the payloads once — the
+    price of parallelizing the decode on a narrow test scan. On a
+    production-wide scan the guard is a no-op and the never-shuffle-
+    payloads contract holds unconditionally."""
     d = load_table(spark, sf_dir, "documents")
     # _par_guard: the documents scan is a handful of splits at test SFs,
     # which would serialize the Arrow decode on 1-2 cores (at cluster

@@ -401,6 +401,14 @@ def _ivf_ranked(
     # integer dgemm per batch instead of a memory-bound (g, cells, dim)
     # difference tensor (measured 8-12x on the cells=2000 fixture)
     cq = np.trunc(cmat * _IVF_Q + np.copysign(0.5, cmat))  # HALF_UP
+    # Exactness needs every INTERMEDIATE (||xq||², ||cq||², xq·cq) < 2^53,
+    # not just the final d (ADVICE r7): a component bound of
+    # sqrt(2^53/DIM) guarantees each dot-product term sum stays exact.
+    in_bound = float(np.sqrt(2.0**53 / DIM))
+    assert np.abs(cq).max() <= in_bound, (
+        f"IVF quantized centroid component {np.abs(cq).max():.3e} > "
+        f"sqrt(2^53/{DIM}); intermediates may lose bits — lower _IVF_Q"
+    )
     cs = (cq * cq).sum(axis=1)  # (cells,) int-valued, < 2^53
 
     gcols = ["vec_id", "label"] if keep_label else ["vec_id"]
@@ -422,6 +430,10 @@ def _ivf_ranked(
                 sub = pdf.iloc[s : s + chunk]
                 m = np.stack(sub["xs"].values)  # (g, dim)
                 xq = np.trunc(m * _IVF_Q + np.copysign(0.5, m))  # HALF_UP
+                assert np.abs(xq).max() <= in_bound, (
+                    f"IVF quantized vector component {np.abs(xq).max():.3e}"
+                    f" > sqrt(2^53/{DIM}) — lower _IVF_Q"
+                )
                 # ||xq-cq||^2 = ||xq||^2 + ||cq||^2 - 2 xq.cq — every
                 # intermediate is an integer < 2^53, so the float64 BLAS
                 # matmul is exact integer arithmetic (guard below is a

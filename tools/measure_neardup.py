@@ -41,6 +41,9 @@ def main() -> None:
     args = sys.argv[1:]
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):  # ADVICE r7: trailing --json crashed
+            sys.exit("usage: measure_neardup.py [tag:dir ...] "
+                     "[--json OUT.json] [query ...]")
         json_out = args[i + 1]
         args = args[:i] + args[i + 2 :]
     pairs = [a for a in args if ":" in a]
