@@ -21,11 +21,15 @@ MAX_CC_ITERATIONS = 30
 # Hybrid threshold for duplicate_components, in PAIRS (edges). The
 # duplicate-pair set is candidates-only by construction (banded LSH / IVF
 # cells / label blocks upstream), so it is almost always tiny relative to
-# the corpus; under this limit one collect + an exact driver union-find
-# replaces O(diameter) join+agg+checkpoint rounds (~12+ actions). Above
-# it, the distributed min-label loop runs unchanged. Same stance and
-# proven pattern as closure.DRIVER_CLOSURE_LIMIT.
-DRIVER_CC_LIMIT = 200_000
+# the corpus; under this limit one Arrow collect + an exact driver
+# union-find replaces O(diameter) join+agg+checkpoint rounds (~12+
+# actions). Above it, the distributed min-label loop runs unchanged. Same
+# stance and proven pattern as closure.DRIVER_CLOSURE_LIMIT.
+# Sizing (r8): 1M pairs is ~16 MB over Arrow and ~300 MB of Python dicts
+# for the union-find — comfortably inside the 16g driver; the K=100
+# fixture's 273k pairs previously straddled the old 200k limit and paid
+# ~12 distributed fixpoint actions for a graph the driver labels in ~2 s.
+DRIVER_CC_LIMIT = 1_000_000
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -85,10 +89,19 @@ def duplicate_components(
     Above the limit: iterative min-label propagation — the standard Spark
     union-find approximation; converges in O(diameter) rounds, each a
     join+agg. Dup clusters are tiny (near-identical docs), so the
-    diameter is small."""
+    diameter is small.
+
+    r8: the pair set is materialized ONCE up front. The old shape ran the
+    candidate pipeline once for the limit probe and again for the edge
+    build (measured: doc_dup_clusters at the K=100 fixture paid the full
+    ~40 s pair computation twice); every downstream action — probe,
+    driver collect, or fixpoint edges — now reads the checkpoint."""
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
     if not force_distributed:
-        sample = pairs.select("doc_a", "doc_b").limit(DRIVER_CC_LIMIT + 1).collect()
-        if len(sample) <= DRIVER_CC_LIMIT:
+        # Arrow collect (toPandas) — ~10x the Row-list collect at the
+        # 1M-pair limit; the +1 row detects overflow without a count job
+        probe = pairs.limit(DRIVER_CC_LIMIT + 1).toPandas()
+        if len(probe) <= DRIVER_CC_LIMIT:
             spark = pairs.sparkSession
             from pyspark.sql.types import StructField, StructType
 
@@ -99,7 +112,9 @@ def duplicate_components(
                     StructField("component", id_type),
                 ]
             )
-            labeled = _driver_components(sample)
+            labeled = _driver_components(
+                list(zip(probe["doc_a"].tolist(), probe["doc_b"].tolist()))
+            )
             if not labeled:
                 return spark.createDataFrame([], schema)
             import pandas as pd
@@ -110,9 +125,6 @@ def duplicate_components(
                 pd.DataFrame(labeled, columns=["doc_id", "component"]),
                 schema=schema,
             )
-    # materialize once: the pair set is small relative to the corpus (it's
-    # the near-dup pairs), but its LINEAGE is the whole candidate pipeline —
-    # without truncation every fixpoint iteration would recompute it
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))

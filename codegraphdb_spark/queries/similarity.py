@@ -537,9 +537,28 @@ def _standing_ivf_tables(
     if key not in _INC_IVF_CACHE:
         import hashlib as _hl
 
-        from codegraphdb_spark.operators.bucketing import write_bucketed
+        from codegraphdb_spark.operators.bucketing import (
+            corpus_fingerprint,
+            record_fingerprint,
+            reuse_bucketed,
+            write_bucketed,
+        )
         from codegraphdb_spark.queries.graph import _evict_old
 
+        tag0 = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+        fp = corpus_fingerprint(sf_dir, "embeddings")
+        cent_r = reuse_bucketed(
+            spark, f"inc_ivf_cent_{tag0}", fp, ["clabel"], 2,
+            ["clabel", "pos"],
+        )
+        inv_r = reuse_bucketed(
+            spark, f"inc_ivf_{tag0}", fp, ["clabel"], 8,
+            ["clabel", "nn_vec_id"],
+        )
+        if cent_r is not None and inv_r is not None:
+            _INC_IVF_CACHE[key] = (inv_r, cent_r)
+            _evict_old(_INC_IVF_CACHE, keep=6)
+            return _INC_IVF_CACHE[key]
         v = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
         )
@@ -567,6 +586,8 @@ def _standing_ivf_tables(
         )
         write_bucketed(inverted, f"inc_ivf_{tag}", ["clabel"], 8,
                        sort_cols=["clabel", "nn_vec_id"])
+        record_fingerprint(spark, f"inc_ivf_cent_{tag}", fp)
+        record_fingerprint(spark, f"inc_ivf_{tag}", fp)
         _INC_IVF_CACHE[key] = (spark.table(f"inc_ivf_{tag}"), cent_t)
         _evict_old(_INC_IVF_CACHE, keep=6)
     return _INC_IVF_CACHE[key]

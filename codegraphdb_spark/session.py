@@ -62,9 +62,13 @@ def clear_session_caches(spark) -> None:
         graph._DEEP_CACHE,
         similarity._EMB_PAIRS_CACHE,
         text._PAIRS_CACHE,
-        text._OVERLAP_CACHE,
+        text._CONTAINMENT_CACHE,
         text._SHSETS_CACHE,
         text._OVL_INDEX_CACHE,
+        text._SPANS_CACHE,
+        text._INC_BANDS_CACHE,
+        similarity._INC_IVF_CACHE,
+        graph._CYCLE_FACTS_CACHE,
     ):
         cache.clear()
     spark.catalog.clearCache()

@@ -58,5 +58,8 @@ def test_overlap_family_probes_standing_posting_table(spark):
     # the corpus is never re-shingled inside the frame: the md5 Arrow
     # pass happens once, at index-build time
     assert plan.count("MapInPandas") == 0, plan.count("MapInPandas")
-    # sizes / doc-map come from their eager checkpoints
-    assert "Scan ExistingRDD" in plan
+    # sizes / doc-map come from their persisted standing tables (r8:
+    # previously eager checkpoints — now they survive sessions and the
+    # fingerprinted re-attach, so a fresh session probes, never rebuilds)
+    assert "ovl_size_" in plan
+    assert "ovl_docs_" in plan
