@@ -170,7 +170,26 @@ def _pruned_update_bench(spark, n_pkgs: int) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    # tolerate any fixture naming (sf0.1, testdata_sf10, k100_docs...):
+    # take the trailing number of the basename, else mark sf unknown
+    import re
+
+    m = re.search(r"(\d+(?:\.\d+)?)$", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else -1.0
+    # Host-state probe (r8): after hours of heavy runs this VM's
+    # hypervisor served FRESH pages at up to 64 ms/MB (healthy: <1),
+    # making every JVM 3-5x slower while raw CPU/syscalls/sequential IO
+    # stayed normal — a broad cross-query "regression" with no code
+    # cause. Record the fault rate with every bench run so a BENCH
+    # record carries its own host-state evidence and a degraded-host
+    # run is never mistaken for a plan regression.
+    import numpy as _np
+
+    _t0 = time.time()
+    _buf = _np.ones(250_000_000 // 8)
+    host_alloc_ms_per_mb = round((time.time() - _t0) / 250 * 1000, 2)
+    del _buf, _np
+
     registry.load_all()
     spark = get_spark("codegraphdb-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -259,10 +278,11 @@ def main() -> None:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
+    hygiene_every = int(os.environ.get("SPARK_GRAFT_HYGIENE_EVERY", "20"))
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     for i, (name, fn) in enumerate(sorted(registry.QUERIES.items())):
-        if i % 20 == 0:
+        if i % hygiene_every == 0:
             _heap_hygiene()
         t0 = time.time()
         fn(spark, sf_dir).collect()
@@ -321,6 +341,7 @@ def main() -> None:
         "standing_index_build_sec": standing_index_build_sec,
         "sf": sf,
         "cold": True,  # "queries" are first-run-in-session times
+        "host_fresh_alloc_ms_per_mb": host_alloc_ms_per_mb,
         "queries_warm": warm,
         "warm_total_sec": round(sum(warm.values()), 3),
         "pruned_update": pruned_rec,
@@ -336,6 +357,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "cold": True,
+        "host_alloc": host_alloc_ms_per_mb,
         "graph_build_sec": graph_build_sec,
         "standing_index_build_sec": standing_index_build_sec,
         "bench_file": "BENCH_local.json",
@@ -369,6 +391,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "cold": True,
+        "host_alloc": host_alloc_ms_per_mb,
         "n_queries": len(names),
         "graph_build_sec": graph_build_sec,
         "standing_index_build_sec": standing_index_build_sec,

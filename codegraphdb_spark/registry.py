@@ -49,7 +49,72 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # covers ALL queries regardless — the rotation only governs the driver's
 # independent record.
 _DRIVER_PRIORITY: list[str] = [
-    # ============ ROUND-7 WINDOW ========================================
+    # ============ ROUND-8 WINDOW ========================================
+    # Rotation rule (1): every query whose behavior round 8 touched —
+    # the exact-substring span family (Arrow gram kernel, 60-bit BIGINT
+    # keys, min<>max dup test, SQL twin re-keyed identically), every
+    # set-overlap consumer (filter pushdown below the doc-recovery
+    # joins, broadcast size joins, per-consumer caches replacing the raw
+    # 44M-pair _OVERLAP_CACHE), the union-find hybrid (single
+    # materialization + 1M-pair Arrow-collected driver path), and the
+    # standing-index fingerprint/reattach paths (overlap tables, minhash
+    # band table, frozen-IVF tables now survive sessions).
+    "doc_dup_spans",
+    "doc_dup_span_stats",
+    "doc_dup_span_scrub",
+    "ngram_jaccard_pairs",
+    "doc_containment_pairs",
+    "doc_minhash_jaccard_est",
+    "doc_dup_clusters",
+    "doc_dedup_keep_best",
+    "doc_dedup_funnel",
+    "doc_train_test_split",
+    "source_overlap_matrix",
+    "minhash_incremental_candidates",
+    "emb_incremental_ivf_probe",
+    # Rotation rule (2): longest outside the window — all 12 queries
+    # last green in r2, all 24 last green in r3 (the g_cypher_* /
+    # closure / decision-support vintage), and the alphabetically first
+    # r4 row to fill the 50th slot.
+    "g_override_edges",
+    "left_outer_orders_per_customer",
+    "moments_exact",
+    "percentiles_by_segment",
+    "pivot_status_by_segment",
+    "point_lookup",
+    "scan_filter_project",
+    "semi_join_active_customers",
+    "set_except_all",
+    "set_intersect_all",
+    "set_union_distinct",
+    "window_rank_lag_running",
+    "cube_returns_report",
+    "doc_chunk_windows",
+    "doc_decontaminate",
+    "doc_pack_sequences",
+    "doc_repetition_filter",
+    "events_gap_fill_locf",
+    "events_retention_cohorts",
+    "g_call_closure",
+    "g_call_edges",
+    "g_cypher_code",
+    "g_cypher_exists_skip",
+    "g_cypher_extended",
+    "g_cypher_match",
+    "g_cypher_optional",
+    "g_cypher_varlen",
+    "g_cypher_with",
+    "g_degree_centrality",
+    "g_inherit_components",
+    "g_inherits_edges",
+    "g_reexport_contains",
+    "g_uses_edges",
+    "g_version_diff",
+    "rollup_orders_report",
+    "window_distribution_ranks",
+    "best_balance_part_supplier",
+    # ================== r8 50-query window boundary =====================
+    # ============ ROUND-7 WINDOW (previous) =============================
     # Rotation rule (1): every query whose behavior round 7 touched —
     # the set-overlap family (posting-list standing index, join-free
     # in-array pair counting, two-BIGINT set keys), every consumer of the
