@@ -33,6 +33,7 @@ def main() -> None:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     per_run: list[dict[str, float]] = []
+    host_allocs: list[float] = []
     graph_builds: list[float] = []
     standing_builds: list[float] = []
     for i in range(runs):
@@ -53,6 +54,7 @@ def main() -> None:
         with open(os.path.join(HERE, "BENCH_local.json")) as fh:
             rec = json.load(fh)
         per_run.append(rec["queries"])
+        host_allocs.append(rec.get("host_fresh_alloc_ms_per_mb"))
         graph_builds.append(rec.get("graph_build_sec", 0.0))
         standing_builds.append(rec.get("standing_index_build_sec", 0.0))
         print(
@@ -76,6 +78,10 @@ def main() -> None:
         "standing_index_build_sec_median": round(
             statistics.median(standing_builds), 3
         ),
+        # host-state context (bench.py probe): fresh-page allocation
+        # cost per run — readers of these medians need to know what
+        # machine state produced them (see STATUS.md host incident)
+        "host_fresh_alloc_ms_per_mb_per_run": host_allocs,
         "queries": medians,
     }
     path = os.path.join(HERE, "BASELINE_QUERIES.json")
