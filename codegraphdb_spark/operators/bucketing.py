@@ -160,11 +160,15 @@ def reuse_bucketed(
     sort_clause = (
         f"SORTED BY ({', '.join(sort_cols)}) " if sort_cols else ""
     )
-    spark.sql(
-        f"CREATE TABLE {table} ({ddl}) USING parquet "
-        f"CLUSTERED BY ({', '.join(bucket_cols)}) {sort_clause}"
-        f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
-    )
+    try:
+        spark.sql(
+            f"CREATE TABLE {table} ({ddl}) USING parquet "
+            f"CLUSTERED BY ({', '.join(bucket_cols)}) {sort_clause}"
+            f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+        )
+    except Exception:  # noqa: BLE001 — concurrent attacher won the CREATE
+        if not spark.catalog.tableExists(table):
+            raise
     return spark.table(table)
 
 
