@@ -251,12 +251,16 @@ def main() -> None:
     from codegraphdb_spark.queries.similarity import _standing_ivf_tables
     from codegraphdb_spark.queries.text import (
         _standing_band_table,
+        _standing_minhash_sigs,
         _standing_overlap_index,
+        _standing_simhash60,
     )
 
     t0 = time.time()
     _standing_overlap_index(spark, sf_dir)
+    _standing_minhash_sigs(spark, sf_dir)
     _standing_band_table(spark, sf_dir)
+    _standing_simhash60(spark, sf_dir)
     _standing_ivf_tables(spark, sf_dir)
     standing_index_build_sec = round(time.time() - t0, 3)
 

@@ -970,6 +970,47 @@ def _minhash_sigs_pandas(docs: DataFrame) -> DataFrame:
 
 
 
+_MH_SIGS_CACHE: dict = {}
+
+
+def _standing_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED full-corpus MinHash signatures (doc_id, sig[16]) — the
+    signature pass is the single most expensive stage of every minhash
+    consumer (an Arrow md5-per-shingle pass over the whole text), while
+    the artifact is 16 BIGINTs per document: exactly the
+    expensive-to-regenerate / cheap-to-scan profile where a standing
+    table pays (contrast: the candidate pair-count table measured a
+    wash and was reverted — see STATUS r8). Built once per corpus at
+    indexing time, fingerprint-reattached across sessions (the
+    inc_bands_* discipline); the ingest path still signs only its DELTA."""
+    key = (spark, sf_dir)
+    if key not in _MH_SIGS_CACHE:
+        import hashlib as _hl
+
+        from codegraphdb_spark.operators.bucketing import (
+            corpus_fingerprint,
+            record_fingerprint,
+            reuse_bucketed,
+            write_bucketed,
+        )
+        from codegraphdb_spark.queries.graph import _evict_old
+
+        name = f"mh_sigs_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+        fp = corpus_fingerprint(sf_dir, "documents")
+        t = reuse_bucketed(spark, name, fp, ["doc_id"], 8, ["doc_id"])
+        if t is None:
+            d = load_table(spark, sf_dir, "documents")
+            write_bucketed(
+                _minhash_sigs_pandas(d), name, ["doc_id"], 8,
+                sort_cols=["doc_id"],
+            )
+            record_fingerprint(spark, name, fp)
+            t = spark.table(name)
+        _MH_SIGS_CACHE[key] = t
+        _evict_old(_MH_SIGS_CACHE, keep=6)
+    return _MH_SIGS_CACHE[key]
+
+
 ROWS_PER_BAND = NUM_MINHASH // LSH_BANDS
 
 
@@ -1063,10 +1104,13 @@ def _standing_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp = corpus_fingerprint(sf_dir, "documents")
         t = reuse_bucketed(spark, name, fp, ["band_key"], 8, ["band_key"])
         if t is None:
-            d = load_table(spark, sf_dir, "documents").filter(
+            # derive from the standing full-corpus signature table (one
+            # sign pass per corpus serves BOTH the band index and every
+            # full-corpus minhash consumer)
+            base = _standing_minhash_sigs(spark, sf_dir).filter(
                 F.col("doc_id") % 10 != 0
             )
-            bands = _band_signatures(_minhash_sigs_pandas(d))
+            bands = _band_signatures(base)
             write_bucketed(bands, name, ["band_key"], 8, sort_cols=["band_key"])
             record_fingerprint(spark, name, fp)
             t = spark.table(name)
@@ -1151,11 +1195,11 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signatures come from the vectorized numpy stage (identical arithmetic
     to the SQL-expressible formulation kept in ``_minhash_sig``, which the
     DuckDB oracle mirrors); banding/join stay declarative."""
-    d = load_table(spark, sf_dir, "documents")
-    # lazy checkpoint: the band self-join references this subtree on BOTH
-    # sides, and without truncation each side re-runs the Python signature
-    # stage — the single most expensive stage in the query
-    sigs = _minhash_sigs_pandas(d).localCheckpoint(eager=False)
+    # r8b: signatures come from the standing table (built once per
+    # corpus at indexing time, reattached across sessions) — both sides
+    # of the band self-join scan the bucketed table, zero Python stages
+    # in the query plan
+    sigs = _standing_minhash_sigs(spark, sf_dir)
     return lsh_candidate_pairs(sigs).orderBy("doc_a", "doc_b")
 
 
@@ -1294,6 +1338,79 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash60_pandas(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) 60-bit SimHash Arrow kernel — majority vote per
+    bit over distinct-token 60-bit md5-prefix hashes, with a per-task
+    vocabulary memo (natural-language tokens repeat across documents)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    n_bits = SIMHASH_PAIR_BITS
+
+    def batches(it):
+        weights = 1 << np.arange(n_bits, dtype=np.int64)
+        memo: dict[str, int] = {}  # per-task vocabulary memo (see 28-bit pass)
+
+        def h(t: str) -> int:
+            v = memo.get(t)
+            if v is None:
+                v = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                memo[t] = v
+            return v
+
+        for pdf in it:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = dict.fromkeys(text.split(" "))  # distinct, order-free
+                hs = np.array([h(t) for t in toks], dtype=np.int64)
+                bits = (hs[:, None] >> np.arange(n_bits)) & 1
+                votes = (bits * 2 - 1).sum(axis=0)
+                fps.append(int(weights[votes > 0].sum()))
+                ids.append(doc_id)
+            yield pd.DataFrame({"doc_id": ids, "simhash": fps})
+
+    return _par_guard(docs.select("doc_id", "text")).mapInPandas(
+        batches, schema="doc_id BIGINT, simhash BIGINT"
+    )
+
+
+_SIM60_CACHE: dict = {}
+
+
+def _standing_simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED 60-bit SimHash fingerprints — same rationale and
+    discipline as _standing_minhash_sigs (expensive Arrow pass, 8-byte
+    artifact per document, corpus-fingerprinted cross-session reattach)."""
+    key = (spark, sf_dir)
+    if key not in _SIM60_CACHE:
+        import hashlib as _hl
+
+        from codegraphdb_spark.operators.bucketing import (
+            corpus_fingerprint,
+            record_fingerprint,
+            reuse_bucketed,
+            write_bucketed,
+        )
+        from codegraphdb_spark.queries.graph import _evict_old
+
+        name = f"sim60_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+        fp = corpus_fingerprint(sf_dir, "documents")
+        t = reuse_bucketed(spark, name, fp, ["doc_id"], 8, ["doc_id"])
+        if t is None:
+            d = load_table(spark, sf_dir, "documents")
+            write_bucketed(
+                _simhash60_pandas(d), name, ["doc_id"], 8,
+                sort_cols=["doc_id"],
+            )
+            record_fingerprint(spark, name, fp)
+            t = spark.table(name)
+        _SIM60_CACHE[key] = t
+        _evict_old(_SIM60_CACHE, keep=6)
+    return _SIM60_CACHE[key]
+
+
 SIMHASH_PAIR_BITS = 60          # 4 bands x 15 bits; md5[:15] fits int64
 SIMHASH_PAIR_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_PAIR_BITS // SIMHASH_PAIR_BANDS
@@ -1411,44 +1528,11 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference behavior: content-similarity dedup over document text
     (same family as minhash/ngram; fingerprint arithmetic mirrors the
     SQL-expressible formulation the oracle recomputes)."""
-    import hashlib
-
-    import numpy as np
-    import pandas as pd
-
-    n_bits = SIMHASH_PAIR_BITS
-
-    def batches(it):
-        weights = 1 << np.arange(n_bits, dtype=np.int64)
-        memo: dict[str, int] = {}  # per-task vocabulary memo (see 28-bit pass)
-
-        def h(t: str) -> int:
-            v = memo.get(t)
-            if v is None:
-                v = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
-                memo[t] = v
-            return v
-
-        for pdf in it:
-            ids, fps = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = dict.fromkeys(text.split(" "))  # distinct, order-free
-                hs = np.array([h(t) for t in toks], dtype=np.int64)
-                bits = (hs[:, None] >> np.arange(n_bits)) & 1
-                votes = (bits * 2 - 1).sum(axis=0)
-                fps.append(int(weights[votes > 0].sum()))
-                ids.append(doc_id)
-            yield pd.DataFrame({"doc_id": ids, "simhash": fps})
-
-    d = load_table(spark, sf_dir, "documents")
-    # lazy checkpoint: the fingerprint stage is referenced by the distinct
-    # VALUE side and twice by the doc-expansion joins — truncate so the
-    # Python stage runs once (minhash precedent)
-    fp = (
-        _par_guard(d.select("doc_id", "text"))
-        .mapInPandas(batches, schema="doc_id BIGINT, simhash BIGINT")
-        .localCheckpoint(eager=False)
-    )
+    # r8b: the 60-bit fingerprints come from the standing table (one
+    # Arrow pass per corpus, at indexing time, reattached across
+    # sessions) — the value side and both doc-expansion joins all scan
+    # the bucketed table, zero Python stages in the query plan
+    fp = _standing_simhash60(spark, sf_dir)
     # FINGERPRINT-VALUE collapse (bounded-block work, VERDICT r5 item 2):
     # duplicate-heavy corpora put thousands of byte-identical docs on ONE
     # fingerprint; banding doc rows makes every such bucket quadratic in
@@ -2323,8 +2407,7 @@ def doc_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     set-pair counts — the raw quadratic candidate frame is never built);
     the estimate side is the same banded-LSH join as
     minhash_lsh_candidates."""
-    d = load_table(spark, sf_dir, "documents")
-    sigs = _minhash_sigs_pandas(d).localCheckpoint(eager=False)
+    sigs = _standing_minhash_sigs(spark, sf_dir)
     cand = lsh_candidate_pairs(sigs).localCheckpoint(eager=False)
     _, _, docsmap = _standing_overlap_index(spark, sf_dir)
     ka, kb = docsmap.alias("ka"), docsmap.alias("kb")

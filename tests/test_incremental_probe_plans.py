@@ -63,3 +63,25 @@ def test_overlap_family_probes_standing_posting_table(spark):
     # fingerprinted re-attach, so a fresh session probes, never rebuilds)
     assert "ovl_size_" in plan
     assert "ovl_docs_" in plan
+
+
+def test_minhash_and_simhash_probe_standing_signature_tables(spark):
+    """r8b: the full-corpus minhash/simhash queries must read their
+    PERSISTED signature tables (one Arrow sign pass per corpus, at
+    indexing time) — zero Python stages in the query plans."""
+    from codegraphdb_spark import registry
+
+    registry.load_all()
+    # (doc_minhash_jaccard_est reads the same standing sigs but its
+    # candidate frame is lineage-truncated by a lazy checkpoint, so the
+    # table scan doesn't appear in ITS plan — covered via lsh_candidates)
+    for q, table in (
+        ("minhash_lsh_candidates", "mh_sigs_"),
+        ("simhash_near_dup_pairs", "sim60_"),
+    ):
+        df = registry.QUERIES[q](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert table in plan, f"{q}: standing table {table} not in plan"
+        assert plan.count("MapInPandas") == 0, (
+            f"{q}: corpus re-signed in the query plan"
+        )
