@@ -71,15 +71,43 @@ def write_bucketed(
     writer.mode(mode).format("parquet").saveAsTable(table)
 
 
-def corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
+def index_params_token(*parts) -> str:
+    """Version token for a standing index: md5 over the SOURCE of the
+    kernel functions and the repr of the constants that produced the
+    persisted artifact. Folded into the corpus fingerprint so any change
+    to a signature kernel or its parameters (NUM_MINHASH, NGRAM_DF_CAP,
+    band layout, quantizer scale, ...) flips the fingerprint and forces a
+    REBUILD in later sessions — without this, a code change would
+    silently re-attach a stale, incompatible persisted table and serve
+    wrong results with no error (ADVICE r8). Hashing the source is
+    deliberately over-sensitive (a comment edit rebuilds): rebuilds are
+    cheap and loud, stale attaches are silent and wrong."""
+    import hashlib
+    import inspect
+
+    h = hashlib.md5()
+    for p in parts:
+        if callable(p):
+            h.update(inspect.getsource(p).encode())
+        else:
+            h.update(repr(p).encode())
+    return h.hexdigest()
+
+
+def corpus_fingerprint(
+    sf_dir: str, table: str = "documents", params: str = ""
+) -> str:
     """Cheap content fingerprint of a fixture parquet input: md5 of the
-    sorted (relative path, size, mtime_ns) listing. Standing-index tables
-    record it at build time (sidecar ``_corpus_fp.json``) so a LATER
-    session can prove the persisted index still matches its input and
-    re-attach instead of rebuilding (the session catalog is in-memory;
-    only the warehouse directory survives). Local-FS stat walk — on a
-    real cluster the same triple comes from one FileSystem listing of the
-    input root."""
+    sorted (relative path, size, mtime_ns) listing, salted with
+    ``params`` (an index_params_token covering the kernel code/constants
+    that build the table — input alone is NOT enough to prove a
+    persisted index is still valid). Standing-index tables record it at
+    build time (sidecar ``_corpus_fp.json``) so a LATER session can
+    prove the persisted index still matches its input AND its algorithm
+    and re-attach instead of rebuilding (the session catalog is
+    in-memory; only the warehouse directory survives). Local-FS stat
+    walk — on a real cluster the same triple comes from one FileSystem
+    listing of the input root."""
     import hashlib
     import json
     import os
@@ -97,7 +125,9 @@ def corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
     else:
         st = os.stat(root)
         entries.append((os.path.basename(root), st.st_size, st.st_mtime_ns))
-    return hashlib.md5(json.dumps(sorted(entries)).encode()).hexdigest()
+    return hashlib.md5(
+        json.dumps([sorted(entries), params]).encode()
+    ).hexdigest()
 
 
 def _table_location(spark: SparkSession, table: str) -> str:
@@ -107,22 +137,79 @@ def _table_location(spark: SparkSession, table: str) -> str:
     return f"{warehouse}/{table.lower()}"
 
 
-def record_fingerprint(spark: SparkSession, table: str, fingerprint: str) -> None:
+def record_fingerprint(
+    spark: SparkSession,
+    table: str,
+    fingerprint: str,
+    bucket_cols: list[str] | None = None,
+    n_buckets: int | None = None,
+) -> None:
     """Sidecar ``_corpus_fp.json`` inside the table directory (leading
     underscore — Spark's input listing ignores it, like _SUCCESS).
     Written through the FileSystem API so the pattern holds on any
-    Hadoop-compatible warehouse, not just local disk."""
+    Hadoop-compatible warehouse, not just local disk. The bucket spec is
+    recorded alongside the fingerprint: attaching files written with one
+    spec under a DIFFERENT declared spec would silently mis-route
+    bucketed joins, so reuse_bucketed refuses any spec mismatch."""
     import json
 
     loc = _table_location(spark, table)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(f"{loc}/_corpus_fp.json")
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    payload = {"fp": fingerprint}
+    if bucket_cols is not None:
+        payload["bucket_cols"] = list(bucket_cols)
+    if n_buckets is not None:
+        payload["n_buckets"] = int(n_buckets)
     out = fs.create(hpath, True)
     try:
-        out.write(bytearray(json.dumps({"fp": fingerprint}).encode()))
+        out.write(bytearray(json.dumps(payload).encode()))
     finally:
         out.close()
+
+
+def _read_sidecar(spark: SparkSession, loc: str) -> dict | None:
+    """Read the fingerprint sidecar through the Hadoop FileSystem API
+    (NOT local os.path — on a non-local warehouse a local-FS probe would
+    silently never fire and the attach path would always rebuild)."""
+    import json
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{loc}/_corpus_fp.json")
+    try:
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return None
+        stream = fs.open(hpath)
+        try:
+            # py4j passes bytearrays by value, so readFully can't fill a
+            # Python buffer — drain the stream JVM-side instead
+            txt = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return json.loads(txt)
+    except Exception:  # noqa: BLE001 — unreadable sidecar == no sidecar
+        return None
+
+
+def _catalog_bucket_spec(
+    spark: SparkSession, table: str
+) -> tuple[list[str], int] | None:
+    """(bucket_cols, n_buckets) of an existing catalog table, parsed from
+    DESCRIBE FORMATTED; None when the table is not bucketed."""
+    rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    cols, n = None, None
+    for r in rows:
+        if r[0] == "Num Buckets":
+            n = int(r[1])
+        elif r[0] == "Bucket Columns":
+            cols = [c.strip(" `") for c in r[1].strip("[]").split(",")]
+    if cols is None or n is None:
+        return None
+    return cols, n
 
 
 def reuse_bucketed(
@@ -140,21 +227,26 @@ def reuse_bucketed(
     is registered over the surviving warehouse directory (schema inferred
     from the parquet footers, bucket spec re-declared — bucket-file
     naming is the writer's, so co-located joins stay Exchange-free;
-    verified by the attach plan test)."""
-    import json
-    import os
+    verified by the attach plan test).
 
+    Refusal conditions (each forces a rebuild): fingerprint mismatch
+    (input OR kernel params changed — see corpus_fingerprint's params
+    salt), sidecar missing/unreadable, sidecar bucket spec differing
+    from the requested one (files hashed under one spec must never be
+    declared under another), legacy sidecar without a recorded spec, and
+    an in-session catalog entry whose actual bucket spec differs from
+    the request."""
     loc = _table_location(spark, table)
-    side = f"{loc}/_corpus_fp.json"
-    if not os.path.exists(side):
+    side = _read_sidecar(spark, loc)
+    if side is None or side.get("fp") != fingerprint:
         return None
-    try:
-        with open(side) as fh:
-            if json.load(fh).get("fp") != fingerprint:
-                return None
-    except (OSError, ValueError):
+    if side.get("bucket_cols") != list(bucket_cols) or side.get(
+        "n_buckets"
+    ) != int(n_buckets):
         return None
     if spark.catalog.tableExists(table):
+        if _catalog_bucket_spec(spark, table) != (list(bucket_cols), int(n_buckets)):
+            return None
         return spark.table(table)
     ddl = spark.read.parquet(loc)._jdf.schema().toDDL()
     sort_clause = (

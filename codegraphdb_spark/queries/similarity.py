@@ -539,6 +539,7 @@ def _standing_ivf_tables(
 
         from codegraphdb_spark.operators.bucketing import (
             corpus_fingerprint,
+            index_params_token,
             record_fingerprint,
             reuse_bucketed,
             write_bucketed,
@@ -546,7 +547,13 @@ def _standing_ivf_tables(
         from codegraphdb_spark.queries.graph import _evict_old
 
         tag0 = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-        fp = corpus_fingerprint(sf_dir, "embeddings")
+        fp = corpus_fingerprint(
+            sf_dir,
+            "embeddings",
+            params=index_params_token(
+                "inc_ivf/v1", _ivf_ranked, _IVF_SCALE, "base=vec_id%10!=0"
+            ),
+        )
         cent_r = reuse_bucketed(
             spark, f"inc_ivf_cent_{tag0}", fp, ["clabel"], 2,
             ["clabel", "pos"],
@@ -586,8 +593,8 @@ def _standing_ivf_tables(
         )
         write_bucketed(inverted, f"inc_ivf_{tag}", ["clabel"], 8,
                        sort_cols=["clabel", "nn_vec_id"])
-        record_fingerprint(spark, f"inc_ivf_cent_{tag}", fp)
-        record_fingerprint(spark, f"inc_ivf_{tag}", fp)
+        record_fingerprint(spark, f"inc_ivf_cent_{tag}", fp, ["clabel"], 2)
+        record_fingerprint(spark, f"inc_ivf_{tag}", fp, ["clabel"], 8)
         _INC_IVF_CACHE[key] = (spark.table(f"inc_ivf_{tag}"), cent_t)
         _evict_old(_INC_IVF_CACHE, keep=6)
     return _INC_IVF_CACHE[key]

@@ -558,6 +558,7 @@ def _standing_overlap_index(
 
         from codegraphdb_spark.operators.bucketing import (
             corpus_fingerprint,
+            index_params_token,
             record_fingerprint,
             reuse_bucketed,
             write_bucketed,
@@ -565,7 +566,13 @@ def _standing_overlap_index(
         from codegraphdb_spark.queries.graph import _evict_old
 
         tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-        fp = corpus_fingerprint(sf_dir, "documents")
+        fp = corpus_fingerprint(
+            sf_dir,
+            "documents",
+            params=index_params_token(
+                "ovl/v1", _overlap_index_frames, _overlap_postings, NGRAM_DF_CAP
+            ),
+        )
         specs = {
             "post": (f"ovl_post_{tag}", ["shingle"], 16, ["shingle"]),
             "size": (f"ovl_size_{tag}", ["k1"], 4, ["k1", "k2"]),
@@ -587,7 +594,7 @@ def _standing_overlap_index(
             }
             for k, (name, bcols, n, scols) in specs.items():
                 write_bucketed(frames[k], name, bcols, n, sort_cols=scols)
-                record_fingerprint(spark, name, fp)
+                record_fingerprint(spark, name, fp, bcols, n)
             attached = {k: spark.table(specs[k][0]) for k in specs}
         _OVL_INDEX_CACHE[key] = (
             attached["post"],
@@ -989,6 +996,7 @@ def _standing_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from codegraphdb_spark.operators.bucketing import (
             corpus_fingerprint,
+            index_params_token,
             record_fingerprint,
             reuse_bucketed,
             write_bucketed,
@@ -996,7 +1004,13 @@ def _standing_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         from codegraphdb_spark.queries.graph import _evict_old
 
         name = f"mh_sigs_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
-        fp = corpus_fingerprint(sf_dir, "documents")
+        fp = corpus_fingerprint(
+            sf_dir,
+            "documents",
+            params=index_params_token(
+                "mh_sigs/v1", _minhash_sigs_pandas, NUM_MINHASH
+            ),
+        )
         t = reuse_bucketed(spark, name, fp, ["doc_id"], 8, ["doc_id"])
         if t is None:
             d = load_table(spark, sf_dir, "documents")
@@ -1004,7 +1018,7 @@ def _standing_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _minhash_sigs_pandas(d), name, ["doc_id"], 8,
                 sort_cols=["doc_id"],
             )
-            record_fingerprint(spark, name, fp)
+            record_fingerprint(spark, name, fp, ["doc_id"], 8)
             t = spark.table(name)
         _MH_SIGS_CACHE[key] = t
         _evict_old(_MH_SIGS_CACHE, keep=6)
@@ -1078,6 +1092,32 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 _INC_BANDS_CACHE: dict = {}
 
 
+def _bands_fingerprint(sf_dir: str) -> str:
+    """Fingerprint of the standing band table: input listing salted with
+    the banding/signature kernel sources and constants, so a kernel or
+    constant change invalidates the persisted table instead of silently
+    re-attaching an incompatible one. Shared with
+    tests/test_standing_reuse.py so the test probes the exact fingerprint
+    the build records."""
+    from codegraphdb_spark.operators.bucketing import (
+        corpus_fingerprint,
+        index_params_token,
+    )
+
+    return corpus_fingerprint(
+        sf_dir,
+        "documents",
+        params=index_params_token(
+            "inc_bands/v1",
+            _band_signatures,
+            _minhash_sigs_pandas,
+            NUM_MINHASH,
+            LSH_BANDS,
+            "base=doc_id%10!=0",
+        ),
+    )
+
+
 def _standing_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERSISTED band bucket table for the standing corpus (doc_id % 10
     != 0 — the base partition ingest probes against), built once per
@@ -1093,7 +1133,6 @@ def _standing_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         import hashlib as _hl
 
         from codegraphdb_spark.operators.bucketing import (
-            corpus_fingerprint,
             record_fingerprint,
             reuse_bucketed,
             write_bucketed,
@@ -1101,7 +1140,7 @@ def _standing_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         from codegraphdb_spark.queries.graph import _evict_old
 
         name = f"inc_bands_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
-        fp = corpus_fingerprint(sf_dir, "documents")
+        fp = _bands_fingerprint(sf_dir)
         t = reuse_bucketed(spark, name, fp, ["band_key"], 8, ["band_key"])
         if t is None:
             # derive from the standing full-corpus signature table (one
@@ -1112,7 +1151,7 @@ def _standing_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             bands = _band_signatures(base)
             write_bucketed(bands, name, ["band_key"], 8, sort_cols=["band_key"])
-            record_fingerprint(spark, name, fp)
+            record_fingerprint(spark, name, fp, ["band_key"], 8)
             t = spark.table(name)
         _INC_BANDS_CACHE[key] = t
         _evict_old(_INC_BANDS_CACHE, keep=6)
@@ -1389,6 +1428,7 @@ def _standing_simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from codegraphdb_spark.operators.bucketing import (
             corpus_fingerprint,
+            index_params_token,
             record_fingerprint,
             reuse_bucketed,
             write_bucketed,
@@ -1396,7 +1436,13 @@ def _standing_simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
         from codegraphdb_spark.queries.graph import _evict_old
 
         name = f"sim60_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
-        fp = corpus_fingerprint(sf_dir, "documents")
+        fp = corpus_fingerprint(
+            sf_dir,
+            "documents",
+            params=index_params_token(
+                "sim60/v1", _simhash60_pandas, SIMHASH_PAIR_BITS
+            ),
+        )
         t = reuse_bucketed(spark, name, fp, ["doc_id"], 8, ["doc_id"])
         if t is None:
             d = load_table(spark, sf_dir, "documents")
@@ -1404,7 +1450,7 @@ def _standing_simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _simhash60_pandas(d), name, ["doc_id"], 8,
                 sort_cols=["doc_id"],
             )
-            record_fingerprint(spark, name, fp)
+            record_fingerprint(spark, name, fp, ["doc_id"], 8)
             t = spark.table(name)
         _SIM60_CACHE[key] = t
         _evict_old(_SIM60_CACHE, keep=6)

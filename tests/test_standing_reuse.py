@@ -19,17 +19,17 @@ _DRIVER = """
 import json, sys, time
 sys.path.insert(0, {repo!r})
 from codegraphdb_spark.session import get_spark
-from codegraphdb_spark.operators.bucketing import (
-    corpus_fingerprint, reuse_bucketed,
-)
+from codegraphdb_spark.operators.bucketing import reuse_bucketed
 spark = get_spark("standing-reuse-test", cpus=4)
 spark.sparkContext.setLogLevel("ERROR")
 sf_dir = {sf_dir!r}
 import hashlib
 name = "inc_bands_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-fp = corpus_fingerprint(sf_dir, "documents")
+from codegraphdb_spark.queries.text import (
+    _bands_fingerprint, _standing_band_table,
+)
+fp = _bands_fingerprint(sf_dir)
 pre = reuse_bucketed(spark, name, fp, ["band_key"], 8, ["band_key"])
-from codegraphdb_spark.queries.text import _standing_band_table
 t0 = time.time()
 t = _standing_band_table(spark, sf_dir)
 out = dict(
@@ -94,10 +94,80 @@ def test_band_table_reattaches_and_invalidates(tmp_path):
     assert third["rows"] == first["rows"]
 
     # hygiene: tmp_path-keyed table names are unique per run — remove the
-    # orphan warehouse dir so repeated test runs don't accumulate
+    # orphan warehouse dirs (the band-table build also persists the
+    # mh_sigs_<tag> signature table it derives from) so repeated test
+    # runs don't accumulate
     import hashlib
 
-    name = "inc_bands_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    shutil.rmtree(
-        os.path.join(REPO, "spark-warehouse", name), ignore_errors=True
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    for prefix in ("inc_bands_", "mh_sigs_"):
+        shutil.rmtree(
+            os.path.join(REPO, "spark-warehouse", prefix + tag),
+            ignore_errors=True,
+        )
+
+
+def test_reuse_refusal_conditions(spark, tmp_path):
+    """r9 (ADVICE r8): the attach path must refuse — and thereby force a
+    rebuild — when the kernel params change (fingerprint salt), when the
+    requested bucket spec differs from the recorded one, and when a
+    legacy sidecar lacks a recorded spec entirely."""
+    import json
+
+    from codegraphdb_spark.operators.bucketing import (
+        _table_location,
+        corpus_fingerprint,
+        index_params_token,
+        record_fingerprint,
+        reuse_bucketed,
+        write_bucketed,
     )
+
+    fixture = tmp_path / "in"
+    fixture.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet",
+        fixture / "documents.parquet",
+    )
+    sf_dir = str(fixture)
+
+    fp_a = corpus_fingerprint(sf_dir, "documents", params="kernel/v1")
+    fp_b = corpus_fingerprint(sf_dir, "documents", params="kernel/v2")
+    assert fp_a != fp_b, "params salt must flip the fingerprint"
+
+    table = "reuse_refusal_probe"
+    df = spark.range(20).selectExpr("id AS doc_id", "id * 3 AS v")
+    write_bucketed(df, table, ["doc_id"], 4, sort_cols=["doc_id"])
+    record_fingerprint(spark, table, fp_a, ["doc_id"], 4)
+    loc = _table_location(spark, table)
+    try:
+        # matching everything -> attach
+        assert reuse_bucketed(spark, table, fp_a, ["doc_id"], 4) is not None
+        # changed kernel params -> refuse (the silent-stale-attach bug)
+        assert reuse_bucketed(spark, table, fp_b, ["doc_id"], 4) is None
+        # bucket-count mismatch -> refuse (files hashed under one spec
+        # must never be declared under another)
+        assert reuse_bucketed(spark, table, fp_a, ["doc_id"], 8) is None
+        # bucket-column mismatch -> refuse
+        assert reuse_bucketed(spark, table, fp_a, ["v"], 4) is None
+        # legacy sidecar (fp only, no spec recorded) -> refuse
+        with open(os.path.join(loc, "_corpus_fp.json"), "w") as fh:
+            json.dump({"fp": fp_a}, fh)
+        assert reuse_bucketed(spark, table, fp_a, ["doc_id"], 4) is None
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_index_params_token_tracks_source():
+    from codegraphdb_spark.operators.bucketing import index_params_token
+
+    def k1(x):
+        return x + 1
+
+    def k2(x):
+        return x + 2
+
+    assert index_params_token("v1", k1, 16) == index_params_token("v1", k1, 16)
+    assert index_params_token("v1", k1, 16) != index_params_token("v1", k2, 16)
+    assert index_params_token("v1", k1, 16) != index_params_token("v1", k1, 32)
