@@ -425,6 +425,7 @@ def _pair_overlap_uncached(
     df_cap: int = NGRAM_DF_CAP,
     set_keep=None,
     set_pairs: DataFrame | None = None,
+    set_pairs_rows: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, nsh_a, nsh_b, n_common) for every document pair with
     at least one shared (df-capped) shingle — the frame all set-overlap
@@ -481,7 +482,12 @@ def _pair_overlap_uncached(
         sizes = capped.groupBy("k1", "k2").agg(F.count(F.lit(1)).alias("nsh"))
         docs = docs.localCheckpoint(eager=False)
     return _pairs_from_overlap_index(
-        postings, sizes, docs, set_keep=set_keep, set_pairs=set_pairs
+        postings,
+        sizes,
+        docs,
+        set_keep=set_keep,
+        set_pairs=set_pairs,
+        set_pairs_rows=set_pairs_rows,
     )
 
 
@@ -611,6 +617,7 @@ def _pairs_from_overlap_index(
     docs: DataFrame,
     set_keep=None,
     set_pairs: DataFrame | None = None,
+    set_pairs_rows: int | None = None,
 ) -> DataFrame:
     """Assemble (doc_a, doc_b, nsh_a, nsh_b, n_common) from the posting
     lists (shingle, ps), per-set sizes, and the doc→set map — the
@@ -652,17 +659,34 @@ def _pairs_from_overlap_index(
         .groupBy("ka1", "ka2", "kb1", "kb2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    from codegraphdb_spark.operators.hints import (
+        broadcast_if_rows,
+        broadcast_if_small,
+    )
+
+    def _sp_hint(df: DataFrame) -> DataFrame:
+        # derived frame with unusable Catalyst stats: hint only when the
+        # caller measured its cardinality (an upper bound suffices);
+        # otherwise AQE decides at runtime from the materialized stage
+        if set_pairs_rows is not None:
+            return broadcast_if_rows(df, set_pairs_rows)
+        return df
+
     if set_pairs is not None:
         common = common.join(
-            F.broadcast(set_pairs.filter(
+            _sp_hint(set_pairs.filter(
                 (F.col("ka1") != F.col("kb1")) | (F.col("ka2") != F.col("kb2"))
             )),
             ["ka1", "ka2", "kb1", "kb2"],
             "left_semi",
         )
-    # sizes is one narrow row per DISTINCT set — broadcast both sides so
-    # the (possibly huge) count output never shuffles again
-    sa, sb = F.broadcast(sizes.alias("sa")), F.broadcast(sizes.alias("sb"))
+    # sizes is one narrow row per DISTINCT set — O(corpus), so the
+    # broadcast is size-gated: under the cap (any test SF, and a real
+    # deployment's per-partition index) it ships once and the (possibly
+    # huge) count output never shuffles again; past the cap the planner
+    # falls to sort-merge + AQE instead of failing the collect at scale
+    sa = broadcast_if_small(sizes.alias("sa"))
+    sb = broadcast_if_small(sizes.alias("sb"))
     ver = (
         common.join(
             sa,
@@ -729,7 +753,7 @@ def _pairs_from_overlap_index(
     )
     if set_pairs is not None:
         same = same.join(
-            F.broadcast(
+            _sp_hint(
                 set_pairs.filter(
                     (F.col("ka1") == F.col("kb1"))
                     & (F.col("ka2") == F.col("kb2"))
@@ -2455,6 +2479,11 @@ def doc_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_lsh_candidates."""
     sigs = _standing_minhash_sigs(spark, sf_dir)
     cand = lsh_candidate_pairs(sigs).localCheckpoint(eager=False)
+    # materializes the checkpoint the final join reuses anyway; the count
+    # is an upper bound on |set_pairs|, gating its broadcast (ADVICE r8:
+    # an unconditional hint would force a driver collect of an unbounded
+    # candidate frame at production scale)
+    n_cand = cand.count()
     _, _, docsmap = _standing_overlap_index(spark, sf_dir)
     ka, kb = docsmap.alias("ka"), docsmap.alias("kb")
     lo = F.least(
@@ -2476,7 +2505,9 @@ def doc_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["ka1", "ka2", "kb1", "kb2"])
     )
-    overlap = _pair_overlap_uncached(spark, sf_dir, set_pairs=set_pairs)
+    overlap = _pair_overlap_uncached(
+        spark, sf_dir, set_pairs=set_pairs, set_pairs_rows=n_cand
+    )
     union_sz = F.col("nsh_a") + F.col("nsh_b") - F.col("n_common")
     return (
         cand.join(overlap, ["doc_a", "doc_b"])
