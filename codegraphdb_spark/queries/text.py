@@ -2836,9 +2836,17 @@ def _dup_spans_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     none at any checked SF — would match cross-engine), and the >= 2
     distinct docs test is min(doc_id) <> max(doc_id): equivalent,
     map-side combinable, and free of the count-distinct Expand rewrite.
-    The dup-filter join reuses the groupBy's Exchange (same gram
-    subplan), so the Arrow pass runs once. Measured end-to-end at K=100:
-    89.6s -> 9.5s."""
+
+    r9 (ADVICE r8): the dup filter is a WINDOW min/max over the gram key,
+    not a groupBy + join back onto the grams — ReuseExchange never fired
+    on the old shape (the groupBy's Exchange sits above a partial
+    HashAggregate, the join side above the raw mapInPandas output), so
+    the Arrow gram kernel ran TWICE per action and the gram set shuffled
+    twice. The window form computes min/max per key and filters in the
+    same pass: ONE kernel run, ONE shuffle of the gram set (plus the
+    in-partition sort WindowExec needs — 8-byte keys, far cheaper than a
+    second kernel + Exchange). Measured end-to-end at K=100: 89.6s ->
+    9.5s (r8 groupBy+join) -> see STATUS r9 for the window A/B."""
     import hashlib
 
     import pandas as pd
@@ -2870,13 +2878,13 @@ def _dup_spans_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = _par_guard(d.select("doc_id", "text")).mapInPandas(
         gram_hashes, schema="doc_id BIGINT, pos INT, h BIGINT"
     )
-    dup = (
-        grams.groupBy("h")
-        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+    wh = Window.partitionBy("h")
+    dpos = (
+        grams.withColumn("mn", F.min("doc_id").over(wh))
+        .withColumn("mx", F.max("doc_id").over(wh))
         .filter(F.col("mn") != F.col("mx"))
-        .select("h")
+        .select("doc_id", "pos")
     )
-    dpos = grams.join(dup, "h").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(w) <= DUP_SPAN_K - 1, F.lit(0)
