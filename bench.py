@@ -168,6 +168,24 @@ def _pruned_update_bench(spark, n_pkgs: int) -> dict:
     }
 
 
+def is_regression(sec: float, baseline: float) -> bool:
+    """Graded regression gate (unit-tested in tests/test_bench_gate.py).
+
+    Ratio AND absolute floor: a single cold run jitters sub-second
+    queries by 1.5-2x routinely (measured: two back-to-back full runs
+    flagged 15 vs 3 queries on pure ratio, almost all <0.4s moves) — a
+    flag should mean a move big enough to re-measure, not JIT/cold
+    noise. Graded floor (ADVICE r7, pinned r9): the flat 0.4s floor hid
+    big regressions in fast queries (0.1s -> 0.45s is 4.5x but only
+    +0.35s), so extreme ratios (>3x) get the lower 0.2s floor.
+    Sub-50ms baselines are pure noise and never bind."""
+    if baseline < 0.05:
+        return False
+    return (sec > 1.5 * baseline and sec - baseline >= 0.4) or (
+        sec > 3.0 * baseline and sec - baseline >= 0.2
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # tolerate any fixture naming (sf0.1, testdata_sf10, k100_docs...):
@@ -319,18 +337,7 @@ def main() -> None:
             )
             for name, sec in timings.items():
                 b = base_q.get(name)
-                # ratio AND absolute floor: a single cold run jitters
-                # sub-second queries by 1.5-2x routinely (measured: two
-                # back-to-back full runs flagged 15 vs 3 queries on pure
-                # ratio, almost all <0.4s moves) — a flag should mean a
-                # move big enough to re-measure, not JIT/cold noise.
-                # Graded floor (ADVICE r7): the flat 0.4s floor hid big
-                # regressions in fast queries (0.1s -> 0.45s is 4.5x but
-                # only +0.35s), so extreme ratios get a lower floor.
-                if b and b >= 0.05 and (
-                    (sec > 1.5 * b and sec - b >= 0.4)
-                    or (sec > 3.0 * b and sec - b >= 0.2)
-                ):
+                if b and is_regression(sec, b):
                     regressions[name] = {"sec": sec, "baseline": b,
                                          "ratio": round(sec / b, 2)}
 
