@@ -373,6 +373,7 @@ class GraphEngine:
             sym,
             method_map,
             small=self.small_repo,
+            ret=ret,
         )
         resolved = gate_edges(deep).unionByName(resolved_inh).withColumn(
             "versions", F.array(F.lit(version))
@@ -691,6 +692,7 @@ class GraphEngine:
             sym,
             method_map,
             small=self.small_repo,
+            ret=ret,
         )
         resolved = gate_edges(deep).unionByName(resolved_inh).withColumn(
             "versions", F.array(F.lit(new_version))

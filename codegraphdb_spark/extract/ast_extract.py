@@ -64,6 +64,35 @@ def _dotted(expr: ast.AST) -> str | None:
     return None
 
 
+def _dotted_chain(expr: ast.AST) -> str | None:
+    """Render a Name / Attribute / Call chain with '()' marking the call
+    links: ``self.engine.gauge().read`` → 'self.engine.gauge().read',
+    ``make_garage().car.drive`` → 'make_garage().car.drive' (r9 A4: the
+    jedi parity shapes C4/C6/C9 — the reference resolves these via
+    Script.goto; the join-based pass resolves the '()' segments through
+    the return-type table). Call ARGUMENTS contribute nothing (only the
+    callee chain matters for the type walk); anything else dynamic
+    (subscripts, lambdas, starred) still returns None."""
+    parts: list[str] = []
+    node = expr
+    pending_call = False  # the next appended segment is a callee
+    while True:
+        if isinstance(node, ast.Attribute):
+            parts.append(node.attr + ("()" if pending_call else ""))
+            pending_call = False
+            node = node.value
+        elif isinstance(node, ast.Call):
+            if pending_call:
+                return None  # f()() — dynamic double call, punt
+            pending_call = True
+            node = node.func
+        elif isinstance(node, ast.Name):
+            parts.append(node.id + ("()" if pending_call else ""))
+            return ".".join(reversed(parts))
+        else:
+            return None
+
+
 def _signature(src_lines: list[str], node: ast.AST) -> str:
     """Header line(s) of a def/class: from its first line to the line the
     body starts on (reference slices the symbol's *location* range,
@@ -83,6 +112,7 @@ class _Extractor(ast.NodeVisitor):
         self.class_stack: list[str] = []  # full_names
         self.func_stack: list[str] = []  # full_names
         self.seen_fields: set[str] = set()
+        self._synth_slots: set[str] = set()  # r9: call-result slots emitted
 
     # --- fact emitters ---------------------------------------------------
 
@@ -269,6 +299,27 @@ class _Extractor(ast.NodeVisitor):
                     self.returns_fact(
                         full, f"{self.class_stack[-1]}.{attr}", node.lineno
                     )
+        # r9 A4 (jedi-parity shape C7): a @property method IS a typed
+        # field of its class — attribute access ``obj.prop.m()`` must walk
+        # through it exactly like a ctor-bound field, so emit the same
+        # binding fact a ``self.prop = T()`` assignment would. Only when
+        # the property's type is statically known (annotation or single
+        # unambiguous ctor return); dynamic properties stay unresolved,
+        # like the reference's jedi when inference fails.
+        if in_class and any(
+            (isinstance(d, ast.Name) and d.id in ("property", "cached_property"))
+            or (isinstance(d, ast.Attribute) and d.attr == "cached_property")
+            for d in node.decorator_list
+        ):
+            pret = (
+                _dotted(node.returns)
+                if node.returns is not None
+                else self._inferred_return(node)
+            )
+            if pret:
+                self.assign_fact(
+                    f"{self.class_stack[-1]}.{node.name}", pret, node.lineno
+                )
         # parameters are local bindings: annotated ones carry a usable
         # type (def f(a: Animal) → a.speak() resolves); unannotated ones
         # are poison rows so a parameter shadowing a module-global binding
@@ -565,22 +616,57 @@ class _Extractor(ast.NodeVisitor):
         deep-indexer self resolution). The binding key names the slot whose
         assigned TYPE could resolve this target in the deep pass:
         ``scope::head`` for a local/global variable head, ``Class.attr``
-        for a ``self.attr.…`` chain."""
+        for a ``self.attr.…`` chain.
+
+        r9 (A4 chain shapes): call-chained refs — ``self.engine.gauge().
+        read``, ``make_garage().car.drive`` — render with '()' marking
+        the call links (_dotted_chain; the deep walker resolves those
+        segments through the return-type table). A chain whose HEAD is a
+        call gets a synthetic slot: the key names the call expression
+        itself and a synthetic assign fact binds it to the callee, so the
+        existing first-pass machinery types it exactly like ``tmp = f();
+        tmp.rest`` without the temporary existing in source."""
         dotted = _dotted(expr)
-        if dotted is None or dotted == "self":
+        if dotted is None:
+            dotted = _dotted_chain(expr)
+            if dotted is None:
+                return None, None
+        if dotted == "self":
             return None, None
         if dotted.startswith("self.") and self.class_stack:
             cls = self.class_stack[-1]
             parts = dotted.split(".")
-            key = f"{cls}.{parts[1]}" if len(parts) >= 3 else None
+            if len(parts) < 3:
+                return f"{cls}.{dotted[5:]}", None
+            first = parts[1]
+            key = f"{cls}.{first}"
+            if first.endswith("()"):
+                # self.helper().x — the slot is the call result; bind it
+                # to the method itself (full name resolves via sym, then
+                # through the return-type table)
+                self._synthetic_assign(key, f"{cls}.{first[:-2]}", expr)
             return f"{cls}.{dotted[5:]}", key
         # bare names get a binding key too: a call THROUGH an alias
         # (``Beast = Animal; Beast(...)``) needs the deep pass to look up
         # scope::Beast. Harmless for non-alias bindings — the overlay's
         # equality rewrite is gated on the ALIAS flag, so ``pet = Animal();
         # pet`` never rewrites the bare instance name to its class.
-        key = f"{self.scope}::{dotted.split('.')[0]}"
+        head = dotted.split(".")[0]
+        key = f"{self.scope}::{head}"
+        if head.endswith("()") and "." in dotted:
+            self._synthetic_assign(key, head[:-2], expr)
         return dotted, key
+
+    def _synthetic_assign(self, key: str, callee: str, expr: ast.AST) -> None:
+        """One synthetic binding fact per (file, slot): the call-result
+        slot ``key`` is typed by ``callee``'s return (annotation,
+        inferred ctor shape, or getter field — whatever return_types_post
+        knows). Non-alias, so the bare-name equality rewrite never
+        fires."""
+        if key in self._synth_slots:
+            return
+        self._synth_slots.add(key)
+        self.assign_fact(key, callee, getattr(expr, "lineno", 0))
 
     def visit_Import(self, node: ast.Import) -> None:
         for a in node.names:

@@ -250,3 +250,120 @@ CYCLE_V1 = [
     ("web/views.py", "import web.forms\n\ndef render():\n    return None\n"),
     ("web/utils.py", "from web.models import Item\n\ndef fresh():\n    return Item()\n"),
 ]
+
+# --- A4 deep-resolution PARITY fixture (round 9) --------------------------
+# Purpose-built to exercise the reference deep indexer's jedi strengths
+# (indexer_visitor.py:655-662 resolves every name via Script.goto with
+# follow_imports): instance-attribute chains through typed fields,
+# cross-file factory returns, property access, and call-chained method
+# hops. tools/deep_parity.py runs jedi itself over these sources to
+# produce the golden CALL-edge set and scores the join-based resolver
+# against it, per shape class. Kept SEPARATE from V1/DEEP_V1 so the
+# long-standing goldens never see these modules.
+
+PARITY_ENGINE = """\
+class Meter:
+    def read(self):
+        return 7
+
+
+class Engine:
+    def start(self):
+        return "vroom"
+
+    def gauge(self) -> Meter:
+        return Meter()
+
+
+def build_engine() -> Engine:
+    return Engine()
+
+
+def default_engine():
+    return Engine()
+"""
+
+PARITY_CAR = """\
+from parity.engine import Engine, Meter, build_engine, default_engine
+
+
+class Car:
+    def __init__(self):
+        self.engine = Engine()
+        self.spare = build_engine()
+        self.backup = default_engine()
+
+    def drive(self):
+        return self.engine.start()
+
+    def check_spare(self):
+        return self.spare.start()
+
+    def check_backup(self):
+        return self.backup.start()
+
+    def service(self):
+        return self.engine.gauge().read()
+
+
+class Garage:
+    def __init__(self):
+        self.car = Car()
+
+    def tune(self):
+        return self.car.engine.start()
+
+    def deep_check(self):
+        return self.car.engine.gauge().read()
+
+
+class Dashboard:
+    def __init__(self):
+        self._meter = Meter()
+
+    @property
+    def meter(self) -> Meter:
+        return self._meter
+
+
+def check_dash():
+    d = Dashboard()
+    return d.meter.read()
+
+
+def make_garage() -> Garage:
+    return Garage()
+
+
+def fleet_check():
+    g = make_garage()
+    return g.car.engine.start()
+
+
+def drive_new():
+    return make_garage().car.drive()
+
+
+def loan(e):
+    return e.start()
+"""
+
+PARITY_V1 = [
+    ("parity/__init__.py", ""),
+    ("parity/engine.py", PARITY_ENGINE),
+    ("parity/car.py", PARITY_CAR),
+]
+
+# caller -> shape-class tag, used by tools/deep_parity.py's report
+PARITY_CLASSES = {
+    "parity.car.Car.drive": "C1 field ctor (one hop)",
+    "parity.car.Car.check_spare": "C2 field via annotated cross-file factory",
+    "parity.car.Car.check_backup": "C3 field via inferred factory",
+    "parity.car.Car.service": "C4 call-chained method hop (x.m().n())",
+    "parity.car.Garage.tune": "C5 two-hop field chain (self.a.b.m())",
+    "parity.car.Garage.deep_check": "C6 three-hop field chain + call hop",
+    "parity.car.check_dash": "C7 property hop (d.prop.m())",
+    "parity.car.fleet_check": "C8 local -> field -> field chain",
+    "parity.car.drive_new": "C9 factory-call head chain (f().a.m())",
+    "parity.car.loan": "C10 untyped parameter (documented residual)",
+}

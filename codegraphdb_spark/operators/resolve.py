@@ -548,6 +548,8 @@ def _deep_overlay(
     sym: DataFrame,
     method_map: DataFrame | None,
     small: bool = False,
+    ret: DataFrame | None = None,
+    fields: DataFrame | None = None,
 ) -> DataFrame:
     """A4 phase 2: rows whose ``bind_key`` (or its module-global fallback)
     matches a class binding get their target rewritten to
@@ -610,15 +612,78 @@ def _deep_overlay(
     # only for ALIAS bindings — ``Beast = Animal; Beast(...)`` resolves to
     # the class; for instance bindings the bare name is the instance, not
     # its class, so equality stays un-rewritten
-    r = r.withColumn("__prefix", prefix).withColumn(
+    r = r.withColumn("__prefix", prefix)
+    # r9 A4 chain walk: reduce the post-rewrite remainder one segment at a
+    # time — plain segments through FIELD bindings (``Class.attr`` keys in
+    # the binding table, which r9 also gives @property methods), '()'
+    # segments through the return-type table — so ``self.car.engine.
+    # start()``, ``g.car.engine.gauge().read()`` and ``make_garage().car.
+    # drive()`` resolve like jedi resolves them (the reference's
+    # indexer_visitor.py:655-662). Bounded unroll (no fixpoint): 3 hops
+    # covers a 4-segment remainder; deeper chains stay unsolved, loudly.
+    rest0 = F.when(
+        bound.isNotNull() & (F.length("target") > F.length("__prefix")),
+        F.expr("substring(target, length(__prefix) + 1)"),
+    )
+    r = r.withColumn("__wcls", F.when(rest0.isNotNull(), bound)).withColumn(
+        "__wrest", rest0
+    )
+    if fields is None:
+        fields = bnd.filter(
+            ~F.col("bind_key").contains("::") & F.col("bound_cls").isNotNull()
+        ).select(
+            F.col("bind_key").alias("__f_key"), F.col("bound_cls").alias("__f_cls")
+        )
+    if ret is not None:
+        rets_tbl = ret.select(
+            F.col("fn_name").alias("__g_key"), F.col("ret_cls").alias("__g_cls")
+        )
+    else:
+        rets_tbl = None
+    for i in range(3):
+        body = F.expr("substring(__wrest, 2)")  # drop the leading '.'
+        r = r.withColumn("__seg", F.substring_index(body, ".", 1)).withColumn(
+            "__nseg", F.size(F.split(body, "\\."))
+        )
+        key = F.concat(
+            F.col("__wcls"), F.lit("."), F.regexp_replace("__seg", "\\(\\)$", "")
+        )
+        r = r.withColumn("__wkey", F.when(F.col("__nseg") >= 2, key))
+        r = r.join(
+            _maybe_b(fields.withColumnRenamed("__f_key", "__wkey"), small),
+            "__wkey",
+            "left",
+        )
+        if rets_tbl is not None:
+            r = r.join(
+                _maybe_b(rets_tbl.withColumnRenamed("__g_key", "__wkey"), small),
+                "__wkey",
+                "left",
+            )
+        else:
+            r = r.withColumn("__g_cls", F.lit(None).cast("string"))
+        nxt = F.when(F.col("__seg").endswith("()"), F.col("__g_cls")).otherwise(
+            F.col("__f_cls")
+        )
+        step = (F.col("__nseg") >= 2) & nxt.isNotNull()
+        r = (
+            r.withColumn(
+                "__wrest2",
+                F.when(
+                    step, F.expr("substring(__wrest, length(__seg) + 2)")
+                ).otherwise(F.col("__wrest")),
+            )
+            .withColumn("__wcls", F.when(step, nxt).otherwise(F.col("__wcls")))
+            .drop("__wrest", "__f_cls", "__g_cls", "__wkey", "__seg", "__nseg")
+            .withColumnRenamed("__wrest2", "__wrest")
+        )
+    r = r.withColumn(
         "__deep_target",
         F.when(
-            bound.isNotNull()
-            & (
-                (F.length("target") > F.length("__prefix"))
-                | (alias_flag & (F.col("target") == F.col("__prefix")))
-            ),
-            F.concat(bound, F.expr("substring(target, length(__prefix) + 1)")),
+            F.col("__wcls").isNotNull(), F.concat("__wcls", "__wrest")
+        ).when(
+            bound.isNotNull() & alias_flag & (F.col("target") == F.col("__prefix")),
+            bound,
         ),
     )
     r = r.join(

@@ -1,0 +1,112 @@
+"""r9 A4 chain shapes (VERDICT r8 item 1): extraction renders
+call-chains with '()' markers and synthetic call-result slots, @property
+methods emit field bindings, and the bounded deep walker resolves the
+jedi-parity classes end-to-end (tools/deep_parity.py measures 100%/100%
+against jedi's own goto on the same fixture)."""
+
+from __future__ import annotations
+
+import ast
+
+import pytest
+from pyspark.sql import functions as F
+
+from codegraphdb_spark.extract.ast_extract import _dotted_chain, _extract_one
+from codegraphdb_spark.mini_repo import PARITY_V1
+
+
+def test_dotted_chain_rendering():
+    cases = {
+        "self.engine.gauge().read": "self.engine.gauge().read",
+        "make_garage().car.drive": "make_garage().car.drive",
+        "mod.f().x.y": "mod.f().x.y",
+        "a.b.c": "a.b.c",
+        "f()()": None,  # double call: dynamic, punt
+        "x[0].y": None,  # subscript: dynamic, punt
+    }
+    for src, want in cases.items():
+        assert _dotted_chain(ast.parse(src, mode="eval").body) == want
+
+
+def test_chain_ref_facts_and_synthetic_slots():
+    facts = _extract_one("parity/car.py", dict(PARITY_V1)["parity/car.py"])
+    refs = {
+        (f["full_name"], f["dst"], f["class"])
+        for f in facts
+        if f["fact"] == "ref" and f["kind"] == "CALL"
+    }
+    # mid-chain call: '()' marker, slot = the field
+    assert (
+        "parity.car.Car.service",
+        "parity.car.Car.engine.gauge().read",
+        "parity.car.Car.engine",
+    ) in refs
+    # head-call chain: slot = the call expression itself
+    assert (
+        "parity.car.drive_new",
+        "make_garage().car.drive",
+        "parity.car.drive_new::make_garage()",
+    ) in refs
+    assigns = {
+        (f["full_name"], f["dst"]) for f in facts if f["fact"] == "assign"
+    }
+    # synthetic call-result slot binds to the callee
+    assert ("parity.car.drive_new::make_garage()", "make_garage") in assigns
+    # @property with annotated return is a typed field of the class
+    assert ("parity.car.Dashboard.meter", "Meter") in assigns
+
+
+def test_property_without_static_type_stays_unbound():
+    src = (
+        "class C:\n"
+        "    @property\n"
+        "    def x(self):\n"
+        "        return self._whatever()\n"
+    )
+    facts = _extract_one("p/mod.py", src)
+    assigns = {f["full_name"] for f in facts if f["fact"] == "assign"}
+    assert "p.mod.C.x" not in assigns
+
+
+@pytest.fixture(scope="module")
+def parity_edges(spark):
+    from codegraphdb_spark.engine import GraphEngine
+    from codegraphdb_spark.sources.repo import files_from_pairs
+
+    eng = GraphEngine(spark, small_repo=True)
+    _, edges, _ = eng.build(files_from_pairs(spark, PARITY_V1), "v1")
+    return {
+        (r["src"], r["dst"])
+        for r in edges.filter(F.col("rel_type") == "CALL").collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "src, dst",
+    [
+        # C4: call-chained method hop resolves through the return table
+        ("parity.car.Car.service", "parity.engine.Meter.read"),
+        # C5: two-hop field chain
+        ("parity.car.Garage.tune", "parity.engine.Engine.start"),
+        # C6: three-hop field chain + call hop
+        ("parity.car.Garage.deep_check", "parity.engine.Meter.read"),
+        # C7: property hop
+        ("parity.car.check_dash", "parity.engine.Meter.read"),
+        # C8: local -> field -> field
+        ("parity.car.fleet_check", "parity.engine.Engine.start"),
+        # C9: factory-call head chain
+        ("parity.car.drive_new", "parity.car.Car.drive"),
+    ],
+)
+def test_chain_edges_resolve(parity_edges, src, dst):
+    assert (src, dst) in parity_edges
+
+
+def test_untyped_parameter_stays_unsolved(parity_edges):
+    # C10: jedi's goto cannot resolve it either (DEEP_PARITY.md) — the
+    # deliberate no-call-site-inference boundary
+    assert ("parity.car.loan", "unsolved symbol") in parity_edges
+    assert not any(
+        s == "parity.car.loan" and d != "unsolved symbol"
+        for s, d in parity_edges
+    )

@@ -1,0 +1,193 @@
+"""A4 deep-resolution parity measurement (VERDICT r8 item 1).
+
+The reference resolves every name with jedi (`Script.goto(line, col,
+follow_imports=True)` — graph_database_index/indexer_visitor.py:655-662,
+custom `_goto` in index_utils.py:16-38). This tool runs THE SAME jedi
+resolution over the purpose-built parity fixture (mini_repo.PARITY_V1)
+to produce the golden CALL-edge set, runs this repo's join-based
+resolver (GraphEngine.build) on identical sources, and reports
+precision/recall per shape class (mini_repo.PARITY_CLASSES). The report
+is committed as DEEP_PARITY.md.
+
+Golden protocol (mirrors the reference's edge materialization):
+- every ast.Call site inside a function/method body is resolved at the
+  callee name token (Attribute: the attr; Name: the name);
+- definitions of type 'class' are constructor calls — dropped, exactly
+  like the engine's CALL gate (myClient.py:291-297);
+- a call site jedi cannot resolve contributes a golden 'unsolved' row,
+  matching the reference's sentinel (index_utils.py:62).
+
+Usage: python tools/deep_parity.py [--write-report]
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from codegraphdb_spark.mini_repo import PARITY_CLASSES, PARITY_V1  # noqa: E402
+
+UNSOLVED = "unsolved symbol"
+
+
+def _write_fixture(tmp: str) -> None:
+    for rel, src in PARITY_V1:
+        p = os.path.join(tmp, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as fh:
+            fh.write(src)
+
+
+def _call_scopes(tree: ast.Module, module: str) -> dict[ast.Call, str | None]:
+    """Map every ast.Call node to its dotted enclosing scope
+    (module.Class.method / module.func); None for module-level calls
+    (the engine suppresses those)."""
+    scopes: dict[ast.Call, str | None] = {}
+
+    def walk(node: ast.AST, stack: tuple[str, ...]) -> None:
+        for child in ast.iter_child_nodes(node):
+            if isinstance(
+                child, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+            ):
+                walk(child, stack + (child.name,))
+            else:
+                if isinstance(child, ast.Call):
+                    scopes[child] = (
+                        f"{module}.{'.'.join(stack)}" if stack else None
+                    )
+                walk(child, stack)
+
+    walk(tree, ())
+    return scopes
+
+
+def jedi_golden(tmp: str) -> set[tuple[str, str]]:
+    """(caller_scope, callee_full_name) CALL edges per jedi — the same
+    goto(follow_imports=True) the reference's deep indexer runs."""
+    import jedi
+
+    project = jedi.Project(path=tmp, added_sys_path=[tmp])
+    golden: set[tuple[str, str]] = set()
+    for rel, src in PARITY_V1:
+        if not rel.endswith(".py") or not src.strip():
+            continue
+        module = rel[:-3].replace("/", ".").removesuffix(".__init__")
+        tree = ast.parse(src)
+        script = jedi.Script(code=src, path=os.path.join(tmp, rel), project=project)
+        scopes = _call_scopes(tree, module)
+        for node, scope in scopes.items():
+            if scope is None:
+                continue  # module-level calls are suppressed by both sides
+            func = node.func
+            if isinstance(func, ast.Attribute):
+                line, col = func.end_lineno, func.end_col_offset - 1
+            elif isinstance(func, ast.Name):
+                line, col = func.lineno, func.col_offset
+            else:
+                continue  # dynamic callee (subscript/lambda): both sides punt
+            try:
+                defs = script.goto(line=line, column=col, follow_imports=True)
+            except Exception:
+                defs = []
+            resolved = False
+            for d in defs:
+                if d.type == "class":
+                    resolved = True  # ctor call: gate drops it on both sides
+                    continue
+                full = d.full_name
+                if d.type in ("function", "property") and full:
+                    golden.add((scope, full))
+                    resolved = True
+            if not resolved:
+                golden.add((scope, UNSOLVED))
+    return golden
+
+
+def engine_edges(spark) -> set[tuple[str, str]]:
+    from codegraphdb_spark.engine import GraphEngine
+    from codegraphdb_spark.sources.repo import files_from_pairs
+
+    eng = GraphEngine(spark)
+    _, edges, _ = eng.build(files_from_pairs(spark, PARITY_V1), "v1")
+    rows = edges.filter(edges.rel_type == "CALL").select("src", "dst").collect()
+    return {(r["src"], r["dst"]) for r in rows}
+
+
+def compare(
+    golden: set[tuple[str, str]], ours: set[tuple[str, str]]
+) -> tuple[list[str], float, float]:
+    g_solved = {(s, d) for s, d in golden if d != UNSOLVED}
+    o_solved = {(s, d) for s, d in ours if d != UNSOLVED}
+    hit = g_solved & o_solved
+    precision = len(hit) / len(o_solved) if o_solved else 1.0
+    recall = len(hit) / len(g_solved) if g_solved else 1.0
+
+    lines = []
+    lines.append("| shape class | golden edges | resolved | missed | extra |")
+    lines.append("|---|---|---|---|---|")
+    for caller in sorted(PARITY_CLASSES):
+        tag = PARITY_CLASSES[caller]
+        g = {d for s, d in g_solved if s == caller}
+        o = {d for s, d in o_solved if s == caller}
+        missed = sorted(g - o)
+        extra = sorted(o - g)
+        lines.append(
+            f"| {tag} | {len(g)} | {len(g & o)} | "
+            f"{', '.join(missed) or '—'} | {', '.join(extra) or '—'} |"
+        )
+    return lines, precision, recall
+
+
+def main() -> None:
+    from codegraphdb_spark.session import get_spark
+
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_fixture(tmp)
+        golden = jedi_golden(tmp)
+
+    spark = get_spark("deep-parity")
+    spark.sparkContext.setLogLevel("ERROR")
+    ours = engine_edges(spark)
+
+    table, precision, recall = compare(golden, ours)
+    import jedi
+
+    report = [
+        "# A4 deep-resolution parity vs the reference's jedi indexer",
+        "",
+        f"Golden source: jedi {jedi.__version__} `Script.goto(line, col, "
+        "follow_imports=True)` — the identical API call the reference's "
+        "deep indexer makes (indexer_visitor.py:655-662) — over "
+        "mini_repo.PARITY_V1. Constructor calls are dropped on both sides "
+        "(the CALL gate); module-level calls are suppressed on both sides.",
+        "",
+        f"**Precision {precision:.2%} — {recall:.2%} recall** over "
+        f"{len({(s, d) for s, d in golden if d != UNSOLVED})} golden "
+        "resolved CALL edges.",
+        "",
+        *table,
+        "",
+        "Golden 'unsolved' rows (jedi itself could not resolve): "
+        f"{sorted(s for s, d in golden if d == UNSOLVED) or 'none'}.",
+        "",
+        "Engine unsolved rows: "
+        f"{sorted(s for s, d in ours if d == UNSOLVED) or 'none'}.",
+    ]
+    out = "\n".join(report) + "\n"
+    print(out)
+    if "--write-report" in sys.argv:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "DEEP_PARITY.md",
+        )
+        with open(path, "w") as fh:
+            fh.write(out)
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
