@@ -49,7 +49,73 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # covers ALL queries regardless — the rotation only governs the driver's
 # independent record.
 _DRIVER_PRIORITY: list[str] = [
-    # ============ ROUND-8 WINDOW ========================================
+    # ============ ROUND-9 WINDOW ========================================
+    # Rotation rule (1): every query whose behavior round 9 touched —
+    # the A4 chain-resolution work (extractor '()'-chain rendering +
+    # synthetic call slots + @property fields + the bounded deep walker
+    # changes the compiled-edges lineage, so the edge-semantics queries
+    # lead, headed by the NEW parity query), the dup-span family (the
+    # groupBy+join dup filter became a window min/max — one Arrow kernel
+    # run), the set-overlap family (size/set-pair broadcasts are now
+    # size-gated), and the standing-index families (fingerprints now
+    # salt in kernel source/params and verify bucket specs on attach).
+    # Enforced mechanically from this round: PLAN_PINS.json +
+    # tests/test_rotation_window.py fail if any query's optimized plan
+    # changes while outside this list's first 50.
+    "g_call_edges_chain",           # NEW: jedi-parity chain shapes
+    "g_call_edges_deep",
+    "g_call_edges",
+    "g_uses_edges",
+    "g_kind_census",
+    "g_methods_of_class",
+    "g_call_closure",
+    "g_override_edges",
+    "g_dead_code",
+    "g_pagerank_top",
+    "g_kcore",
+    "g_blast_radius",
+    "g_module_coupling",
+    "doc_dup_spans",
+    "doc_dup_span_stats",
+    "doc_dup_span_scrub",
+    "ngram_jaccard_pairs",
+    "doc_containment_pairs",
+    "doc_minhash_jaccard_est",
+    "source_overlap_matrix",
+    "doc_dedup_funnel",
+    "doc_dedup_keep_best",
+    "doc_dup_clusters",
+    "doc_train_test_split",
+    "minhash_lsh_candidates",
+    "simhash_near_dup_pairs",
+    "minhash_incremental_candidates",
+    "emb_incremental_ivf_probe",
+    # Rotation rule (2): longest outside the window — the remaining r4
+    # vintage (last driver-green in CORRECTNESS_r04), filling to 50.
+    "customer_order_distribution",
+    "customer_revenue_concentration",
+    "disjunctive_bracket_revenue",
+    "doc_epoch_shuffle",
+    "doc_pii_scrub",
+    "doc_quality_by_source",
+    "emb_dim_stats",
+    "events_hourly_full_outer",
+    "events_session_duration_stats",
+    "events_user_features",
+    "exists_late_shipment_orders",
+    "g_cypher_scalar_fns",
+    "g_import_cycles",
+    "grouping_sets_report",
+    "large_volume_customers",
+    "late_shipment_priority_counts",
+    "market_share_by_year",
+    "orders_open_backlog",
+    "part_supplier_counts",
+    "product_type_profit",
+    "region_volume_shipping",
+    "returned_item_report",
+    # ================== r9 50-query window boundary =====================
+    # ============ ROUND-8 WINDOW (previous) =============================
     # Rotation rule (1): every query whose behavior round 8 touched —
     # the exact-substring span family (Arrow gram kernel, 60-bit BIGINT
     # keys, min<>max dup test, SQL twin re-keyed identically), every
