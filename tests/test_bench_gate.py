@@ -44,3 +44,17 @@ def test_absolute_floor_suppresses_midrange_jitter():
 def test_noise_baselines_never_bind():
     assert not is_regression(10.0, 0.04)
     assert not is_regression(10.0, 0.0)
+
+
+def test_run_measured_modes(spark):
+    # emit-all name -> hash mode (no driver transfer); others collect
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    assert _bench.run_measured(df, "events_json_extract") == "hash"
+    assert _bench.run_measured(df, "revenue_by_nation") == "collect"
+
+
+def test_run_measured_falls_back_on_unhashable(spark):
+    # map columns can't feed xxhash64 — the mode must degrade to collect,
+    # not fail the bench row
+    df = spark.range(3).selectExpr("map(id, id) AS m")
+    assert _bench.run_measured(df, "events_json_extract") == "collect"
