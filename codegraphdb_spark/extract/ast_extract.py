@@ -652,9 +652,25 @@ class _Extractor(ast.NodeVisitor):
         # equality rewrite is gated on the ALIAS flag, so ``pet = Animal();
         # pet`` never rewrites the bare instance name to its class.
         head = dotted.split(".")[0]
-        key = f"{self.scope}::{head}"
         if head.endswith("()") and "." in dotted:
+            # f().rest — the head IS the call: the slot names the call
+            # expression and the synthetic binding types it by f's return
+            key = f"{self.scope}::{head}"
             self._synthetic_assign(key, head[:-2], expr)
+            return dotted, key
+        key = f"{self.scope}::{head}"
+        if "()" in dotted:
+            # a.b().rest — 'a' may be a VARIABLE (the scope::a binding +
+            # the walker's return-type hop resolve it) or a MODULE alias
+            # (no binding exists; only the call-prefix slot can type it:
+            # 'scope::pe.build()' bound to 'pe.build', which steps 1-4
+            # resolve through the import). Emit the slot unconditionally;
+            # the overlay consults it ONLY when both the local and the
+            # module-global keys miss, so variable shadowing is untouched.
+            prefix = dotted[: dotted.index("()") + 2]
+            self._synthetic_assign(
+                f"{self.scope}::{prefix}", prefix[:-2], expr
+            )
         return dotted, key
 
     def _synthetic_assign(self, key: str, callee: str, expr: ast.AST) -> None:

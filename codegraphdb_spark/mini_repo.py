@@ -284,6 +284,7 @@ def default_engine():
 """
 
 PARITY_CAR = """\
+import parity.engine as pe
 from parity.engine import Engine, Meter, build_engine, default_engine
 
 
@@ -346,6 +347,18 @@ def drive_new():
 
 def loan(e):
     return e.start()
+
+
+class Depot:
+    def helper(self) -> Engine:
+        return Engine()
+
+    def work(self):
+        return self.helper().start()
+
+
+def module_head():
+    return pe.build_engine().start()
 """
 
 PARITY_V1 = [
@@ -366,4 +379,6 @@ PARITY_CLASSES = {
     "parity.car.fleet_check": "C8 local -> field -> field chain",
     "parity.car.drive_new": "C9 factory-call head chain (f().a.m())",
     "parity.car.loan": "C10 untyped parameter (documented residual)",
+    "parity.car.Depot.work": "C11 self-method head call (self.m().n())",
+    "parity.car.module_head": "C12 module-alias function head (pe.f().m())",
 }

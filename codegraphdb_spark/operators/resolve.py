@@ -572,6 +572,25 @@ def _deep_overlay(
         ),
     )
     r = r.withColumn("__fb_key", fallback)
+    # r9: third candidate — the call-prefix slot for 'a.b().rest' chains
+    # where 'a' is a module alias, not a variable: no scope::a binding
+    # can exist, but extraction emitted a synthetic binding under
+    # 'scope::a.b()' typed by a.b's return. Consulted ONLY when both the
+    # local and module-global keys miss, so variable shadowing semantics
+    # are untouched.
+    call_prefix = F.when(
+        F.col("bind_key").contains("::") & F.col("target").contains("()"),
+        F.expr("substring(target, 1, instr(target, '()') + 1)"),
+    )
+    r = r.withColumn(
+        "__ck",
+        F.when(
+            call_prefix.isNotNull(),
+            F.concat(
+                F.substring_index("bind_key", "::", 1), F.lit("::"), call_prefix
+            ),
+        ),
+    )
     r = r.join(
         _maybe_b(
             bnd.select(
@@ -594,18 +613,38 @@ def _deep_overlay(
         ),
         F.col("__fb_key") == F.col("__k2"),
         "left",
+    ).join(
+        _maybe_b(
+            bnd.select(
+                F.col("bind_key").alias("__k3"),
+                F.col("bound_cls").alias("__cls3"),
+                F.col("bound_alias").alias("__al3"),
+            ),
+            small,
+        ),
+        F.col("__ck") == F.col("__k3"),
+        "left",
     )
-    # local row (even a poison one) wins over the module-global fallback
-    bound = F.when(F.col("__k1").isNotNull(), F.col("__cls1")).otherwise(
-        F.col("__cls2")
+    # local row (even a poison one) wins over the module-global fallback,
+    # which wins over the call-prefix slot
+    bound = (
+        F.when(F.col("__k1").isNotNull(), F.col("__cls1"))
+        .when(F.col("__k2").isNotNull(), F.col("__cls2"))
+        .otherwise(F.col("__cls3"))
     )
     alias_flag = F.coalesce(
-        F.when(F.col("__k1").isNotNull(), F.col("__al1")).otherwise(F.col("__al2")),
+        F.when(F.col("__k1").isNotNull(), F.col("__al1"))
+        .when(F.col("__k2").isNotNull(), F.col("__al2"))
+        .otherwise(F.col("__al3")),
         F.lit(False),
     )
+    used_call_key = (
+        F.col("__k1").isNull() & F.col("__k2").isNull() & F.col("__k3").isNotNull()
+    )
     # the prefix the binding replaces: 'head' for scope::head keys, the
-    # full Class.attr name for field keys
-    prefix = F.when(
+    # full Class.attr name for field keys, the call expression itself
+    # when the call-prefix slot bound
+    prefix = F.when(used_call_key, call_prefix).when(
         F.col("bind_key").contains("::"), F.substring_index("bind_key", "::", -1)
     ).otherwise(F.col("bind_key"))
     # a target EQUAL to the prefix (a call through the bare name) rewrites

@@ -1242,6 +1242,8 @@ def _parity_edges(spark: SparkSession) -> DataFrame:
       ('parity.car.Car.drive', 'parity.engine.Engine.start'),
       ('parity.car.Car.service', 'parity.engine.Engine.gauge'),
       ('parity.car.Car.service', 'parity.engine.Meter.read'),
+      ('parity.car.Depot.work', 'parity.car.Depot.helper'),
+      ('parity.car.Depot.work', 'parity.engine.Engine.start'),
       ('parity.car.Garage.deep_check', 'parity.engine.Engine.gauge'),
       ('parity.car.Garage.deep_check', 'parity.engine.Meter.read'),
       ('parity.car.Garage.tune', 'parity.engine.Engine.start'),
@@ -1250,7 +1252,9 @@ def _parity_edges(spark: SparkSession) -> DataFrame:
       ('parity.car.drive_new', 'parity.car.make_garage'),
       ('parity.car.fleet_check', 'parity.car.make_garage'),
       ('parity.car.fleet_check', 'parity.engine.Engine.start'),
-      ('parity.car.loan', 'unsolved symbol')
+      ('parity.car.loan', 'unsolved symbol'),
+      ('parity.car.module_head', 'parity.engine.Engine.start'),
+      ('parity.car.module_head', 'parity.engine.build_engine')
     ) t(src, dst) ORDER BY src, dst
     """,
 )
@@ -1264,7 +1268,12 @@ def g_call_edges_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     field (``d.meter.read()``, C7 — ast_extract emits the property the
     same binding fact a ctor assignment would), and factory-call heads
     via a synthetic call-result slot (``make_garage().car.drive()``, C9
-    — typed exactly like ``tmp = make_garage(); tmp.car.drive()``).
+    — typed exactly like ``tmp = make_garage(); tmp.car.drive()``),
+    self-method head calls (``self.helper().start()``, C11, same slot
+    mechanism keyed on the class), and module-alias function heads
+    (``pe.build_engine().start()``, C12 — the call-prefix slot is the
+    overlay's THIRD candidate key, consulted only when the local and
+    module-global keys both miss, so variable shadowing is untouched).
     The untyped-parameter row (C10, ``loan``) stays 'unsolved symbol' BY
     DESIGN — jedi's own goto cannot resolve it either (DEEP_PARITY.md).
     Golden parity: tools/deep_parity.py measures 100% precision / 100%
