@@ -4,18 +4,27 @@ driver's 50-query correctness window must fail the test run — r8's
 closing commit (standing signature tables) did exactly that to
 minhash_lsh_candidates/simhash_near_dup_pairs and only the judge's own
 re-check caught it. With PLAN_PINS.json pinned at window-pin time, that
-commit now trips test_no_plan_changes_outside_window (both queries'
-plans changed from inline signing to a standing-table scan while outside
-the r8 window list)."""
+commit now trips test_no_plan_changes_outside_window.
+
+Fingerprints are context-sensitive (a query's captured plan depends on
+which session caches already exist when it builds), so they are only
+comparable when computed the way the pin was: a FRESH session running
+the catalog in registry order. The fixture therefore shells out to
+``tools/plan_pins.py --check`` in a subprocess instead of computing in
+the (cache-warm, test-order-dependent) pytest session."""
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 
 import pytest
 
-from tools.plan_pins import PIN_PATH, check, compute_all, driver_window
+from tools.plan_pins import PIN_PATH, check, driver_window
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(PIN_PATH), reason="no PLAN_PINS.json pinned yet"
@@ -29,18 +38,35 @@ def pins():
 
 
 @pytest.fixture(scope="module")
-def current(spark, pins):
-    # ~2-3 min: every registered query's optimized plan at sf0.001,
-    # computed ONCE per test session and shared by all tests below
-    return compute_all(spark, pins.get("sf_dir", "/root/testdata/sf0.001"))
+def subprocess_check(tmp_path_factory):
+    """(check result, current fingerprints) from a fresh-session run of
+    the tool — ~2-3 min, once per test session."""
+    dump = str(tmp_path_factory.mktemp("pins") / "current.json")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "plan_pins.py"),
+            "--check",
+            "--dump-current",
+            dump,
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    # rc 1 == violations found; anything else is a harness failure
+    assert proc.returncode in (0, 1), proc.stderr[-2000:]
+    start = proc.stdout.index("{")
+    end = proc.stdout.rindex("}") + 1
+    result = json.loads(proc.stdout[start:end])
+    with open(dump) as fh:
+        current = json.load(fh)
+    return result, current
 
 
-@pytest.fixture(scope="module")
-def result(spark, pins, current):
-    return check(spark, pins, current=current)
-
-
-def test_no_plan_changes_outside_window(result):
+def test_no_plan_changes_outside_window(subprocess_check):
+    result, _ = subprocess_check
     assert result["violations"] == [], (
         "queries changed plans while OUTSIDE the driver correctness "
         "window — add them to _DRIVER_PRIORITY's current round block and "
@@ -52,23 +78,21 @@ def test_window_is_exactly_fifty():
     assert len(driver_window()) == 50
 
 
-def test_gate_math_flags_tampered_pin(spark, pins, current):
+def test_gate_math_flags_tampered_pin(pins, subprocess_check):
     """The violation logic itself: flip one out-of-window pin and the
     check must flag exactly that query (the 8293a67 shape — a real plan
     change outside the window is indistinguishable from this)."""
+    _, current = subprocess_check
     window = set(driver_window(pins.get("window_size", 50)))
-    outside = next(
-        n for n in pins["fingerprints"] if n not in window
-    )
+    outside = next(n for n in pins["fingerprints"] if n not in window)
     tampered = {
         **pins,
         "fingerprints": {**pins["fingerprints"], outside: "0" * 32},
     }
-    res = check(spark, tampered, current=current)
+    res = check(None, tampered, current=current)
     assert outside in res["violations"]
 
 
 # NOTE: pin/check protocol — run `python tools/plan_pins.py --pin` in a
-# QUIET environment (no concurrent sessions sharing spark-warehouse; a
-# contaminated pin shows up as a mass of spurious violations — re-pin),
+# QUIET environment (no concurrent sessions sharing spark-warehouse),
 # immediately after editing _DRIVER_PRIORITY for a new round.

@@ -119,6 +119,14 @@ def main() -> None:
     ap.add_argument("--pin", action="store_true")
     ap.add_argument("--check", action="store_true")
     ap.add_argument("--sf-dir", default=PIN_SF)
+    ap.add_argument(
+        "--dump-current",
+        default=None,
+        help="also write the freshly computed fingerprints to this path "
+        "(lets a test session reuse them without recomputing in its own "
+        "cache-warm context — fingerprints are only comparable when "
+        "computed in a FRESH session in catalog order, like the pin)",
+    )
     args = ap.parse_args()
     if not (args.pin or args.check):
         ap.error("give --pin or --check")
@@ -146,7 +154,13 @@ def main() -> None:
         print(f"pinned {len(fps)} plans -> {PIN_PATH}; errors: {errs or 'none'}")
         return
 
-    res = check(spark)
+    with open(PIN_PATH) as fh:
+        pins = json.load(fh)
+    current = compute_all(spark, pins.get("sf_dir", PIN_SF))
+    if args.dump_current:
+        with open(args.dump_current, "w") as fh:
+            json.dump(current, fh)
+    res = check(spark, pins, current=current)
     print(json.dumps(res, indent=2))
     if res["violations"]:
         print(
