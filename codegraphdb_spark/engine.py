@@ -929,9 +929,18 @@ class GraphEngine:
         )
 
     def _edges_with_src_file(self, nodes: DataFrame, edges: DataFrame) -> DataFrame:
-        src_files = nodes.select(
-            F.col("full_name").alias("src"), F.col("file_path").alias("src_file")
-        ).dropDuplicates(["src"])
+        # deterministic file attribution when a full_name carries two
+        # file_paths (placeholder + real row): smallest path wins —
+        # dropDuplicates(["src"]) took a partition-order pick, making
+        # the snapshot's file-bucket assignment build-dependent
+        src_files = (
+            nodes.select(
+                F.col("full_name").alias("src"),
+                F.col("file_path").alias("src_file"),
+            )
+            .groupBy("src")
+            .agg(F.min("src_file").alias("src_file"))
+        )
         return edges.join(src_files, "src", "left")
 
     def write_snapshot_incremental_base(

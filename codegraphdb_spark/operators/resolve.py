@@ -531,7 +531,18 @@ def deepen_bindings(
             (is_alias & bound2.isNotNull()).alias("__a2"),
         )
         .filter(F.col("__b2").isNotNull())
-        .dropDuplicates(["bind_key"])
+        # deterministic pick when several rows bind the same key (more
+        # than one candidate chain validates): the smallest (bound
+        # target, alias flag) pair — dropDuplicates(["bind_key"]) kept a
+        # partition-order-dependent row, the build-nondeterminism class
+        # VERDICT r9 flagged (15-vs-16-edge anomaly)
+        .groupBy("bind_key")
+        .agg(F.min(F.struct("__b2", "__a2")).alias("__s"))
+        .select(
+            "bind_key",
+            F.col("__s.__b2").alias("__b2"),
+            F.col("__s.__a2").alias("__a2"),
+        )
     )
     return bnd.join(extra, "bind_key", "left").select(
         "bind_key",
@@ -773,8 +784,13 @@ def gate_edges(resolved_rows: DataFrame) -> DataFrame:
     (myClient.py:299-305), INHERITS on CLASS or the unsolved sentinel;
     unresolved CALL/INHERITS → UNSOLVED (index_utils.py:62)."""
     out = resolved_rows.select("src", "rel_type", "resolved", "resolved_kind")
-    # a ref may have joined several star imports — any single resolution wins
-    out = out.dropDuplicates(["src", "rel_type", "resolved"])
+    # a ref may have joined several star imports — collapse identical
+    # resolutions. resolved_kind is IN the key (r10): two kinds for one
+    # resolved name each gate independently and the final
+    # (src, dst, rel_type) dedup below stays set-deterministic; keying
+    # only (src, rel_type, resolved) kept an arbitrary kind row, so the
+    # gate's FUNCTION|METHOD test could flip between builds
+    out = out.dropDuplicates(["src", "rel_type", "resolved", "resolved_kind"])
 
     call = out.filter(F.col("rel_type") == "CALL").withColumn(
         "dst",
@@ -846,5 +862,10 @@ def reexport_contains(imports: DataFrame, symbols: DataFrame, contains_edges: Da
     return (
         named.unionByName(star)
         .filter(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst", "rel_type"])
+        # deterministic association_type when the same CONTAINS edge
+        # arises with two kinds (a name that is both, e.g., re-exported
+        # as CLASS and FUNCTION): smallest kind wins, never a
+        # partition-order pick
+        .groupBy("src", "dst", "rel_type")
+        .agg(F.min("association_type").alias("association_type"))
     )
