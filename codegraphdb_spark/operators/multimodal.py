@@ -365,7 +365,9 @@ def _bmp_pixels(payload: bytes) -> tuple[bytes, int, int]:
             raise NotImplementedError("truncated BMP palette")
         palette = payload[pal_off : pal_off + 4 * ncol]
     stride = ((w * bpp + 31) // 32) * 4
-    if len(payload) < data_off + stride * h or data_off < 0:
+    # data_off is '<I'-unpacked (unsigned) so it cannot be negative; the
+    # truncation check alone bounds it (ADVICE r9 dropped the dead < 0 arm)
+    if len(payload) < data_off + stride * h:
         raise NotImplementedError("truncated BMP pixel data")
     rgb = bytearray(w * h * 3)
     for row in range(h):

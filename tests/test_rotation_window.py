@@ -78,6 +78,27 @@ def test_window_is_exactly_fifty():
     assert len(driver_window()) == 50
 
 
+def test_window_matches_priority_list_head():
+    """ADVICE r9: the bare length check was vacuous — driver_window()
+    returns the first 50 of a ~195-entry registry regardless of what
+    _DRIVER_PRIORITY contains, so a typo'd window entry silently slid a
+    different query into the checked window. Pin the contract: every
+    priority name resolves to a registered query, and the registry's
+    first 50 are exactly the first 50 DISTINCT valid priority entries
+    in order (later round blocks may repeat names — first wins)."""
+    from codegraphdb_spark import registry
+    from codegraphdb_spark.registry import _DRIVER_PRIORITY
+
+    registry.load_all()
+    unknown = [n for n in _DRIVER_PRIORITY if n not in registry.QUERIES]
+    assert unknown == [], f"_DRIVER_PRIORITY names not in the registry: {unknown}"
+    seen: list[str] = []
+    for n in _DRIVER_PRIORITY:
+        if n not in seen:
+            seen.append(n)
+    assert driver_window() == seen[:50]
+
+
 def test_gate_math_flags_tampered_pin(pins, subprocess_check):
     """The violation logic itself: flip one out-of-window pin and the
     check must flag exactly that query (the 8293a67 shape — a real plan

@@ -99,3 +99,24 @@ def test_tag_matches_build_site_convention(tmp_path, spark):
 
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     sh.rmtree(os.path.join(wh, name), ignore_errors=True)
+
+
+def test_keep_is_unconditionally_protective(tmp_path):
+    """ADVICE r9: --keep + --max-age-days used to AND the criteria, so an
+    explicitly kept corpus older than the age bound was silently deleted
+    (and rebuilt next session). Keep now wins over age; age binds only
+    the non-kept tables."""
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    keep_dir = "/data/corpus_a"
+    tag = gc_mod.corpus_tag(keep_dir)
+    old_kept = _mk(wh, f"mh_sigs_{tag}", age_days=30)
+    old_stray = _mk(wh, "mh_sigs_deadbeef", age_days=30)
+    young_stray = _mk(wh, "sim60_cafebabe", age_days=0.1)
+
+    res = gc_mod.collect_garbage(wh, keep_sf_dirs=[keep_dir], max_age_days=5)
+    assert res["dropped"] == ["mh_sigs_deadbeef"]
+    assert sorted(res["kept"]) == sorted([f"mh_sigs_{tag}", "sim60_cafebabe"])
+    assert os.path.isdir(old_kept)
+    assert not os.path.exists(old_stray)
+    assert os.path.isdir(young_stray)

@@ -34,6 +34,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     per_run: list[dict[str, float]] = []
     host_allocs: list[float] = []
+    host_allocs_after: list[float] = []
+    suspects: list[bool] = []
     graph_builds: list[float] = []
     standing_builds: list[float] = []
     for i in range(runs):
@@ -55,13 +57,31 @@ def main() -> None:
             rec = json.load(fh)
         per_run.append(rec["queries"])
         host_allocs.append(rec.get("host_fresh_alloc_ms_per_mb"))
+        host_allocs_after.append(rec.get("host_fresh_alloc_ms_per_mb_after"))
+        suspects.append(bool(rec.get("host_suspect")))
         graph_builds.append(rec.get("graph_build_sec", 0.0))
         standing_builds.append(rec.get("standing_index_build_sec", 0.0))
         print(
             f"run {i + 1}/{runs}: total {rec['value']}s "
-            f"({round(time.time() - t0, 1)}s wall)",
+            f"({round(time.time() - t0, 1)}s wall, probes "
+            f"{rec.get('host_fresh_alloc_ms_per_mb')}/"
+            f"{rec.get('host_fresh_alloc_ms_per_mb_after')} ms/MB"
+            f"{', HOST-SUSPECT' if rec.get('host_suspect') else ''})",
             flush=True,
         )
+
+    # Medians pinned on a degraded host blunt the gate in the dangerous
+    # direction (VERDICT r9 item 1: a real <=1.4x regression on a healthy
+    # host reads under an inflated median and never flags) — refuse to
+    # pin from host-suspect runs unless explicitly overridden.
+    if any(suspects) and not os.environ.get("SPARK_GRAFT_ALLOW_SUSPECT_PIN"):
+        print(
+            f"REFUSING to pin: {sum(suspects)}/{runs} runs were "
+            "host-suspect (bracket probes degraded or divergent). Re-run "
+            "on a healthy host, or set SPARK_GRAFT_ALLOW_SUSPECT_PIN=1 "
+            "to pin anyway (the record will carry the probes)."
+        )
+        sys.exit(1)
     names = sorted(set().union(*[set(r) for r in per_run]))
     medians = {
         n: round(statistics.median([r[n] for r in per_run if n in r]), 3)
@@ -78,13 +98,30 @@ def main() -> None:
         "standing_index_build_sec_median": round(
             statistics.median(standing_builds), 3
         ),
-        # host-state context (bench.py probe): fresh-page allocation
-        # cost per run — readers of these medians need to know what
-        # machine state produced them (see STATUS.md host incident)
+        # host-state context (bench.py bracket probes): fresh-page
+        # allocation cost before/after each run — readers of these
+        # medians need to know what machine state produced them (see
+        # STATUS.md host incident)
         "host_fresh_alloc_ms_per_mb_per_run": host_allocs,
+        "host_fresh_alloc_ms_per_mb_after_per_run": host_allocs_after,
+        "host_suspect_runs": sum(suspects),
         "queries": medians,
     }
     path = os.path.join(HERE, "BASELINE_QUERIES.json")
+    # keep the medians being replaced as a NAMED fallback column with
+    # their own probe context (VERDICT r9 item 1c): a degraded-host
+    # median set stays readable next to the healthy one it yields to
+    if os.path.exists(path):
+        with open(path) as fh:
+            prev = json.load(fh)
+        prev.pop("previous_medians", None)  # one level of history only
+        out["previous_medians"] = {
+            "host_fresh_alloc_ms_per_mb_per_run": prev.get(
+                "host_fresh_alloc_ms_per_mb_per_run"
+            ),
+            "protocol": prev.get("protocol"),
+            "queries": prev.get("queries"),
+        }
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")

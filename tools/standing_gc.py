@@ -13,11 +13,13 @@ bound. This tool drops standing tables that are not attached to any
 corpus the caller still cares about:
 
 * ``--keep <sf_dir>`` (repeatable): tables whose tag matches a kept
-  corpus survive; everything else with a standing prefix is dropped.
-  (A kept table with a stale fingerprint is harmless — the next session
-  refuses the attach and rebuilds in place.)
-* ``--max-age-days N``: alternatively/additionally, drop standing dirs
-  whose mtime is older than N days.
+  corpus survive UNCONDITIONALLY — age never deletes a kept corpus
+  (ADVICE r9: the old AND semantics silently aged out explicitly kept
+  tables, forcing a rebuild next session). A kept table with a stale
+  fingerprint is harmless — the next session refuses the attach and
+  rebuilds in place.
+* ``--max-age-days N``: drop NON-KEPT standing dirs whose mtime is
+  older than N days (with no --keep, applies to all standing dirs).
 * ``--dry-run``: report only.
 
 Catalog entries need no cleanup: the session catalog is in-memory, only
@@ -76,20 +78,24 @@ def collect_garbage(
     max_age_days: float | None = None,
     dry_run: bool = False,
 ) -> dict:
-    """Drop standing tables not matching any kept corpus tag (and/or
-    older than max_age_days). Returns {'kept': [...], 'dropped': [...]}.
-    With neither criterion given, nothing is dropped — GC never guesses."""
+    """Drop standing tables not matching any kept corpus tag, plus —
+    among the NON-kept — those older than max_age_days. A --keep match
+    is unconditionally protective (ADVICE r9): age only ever binds
+    tables no keep rule claimed. Returns {'kept': [...], 'dropped':
+    [...]}. With neither criterion given, nothing is dropped — GC never
+    guesses."""
     keep_tags = {corpus_tag(d) for d in (keep_sf_dirs or [])}
     now = time.time()
     kept, dropped = [], []
     for name, _family, tag in scan(warehouse):
         path = os.path.join(warehouse, name)
-        keep = True
-        if keep_sf_dirs is not None:
-            keep = tag in keep_tags
-        if keep and max_age_days is not None:
+        if keep_sf_dirs is not None and tag in keep_tags:
+            keep = True  # explicit keep: age never deletes it
+        elif keep_sf_dirs is not None and max_age_days is None:
+            keep = False  # not kept, no age rule: drop
+        elif max_age_days is not None:
             keep = (now - os.path.getmtime(path)) <= max_age_days * 86400
-        if keep_sf_dirs is None and max_age_days is None:
+        else:  # neither criterion
             keep = True
         if keep:
             kept.append(name)
