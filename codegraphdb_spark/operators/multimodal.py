@@ -396,6 +396,194 @@ def _bmp_pixels(payload: bytes) -> tuple[bytes, int, int]:
     return bytes(rgb), w, h
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes, max_out: int) -> bytes:
+    """GIF LZW decompression, stdlib-only (VERDICT r9 item 4). Codes are
+    packed LSB-first; the code-size bump follows the de-facto GIF
+    convention (giflib/Pillow-compatible): a READ counter starting at
+    clear+2 is bumped once per code consumed — including the first after
+    a clear, which adds no table entry — and the read width grows when
+    that counter passes 2^width, which lands the wider reads one code
+    LATER than a naive table-size rule would (the naive rule desyncs
+    against every mainstream encoder; derivation pinned in
+    tests/test_gif_decode.py::test_code_size_bump_timing). Handles
+    mid-stream clear codes, the KwKwK (code == next slot) case, and
+    deferred clears (table full at 4096: stop adding, keep reading
+    12-bit codes). Raises NotImplementedError for corrupt streams."""
+    if not 2 <= min_code_size <= 11:
+        raise NotImplementedError(f"GIF LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    out = bytearray()
+    table = list(base)
+    code_size = min_code_size + 1
+    running = clear + 2  # giflib RunningCode: counts READS, not entries
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                # stream ended without an end code: mainstream decoders
+                # accept this when the pixels are already complete
+                return bytes(out)
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            running = clear + 2
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise NotImplementedError("GIF LZW: bad first code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise NotImplementedError("GIF LZW: code beyond table")
+        out += entry
+        if len(out) > max_out:
+            raise NotImplementedError("GIF LZW output exceeds frame size")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+        running += 1
+        if running > (1 << code_size) and code_size < 12:
+            code_size += 1
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_pixels(payload: bytes) -> tuple[bytes, int, int]:
+    """REAL GIF pixel decode, stdlib-only (VERDICT r9 item 4): LZW is
+    ~60 lines of bit arithmetic (_gif_lzw_decode) and the rest is
+    palette lookup + the 4-pass interlace row order — no codec library.
+    Decodes the FIRST image frame composed onto the logical screen
+    (background-filled when the frame rect is smaller), local color
+    table overriding the global one, both interlaced and sequential row
+    order. Transparency is ignored — the transparent index renders its
+    palette color, matching Pillow's first-frame ``convert("RGB")``.
+    Raises NotImplementedError for anything it cannot decode honestly
+    (no color table, corrupt LZW, truncated blocks) so the caller's
+    fallback stays loud-or-deterministic, never silently wrong. Returns
+    (rgb_bytes, width, height) — same contract as _png_pixels."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        raise NotImplementedError("not a GIF payload (or truncated header)")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    bg_index = payload[11]
+    if sw == 0 or sh == 0:
+        raise NotImplementedError("degenerate GIF geometry")
+    if sw * sh * 3 > _PNG_MAX_RAW:  # same bomb bound as the PNG path
+        raise NotImplementedError("GIF output exceeds the raw-size bound")
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise NotImplementedError("truncated GIF global color table")
+        pos += 3 * n
+
+    def _skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise NotImplementedError("truncated GIF sub-blocks")
+            ln = payload[p]
+            p += 1
+            if ln == 0:
+                return p
+            p += ln
+
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks (GCE/comment/...)
+            if pos + 2 > len(payload):
+                raise NotImplementedError("truncated GIF extension")
+            pos = _skip_subblocks(pos + 2)
+        elif block == 0x2C:  # image descriptor — decode this first frame
+            if pos + 10 > len(payload):
+                raise NotImplementedError("truncated GIF image descriptor")
+            fx, fy, fw, fh = struct.unpack_from("<HHHH", payload, pos + 1)
+            ipacked = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = payload[pos : pos + 3 * n]
+                if len(pal) < 3 * n:
+                    raise NotImplementedError("truncated GIF local color table")
+                pos += 3 * n
+            if not pal:
+                raise NotImplementedError("GIF frame has no color table")
+            if fw == 0 or fh == 0 or fx + fw > sw or fy + fh > sh:
+                raise NotImplementedError("GIF frame rect outside screen")
+            if pos >= len(payload):
+                raise NotImplementedError("truncated GIF image data")
+            min_code_size = payload[pos]
+            pos += 1
+            chunks = []
+            while True:
+                if pos >= len(payload):
+                    raise NotImplementedError("truncated GIF image data")
+                ln = payload[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                chunks.append(payload[pos : pos + ln])
+                if len(chunks[-1]) < ln:
+                    raise NotImplementedError("truncated GIF image data")
+                pos += ln
+            idx = _gif_lzw_decode(min_code_size, b"".join(chunks), fw * fh)
+            if len(idx) < fw * fh:
+                raise NotImplementedError(
+                    f"GIF LZW yielded {len(idx)} of {fw * fh} pixels"
+                )
+            # background fill (palette color of the bg index, else black),
+            # then blit the frame — interlaced rows land via the 4-pass map
+            rgb = bytearray(sw * sh * 3)
+            if gct and 3 * bg_index + 3 <= len(gct) and (fw, fh) != (sw, sh):
+                bg = gct[3 * bg_index : 3 * bg_index + 3]
+                for i in range(sw * sh):
+                    rgb[3 * i : 3 * i + 3] = bg
+            if ipacked & 0x40:
+                row_order = [
+                    r
+                    for start, step in _GIF_INTERLACE_PASSES
+                    for r in range(start, fh, step)
+                ]
+            else:
+                row_order = list(range(fh))
+            npal = len(pal) // 3
+            for src_row, dst_row in enumerate(row_order):
+                o = ((fy + dst_row) * sw + fx) * 3
+                base_i = src_row * fw
+                for x in range(fw):
+                    j = idx[base_i + x]
+                    if j >= npal:
+                        raise NotImplementedError("GIF palette index out of range")
+                    rgb[o + 3 * x : o + 3 * x + 3] = pal[3 * j : 3 * j + 3]
+            return bytes(rgb), sw, sh
+        elif block == 0x3B:  # trailer before any image frame
+            break
+        else:
+            raise NotImplementedError(f"unknown GIF block 0x{block:02x}")
+    raise NotImplementedError("GIF contains no image frame")
+
+
 def _nn_resize_rgb(
     rgb: bytes, sw: int, sh: int, width: int, height: int
 ) -> bytes:
@@ -417,19 +605,22 @@ def _nn_resize_rgb(
 def _real_resample(payload: bytes, width: int, height: int) -> bytes:
     """Pixel resampling on the executors. Pillow (when importable) covers
     every format; without it, PNG decodes FOR REAL via the stdlib-zlib
-    path (_png_pixels — IDAT inflate + scanline unfilter) and BMP via
-    the stdlib struct path (_bmp_pixels — BI_RGB rows are raw bytes),
-    each with a nearest-neighbor resample; every other format raises
-    NotImplementedError so the pipeline falls back to the deterministic
-    stand-in (_fake_thumbnail). Dropping Pillow onto the executors still
-    flips ALL formats to library-grade pixels with zero code change.
-    Output contract in every branch: raw RGB bytes of exactly
-    width*height*3."""
+    path (_png_pixels — IDAT inflate + scanline unfilter), BMP via the
+    stdlib struct path (_bmp_pixels — BI_RGB rows are raw bytes), and
+    GIF via the stdlib LZW path (_gif_pixels — r10), each with a
+    nearest-neighbor resample; every other format (JPEG — a real codec)
+    raises NotImplementedError so the pipeline falls back to the
+    deterministic stand-in (_fake_thumbnail). Dropping Pillow onto the
+    executors still flips ALL formats to library-grade pixels with zero
+    code change. Output contract in every branch: raw RGB bytes of
+    exactly width*height*3."""
     try:
         from PIL import Image  # noqa: PLC0415 — executor-side lazy import
     except ImportError:
         if payload[:2] == b"BM":
             rgb, sw, sh = _bmp_pixels(payload)
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            rgb, sw, sh = _gif_pixels(payload)
         else:
             rgb, sw, sh = _png_pixels(payload)  # raises for non-PNG
         return _nn_resize_rgb(rgb, sw, sh, width, height)
