@@ -49,7 +49,76 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # covers ALL queries regardless — the rotation only governs the driver's
 # independent record.
 _DRIVER_PRIORITY: list[str] = [
-    # ============ ROUND-9 WINDOW ========================================
+    # ============ ROUND-10 WINDOW =======================================
+    # Rotation rule (1): every query whose behavior round 10 touched —
+    # doc_shingle_novelty (first-seen became a window min over the
+    # shingle key: one Arrow kernel run instead of two — the only
+    # optimized-plan change this round, confirmed by plan_pins --check),
+    # the edge-semantics g_* family (the determinism audit replaced
+    # every order-sensitive multi-candidate pick in the compile path:
+    # binding-chain extras, gate_edges kind key, reexport
+    # association_type — fixture results are proven identical, but the
+    # driver should verify edge semantics independently), and the
+    # multimodal family (GIF pixel decode became real behind the codec
+    # seam).
+    "doc_shingle_novelty",
+    "g_call_edges_chain",
+    "g_call_edges_deep",
+    "g_call_edges",
+    "g_uses_edges",
+    "g_inherits_edges",
+    "g_kind_census",
+    "g_methods_of_class",
+    "g_override_edges",
+    "g_reexport_contains",
+    "multimodal_frame_census",
+    "multimodal_dedup",
+    "multimodal_meta_extract",
+    "multimodal_resolution_filter",
+    # Rotation rule (2): longest outside the window — the last r4
+    # vintage (latest driver green CORRECTNESS_r04), then the oldest
+    # r5 vintage alphabetically, filling to 50. Remaining r5 rows
+    # (g_cypher_varlen_undirected, g_cypher_with_topn,
+    # g_cypher_write_roundtrip, g_triangle_count, having_share_threshold,
+    # promo_revenue_ratio) lead r11's fill.
+    "scalar_subquery_rich_inactive",
+    "shipping_priority_topk",
+    "subquery_small_quantity_revenue",
+    "top_revenue_supplier",
+    "approx_distinct_kmv",
+    "approx_distinct_kmv_by_flag",
+    "doc_bigram_lm_quality",
+    "doc_lang_confusion",
+    "doc_stratified_sample",
+    "doc_top_collocations",
+    "emb_knn_classify",
+    "emb_label_outliers",
+    "emb_mmr_diversify",
+    "emb_recall_at_k",
+    "events_anomaly_zscore",
+    "events_cusum_drift",
+    "events_ewma",
+    "events_markov_transitions",
+    "events_ohlc_bars",
+    "events_rollup_two_level",
+    "events_seasonality_profile",
+    "events_time_weighted_avg",
+    "events_top_paths",
+    "events_value_mad",
+    "exclusive_late_supplier",
+    "g_bucketed_children",
+    "g_cypher_case",
+    "g_cypher_distinct_aggs",
+    "g_cypher_grouped",
+    "g_cypher_path",
+    "g_cypher_pattern_pred",
+    "g_cypher_rel_props",
+    "g_cypher_shortest",
+    "g_cypher_union",
+    "g_cypher_unwind_params",
+    "g_cypher_unwind_prop",
+    # ================== r10 50-query window boundary ====================
+    # ============ ROUND-9 WINDOW (previous) =============================
     # Rotation rule (1): every query whose behavior round 9 touched —
     # the A4 chain-resolution work (extractor '()'-chain rendering +
     # synthetic call slots + @property fields + the bounded deep walker

@@ -76,14 +76,16 @@ def _call_scopes(tree: ast.Module, module: str) -> dict[ast.Call, str | None]:
     return scopes
 
 
-def jedi_golden(tmp: str) -> set[tuple[str, str]]:
+def jedi_golden(
+    tmp: str, pairs: list[tuple[str, str]] | None = None
+) -> set[tuple[str, str]]:
     """(caller_scope, callee_full_name) CALL edges per jedi — the same
     goto(follow_imports=True) the reference's deep indexer runs."""
     import jedi
 
     project = jedi.Project(path=tmp, added_sys_path=[tmp])
     golden: set[tuple[str, str]] = set()
-    for rel, src in PARITY_V1:
+    for rel, src in pairs if pairs is not None else PARITY_V1:
         if not rel.endswith(".py") or not src.strip():
             continue
         module = rel[:-3].replace("/", ".").removesuffix(".__init__")
@@ -118,12 +120,17 @@ def jedi_golden(tmp: str) -> set[tuple[str, str]]:
     return golden
 
 
-def engine_edges(spark) -> set[tuple[str, str]]:
+def engine_edges(
+    spark, pairs: list[tuple[str, str]] | None = None
+) -> set[tuple[str, str]]:
     from codegraphdb_spark.engine import GraphEngine
     from codegraphdb_spark.sources.repo import files_from_pairs
 
     eng = GraphEngine(spark)
-    _, edges, _ = eng.build(files_from_pairs(spark, PARITY_V1), "v1")
+    _, edges, _ = eng.build(
+        files_from_pairs(spark, pairs if pairs is not None else PARITY_V1),
+        "v1",
+    )
     rows = edges.filter(edges.rel_type == "CALL").select("src", "dst").collect()
     return {(r["src"], r["dst"]) for r in rows}
 
@@ -153,7 +160,148 @@ def compare(
     return lines, precision, recall
 
 
+def repo_pairs(root: str, include: list[str]) -> list[tuple[str, str]]:
+    """(rel_path, source) for every .py under root/<include-dirs> — the
+    real-repo input shape (VERDICT r9 item 5)."""
+    pairs: list[tuple[str, str]] = []
+    for sub in include:
+        base = os.path.join(root, sub)
+        for dirpath, dirnames, files in os.walk(base):
+            dirnames[:] = [d for d in dirnames if not d.startswith(".")]
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    p = os.path.join(dirpath, fn)
+                    with open(p) as fh:
+                        pairs.append((os.path.relpath(p, root), fh.read()))
+    return sorted(pairs)
+
+
+def classify_residuals(
+    g_solved: set[tuple[str, str]], ours: set[tuple[str, str]]
+) -> dict[str, list[tuple[str, str]]]:
+    """Histogram the MISSED golden edges by what the engine did instead:
+    'engine-unsolved' (the engine saw the call site and loudly punted),
+    'different-target' (the caller has other solved edges — the engine
+    resolved its call sites to something else), 'caller-absent' (no
+    edge rows from that caller at all: scope-naming divergence or a
+    suppressed construct)."""
+    o_solved = {(s, d) for s, d in ours if d != UNSOLVED}
+    o_callers = {s for s, _ in ours}
+    o_solved_callers = {s for s, _ in o_solved}
+    hist: dict[str, list[tuple[str, str]]] = {
+        "engine-unsolved": [],
+        "different-target": [],
+        "caller-absent": [],
+    }
+    for s, d in sorted(g_solved - o_solved):
+        if (s, UNSOLVED) in ours and s not in o_solved_callers:
+            hist["engine-unsolved"].append((s, d))
+        elif s in o_callers:
+            hist["different-target"].append((s, d))
+        else:
+            hist["caller-absent"].append((s, d))
+    return hist
+
+
+def real_repo_main(root: str, include: list[str]) -> None:
+    """Measure A4 parity on a REAL repo (VERDICT r9 item 5) instead of
+    the purpose-built fixture. Scope decision, documented in the report:
+    golden edges are restricted to REPO-INTERNAL callees (a full_name
+    under one of the included top-level packages) — the engine builds a
+    self-contained index of the given repo, so calls into site-packages
+    / stdlib (which jedi happily resolves) are out of scope for the
+    comparison, exactly as a reference deployment indexing one repo
+    records no edges into unindexed trees."""
+    from codegraphdb_spark.session import get_spark
+
+    pairs = repo_pairs(root, include)
+    print(f"real-repo parity: {len(pairs)} files from {root} ({include})")
+    tops = {p.split("/")[0].removesuffix(".py") for p, _ in pairs}
+    golden = jedi_golden(root, pairs)
+    internal = {
+        (s, d)
+        for s, d in golden
+        if d == UNSOLVED or any(d == t or d.startswith(t + ".") for t in tops)
+    }
+    g_solved = {(s, d) for s, d in internal if d != UNSOLVED}
+    print(
+        f"golden: {len(golden)} rows, {len(g_solved)} internal solved "
+        f"({len(golden) - len(internal)} external-callee rows out of scope)"
+    )
+
+    spark = get_spark("deep-parity-repo")
+    spark.sparkContext.setLogLevel("ERROR")
+    ours = engine_edges(spark, pairs)
+    o_solved = {(s, d) for s, d in ours if d != UNSOLVED}
+    # precision over callers jedi scored: engine edges from callers with
+    # no golden row (jedi crashed / dynamic construct) are unscoreable
+    g_callers = {s for s, _ in golden}
+    o_scoreable = {(s, d) for s, d in o_solved if s in g_callers}
+    hit = g_solved & o_scoreable
+    precision = len(hit) / len(o_scoreable) if o_scoreable else 1.0
+    recall = len(hit) / len(g_solved) if g_solved else 1.0
+    hist = classify_residuals(g_solved, ours)
+    extras = sorted(o_scoreable - g_solved)
+
+    import jedi
+
+    lines = [
+        "",
+        "## §2 Real-repo parity (r10): the engine's own package",
+        "",
+        f"Target: `{'`, `'.join(include)}` under `{root}` "
+        f"({len(pairs)} files). Golden: jedi {jedi.__version__} "
+        "`goto(follow_imports=True)` per call site, RESTRICTED to "
+        "repo-internal callees (calls into pyspark/stdlib are out of "
+        "scope: the engine indexes a self-contained repo, recording "
+        "external calls as its loud unsolved sentinel, and a parity "
+        "score should not reward or punish edges neither deployment "
+        "would store). Constructor calls normalized away on both sides "
+        "as on the fixture.",
+        "",
+        f"**Precision {precision:.1%} / recall {recall:.1%}** over "
+        f"{len(g_solved)} internal golden CALL edges "
+        f"({len(hit)} hit, {len(extras)} extra, "
+        f"{len(o_solved) - len(o_scoreable)} engine edges from callers "
+        "jedi returned nothing for — unscoreable, excluded from "
+        "precision).",
+        "",
+        "Residual-class histogram (missed golden edges):",
+        "",
+        "| class | count | examples |",
+        "|---|---|---|",
+    ]
+    for k, v in hist.items():
+        ex = "; ".join(f"{s} → {d}" for s, d in v[:3]) or "—"
+        lines.append(f"| {k} | {len(v)} | {ex} |")
+    lines += [
+        "",
+        f"Extra engine edges (not in golden): {len(extras)} — "
+        + ("; ".join(f"{s} → {d}" for s, d in extras[:5]) or "none")
+        + ("; …" if len(extras) > 5 else ""),
+        "",
+    ]
+    out = "\n".join(lines) + "\n"
+    print(out)
+    if "--write-report" in sys.argv:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "DEEP_PARITY.md",
+        )
+        with open(path, "a") as fh:
+            fh.write(out)
+        print(f"appended §2 to {path}")
+
+
 def main() -> None:
+    if "--repo" in sys.argv:
+        root = sys.argv[sys.argv.index("--repo") + 1]
+        include = ["codegraphdb_spark"]
+        if "--include" in sys.argv:
+            include = sys.argv[sys.argv.index("--include") + 1].split(",")
+        real_repo_main(root, include)
+        return
+
     from codegraphdb_spark.session import get_spark
 
     with tempfile.TemporaryDirectory() as tmp:
