@@ -110,3 +110,46 @@ def test_untyped_parameter_stays_unsolved(parity_edges):
         s == "parity.car.loan" and d != "unsolved symbol"
         for s, d in parity_edges
     )
+
+
+def test_scope_local_nested_defs_resolve(spark):
+    """r10 LEGB L-step candidate: calls to defs NESTED in the caller
+    resolve to src.target, and a local def SHADOWS a same-named import
+    (DEEP_PARITY.md §2: this class was 282 of 285 missed edges on the
+    real-repo measure)."""
+    from codegraphdb_spark.engine import GraphEngine
+    from codegraphdb_spark.sources.repo import files_from_pairs
+
+    src = (
+        "def outer():\n"
+        "    def inner(x):\n"
+        "        return x + 1\n"
+        "    return inner(3)\n"
+        "\n"
+        "class K:\n"
+        "    def m(self):\n"
+        "        def helper():\n"
+        "            return 2\n"
+        "        return helper()\n"
+        "\n"
+        "def shadow():\n"
+        "    from p.other import thing\n"
+        "    def thing():\n"
+        "        return 9\n"
+        "    return thing()\n"
+    )
+    other = "def thing():\n    return 1\n"
+    eng = GraphEngine(spark, small_repo=True)
+    _, edges, _ = eng.build(
+        files_from_pairs(spark, [("p/mod.py", src), ("p/other.py", other)]),
+        "v1",
+    )
+    calls = {
+        (r["src"], r["dst"])
+        for r in edges.filter(F.col("rel_type") == "CALL").collect()
+    }
+    assert ("p.mod.outer", "p.mod.outer.inner") in calls
+    assert ("p.mod.K.m", "p.mod.K.m.helper") in calls
+    # the local def wins over the imported name — Python shadowing
+    assert ("p.mod.shadow", "p.mod.shadow.thing") in calls
+    assert ("p.mod.shadow", "p.other.thing") not in calls

@@ -64,13 +64,44 @@ def _call_scopes(tree: ast.Module, module: str) -> dict[ast.Call, str | None]:
             if isinstance(
                 child, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
             ):
-                walk(child, stack + (child.name,))
+                # decorators (and default-argument expressions) execute at
+                # DEFINITION time in the ENCLOSING scope, not inside the
+                # entity they decorate — attribute their calls to the
+                # parent stack (r10: on the real-repo measure, scoring
+                # @query(...) decorator calls to the decorated function
+                # made up 260+ phantom misses, since both the engine and
+                # this golden suppress module-level calls)
+                for deco in child.decorator_list:
+                    walk_expr(deco, stack)
+                if isinstance(child, ast.ClassDef):
+                    for b in child.bases + [k.value for k in child.keywords]:
+                        walk_expr(b, stack)
+                else:
+                    for d in child.args.defaults + [
+                        x for x in child.args.kw_defaults if x is not None
+                    ]:
+                        walk_expr(d, stack)
+                walk(_body_only(child), stack + (child.name,))
             else:
                 if isinstance(child, ast.Call):
                     scopes[child] = (
                         f"{module}.{'.'.join(stack)}" if stack else None
                     )
                 walk(child, stack)
+
+    def walk_expr(node: ast.AST, stack: tuple[str, ...]) -> None:
+        if isinstance(node, ast.Call):
+            scopes[node] = f"{module}.{'.'.join(stack)}" if stack else None
+        for child in ast.iter_child_nodes(node):
+            walk_expr(child, stack)
+
+    class _BodyHolder(ast.AST):
+        _fields = ("body",)
+
+    def _body_only(entity):
+        holder = _BodyHolder()
+        holder.body = entity.body
+        return holder
 
     walk(tree, ())
     return scopes
