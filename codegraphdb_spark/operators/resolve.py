@@ -591,89 +591,114 @@ def _deep_overlay(
     methods a class only INHERITS still land on the defining base. A deep
     hit overrides the step 1-4 result (locals shadow imports/globals).
 
-    The module-global fallback is consulted ONLY when no local-key row
-    exists at all: a poison row (local rebind of unknown type, unannotated
-    parameter) matches locally with a null ``bound_cls`` and thereby
-    SUPPRESSES the fallback — Python local shadowing must not fabricate an
-    edge through a same-named module global (ADVICE r2)."""
+    The binding lookup walks the FULL lexical chain (r10 — LEGB's E
+    step): scope::head, then each enclosing FUNCTION scope's key, then
+    module::head, then the call-prefix slot — as ONE exploded-key join
+    with a per-row min-level window, not one join per level. A poison
+    row (rebind of unknown type, unannotated parameter) at ANY level
+    matches with a null ``bound_cls`` and thereby SUPPRESSES every
+    deeper level — Python shadowing must not fabricate an edge through
+    a same-named name in an outer scope (ADVICE r2). Intermediate
+    CLASS scopes are excluded from the chain: a method body does NOT
+    see class attributes as bare names, so ``p.mod.K::x`` must never
+    bind a ref in ``p.mod.K.m`` (only local and module levels are
+    kind-exempt — the local scope may legitimately BE a class body).
+    Closes DEEP_PARITY.md §2's last residual class: a nested def
+    calling methods on an instance variable bound in its enclosing
+    function (``eng = Engine(); def side(): eng.compile()``)."""
     keep = r.columns
-    # local binding, then module-global fallback (scope::head → module::head)
-    fallback = F.when(
-        F.col("bind_key").contains("::"),
-        F.concat(
-            F.col("ref_module"), F.lit("::"), F.substring_index("bind_key", "::", -1)
-        ),
+    r = r.withColumn(
+        "__did", F.md5(F.to_json(F.struct(*[F.col(c) for c in keep])))
     )
-    r = r.withColumn("__fb_key", fallback)
-    # r9: third candidate — the call-prefix slot for 'a.b().rest' chains
-    # where 'a' is a module alias, not a variable: no scope::a binding
-    # can exist, but extraction emitted a synthetic binding under
-    # 'scope::a.b()' typed by a.b's return. Consulted ONLY when both the
-    # local and module-global keys miss, so variable shadowing semantics
-    # are untouched.
+    # r9: the call-prefix slot for 'a.b().rest' chains where 'a' is a
+    # module alias, not a variable: no scope::a binding can exist, but
+    # extraction emitted a synthetic binding under 'scope::a.b()' typed
+    # by a.b's return. Lowest priority: consulted only when every
+    # lexical level misses, so variable shadowing semantics are
+    # untouched.
     call_prefix = F.when(
         F.col("bind_key").contains("::") & F.col("target").contains("()"),
         F.expr("substring(target, 1, instr(target, '()') + 1)"),
     )
-    r = r.withColumn(
-        "__ck",
-        F.when(
-            call_prefix.isNotNull(),
-            F.concat(
-                F.substring_index("bind_key", "::", 1), F.lit("::"), call_prefix
+    scope_part = F.substring_index("bind_key", "::", 1)
+    head_part = F.substring_index("bind_key", "::", -1)
+    parts = F.split(scope_part, "\\.")
+    nmod = F.size(F.split("ref_module", "\\."))
+    lexical = F.when(
+        F.col("bind_key").contains("::")
+        & F.col("ref_module").isNotNull()
+        & scope_part.startswith(F.col("ref_module")),
+        F.transform(
+            F.sequence(F.size(parts), nmod, F.lit(-1)),
+            lambda i: F.concat(
+                F.array_join(F.slice(parts, F.lit(1), i), "."),
+                F.lit("::"),
+                head_part,
             ),
         ),
+    ).when(
+        F.col("bind_key").contains("::"),
+        # scope outside the ref module (defensive): local + module only
+        F.array(
+            F.col("bind_key"),
+            F.concat(F.col("ref_module"), F.lit("::"), head_part),
+        ),
+    ).otherwise(F.array(F.col("bind_key")))  # field keys: Class.attr
+    ck = F.when(
+        call_prefix.isNotNull(),
+        F.concat(scope_part, F.lit("::"), call_prefix),
     )
-    r = r.join(
+    chain = F.when(
+        ck.isNotNull(), F.concat(lexical, F.array(ck))
+    ).otherwise(lexical)
+    r = r.withColumn("__nsc", F.size(lexical))
+    ex = r.select(
+        "__did",
+        "__nsc",
+        F.posexplode_outer(chain).alias("__lvl", "__key"),
+    ).filter(F.col("__key").isNotNull())
+    # intermediate levels bind only through FUNCTION/METHOD scopes
+    classes = sym.filter(F.col("sym_kind") == "CLASS").select(
+        F.col("sym_name").alias("__cls_scope")
+    )
+    ex = ex.join(
+        _maybe_b(classes, small),
+        F.substring_index("__key", "::", 1) == F.col("__cls_scope"),
+        "left",
+    ).filter(
+        (F.col("__lvl") == 0)
+        | (F.col("__lvl") >= F.col("__nsc") - 1)
+        | F.col("__cls_scope").isNull()
+    )
+    ex = ex.join(
         _maybe_b(
             bnd.select(
-                F.col("bind_key").alias("__k1"),
-                F.col("bound_cls").alias("__cls1"),
-                F.col("bound_alias").alias("__al1"),
+                F.col("bind_key").alias("__key"),
+                F.col("bound_cls").alias("__bcls"),
+                F.col("bound_alias").alias("__bal"),
+                F.lit(True).alias("__hit"),
             ),
             small,
         ),
-        F.col("bind_key") == F.col("__k1"),
-        "left",
-    ).join(
-        _maybe_b(
-            bnd.select(
-                F.col("bind_key").alias("__k2"),
-                F.col("bound_cls").alias("__cls2"),
-                F.col("bound_alias").alias("__al2"),
-            ),
-            small,
-        ),
-        F.col("__fb_key") == F.col("__k2"),
-        "left",
-    ).join(
-        _maybe_b(
-            bnd.select(
-                F.col("bind_key").alias("__k3"),
-                F.col("bound_cls").alias("__cls3"),
-                F.col("bound_alias").alias("__al3"),
-            ),
-            small,
-        ),
-        F.col("__ck") == F.col("__k3"),
+        "__key",
         "left",
     )
-    # local row (even a poison one) wins over the module-global fallback,
-    # which wins over the call-prefix slot
-    bound = (
-        F.when(F.col("__k1").isNotNull(), F.col("__cls1"))
-        .when(F.col("__k2").isNotNull(), F.col("__cls2"))
-        .otherwise(F.col("__cls3"))
+    wd = Window.partitionBy("__did")
+    ex = ex.withColumn(
+        "__best", F.min(F.when(F.col("__hit"), F.col("__lvl"))).over(wd)
     )
-    alias_flag = F.coalesce(
-        F.when(F.col("__k1").isNotNull(), F.col("__al1"))
-        .when(F.col("__k2").isNotNull(), F.col("__al2"))
-        .otherwise(F.col("__al3")),
-        F.lit(False),
+    pick = ex.filter(F.col("__hit") & (F.col("__lvl") == F.col("__best"))).select(
+        "__did",
+        F.col("__bcls").alias("__bound"),
+        F.col("__bal").alias("__balias"),
+        (F.col("__lvl") >= F.col("__nsc")).alias("__used_ck"),
     )
-    used_call_key = (
-        F.col("__k1").isNull() & F.col("__k2").isNull() & F.col("__k3").isNotNull()
-    )
+    r = r.join(_maybe_b(pick, small), "__did", "left")
+    # best lexical row (even a poison one) wins; the call-prefix slot
+    # binds only when every lexical level missed
+    bound = F.col("__bound")
+    alias_flag = F.coalesce(F.col("__balias"), F.lit(False))
+    used_call_key = F.coalesce(F.col("__used_ck"), F.lit(False))
     # the prefix the binding replaces: 'head' for scope::head keys, the
     # full Class.attr name for field keys, the call expression itself
     # when the call-prefix slot bound

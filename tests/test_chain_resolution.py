@@ -153,3 +153,62 @@ def test_scope_local_nested_defs_resolve(spark):
     # the local def wins over the imported name — Python shadowing
     assert ("p.mod.shadow", "p.mod.shadow.thing") in calls
     assert ("p.mod.shadow", "p.other.thing") not in calls
+
+
+def test_enclosing_scope_instance_bindings(spark):
+    """r10 LEGB E step (DEEP_PARITY.md §2 residual closed): a nested def
+    calling methods on an instance variable bound in an ENCLOSING
+    function resolves through the lexical chain — including two levels
+    up — while (a) a local poison rebind suppresses the outer binding
+    and (b) a method body never binds a bare name through a CLASS
+    attribute (Python name lookup skips class scopes)."""
+    from codegraphdb_spark.engine import GraphEngine
+    from codegraphdb_spark.sources.repo import files_from_pairs
+
+    src = (
+        "class Engine:\n"
+        "    def compile(self):\n"
+        "        return 1\n"
+        "\n"
+        "class K:\n"
+        "    x = Engine()\n"
+        "    def m(self):\n"
+        "        return x.compile()\n"
+        "\n"
+        "def driver():\n"
+        "    eng = Engine()\n"
+        "    def side():\n"
+        "        return eng.compile()\n"
+        "    return side()\n"
+        "\n"
+        "def shadowed():\n"
+        "    eng = Engine()\n"
+        "    def side2():\n"
+        "        eng = object_of_unknown()\n"
+        "        return eng.compile()\n"
+        "    return side2()\n"
+        "\n"
+        "def deep():\n"
+        "    eng = Engine()\n"
+        "    def mid():\n"
+        "        def leaf():\n"
+        "            return eng.compile()\n"
+        "        return leaf()\n"
+        "    return mid()\n"
+    )
+    eng = GraphEngine(spark, small_repo=True)
+    _, edges, _ = eng.build(
+        files_from_pairs(spark, [("p/mod.py", src)]), "v1"
+    )
+    calls = {
+        (r["src"], r["dst"])
+        for r in edges.filter(F.col("rel_type") == "CALL").collect()
+    }
+    assert ("p.mod.driver.side", "p.mod.Engine.compile") in calls
+    assert ("p.mod.deep.mid.leaf", "p.mod.Engine.compile") in calls
+    # poison local rebind suppresses the enclosing binding
+    assert ("p.mod.shadowed.side2", "unsolved symbol") in calls
+    assert ("p.mod.shadowed.side2", "p.mod.Engine.compile") not in calls
+    # class attributes are not in a method's bare-name lookup chain
+    assert ("p.mod.K.m", "unsolved symbol") in calls
+    assert ("p.mod.K.m", "p.mod.Engine.compile") not in calls
