@@ -39,6 +39,13 @@ def get_spark(app_name: str = "codegraphdb-spark", cpus: str | int | None = None
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    # Optional warehouse isolation (static conf — must be set before the
+    # session exists): tools that need a deterministic COLD standing-index
+    # state (plan_pins) point this at a fresh temp dir so the persisted
+    # tables under ./spark-warehouse can never leak into what they compute.
+    wh = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if wh:
+        builder = builder.config("spark.sql.warehouse.dir", wh)
     return builder.getOrCreate()
 
 

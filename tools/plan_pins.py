@@ -133,6 +133,18 @@ def main() -> None:
 
     from codegraphdb_spark.session import get_spark
 
+    # Fingerprints must be a pure function of (code, pin fixture): the
+    # standing-index tables persist under ./spark-warehouse, and a query
+    # that finds its table already persisted plans a catalog READ where a
+    # cold session plans the BUILD — the r10 inherited red was exactly
+    # this (16 of the committed pins never matched their own commit in a
+    # cold-warehouse run). Point every pin/check session at a fresh temp
+    # warehouse so the standing state is always cold and identical.
+    import tempfile
+
+    os.environ["SPARK_GRAFT_WAREHOUSE"] = tempfile.mkdtemp(
+        prefix="plan_pins_wh_"
+    )
     spark = get_spark("plan-pins", cpus=PIN_CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
