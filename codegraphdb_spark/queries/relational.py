@@ -119,7 +119,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregates — map-side combine does nearly all the work; this
     plan is flat-cost in partition count and safe at 100 TB.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -399,7 +399,7 @@ def approx_distinct_kmv_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact estimator as approx_distinct_kmv. Low-cardinality grouping
     keys are the intended use (per-source, per-language, per-day stats);
     a skewed group degrades to one sorter per group, which AQE splits."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     deduped = (
         li.filter(F.col("l_orderkey").isNotNull())
         .select(F.col("l_returnflag").alias("grp"), _kmv_hash("l_orderkey").alias("h"))
@@ -1396,7 +1396,7 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan or self-join); the share is a single exactly-rounded double
     division of two bit-identical doubles. The part join shuffles on
     partkey once; AQE broadcasts the dim when it fits."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     part = load_table(spark, sf_dir, "part")
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_net = F.when(F.col("p_type") == "PROMO", net).otherwise(F.lit(0))

@@ -77,7 +77,7 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast — the pair stage then does ONE dot product per row instead
     # of three (bit-identical doubles: same sqrt(ddot) expression, computed
     # earlier in the plan)
-    v = load_table(spark, sf_dir, "embeddings").select(
+    v = load_table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     vn = v.withColumn("nrm", F.sqrt(_ddot(F.col("e"), F.col("e"))))
@@ -842,7 +842,7 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruction-error audit. All arithmetic is double ops + integer
     rounding, bit-identical on both engines; at scale the codes column
     replaces the float array and distance kernels dequantize on the fly."""
-    v = load_table(spark, sf_dir, "embeddings").select(
+    v = load_table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     rng = v.select(
@@ -1350,7 +1350,7 @@ def _pq_coded(spark: SparkSession, sf_dir: str):
     deterministic codebook (subvectors of vec_id < PQ_K) and the argmin
     code per subspace — all scaled-integer arithmetic, so the DuckDB
     oracle recomputes identical codes."""
-    v = load_table(spark, sf_dir, "embeddings")
+    v = load_table(spark, sf_dir, "embeddings", spread=True)
     sub = DIM // PQ_M
     sx = v.select(
         "vec_id",
@@ -1851,7 +1851,7 @@ def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-probe rank window (swap in the LSH/IVF candidate tiers at 100 TB);
     the vote is a probe-keyed aggregate over k rows, then a k-bounded
     window. Nothing corpus-sized shuffles twice."""
-    v = load_table(spark, sf_dir, "embeddings").select(
+    v = load_table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
     )
     vn = v.withColumn("nrm", F.sqrt(_ddot(F.col("e"), F.col("e"))))

@@ -221,7 +221,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     content identity, cf. full_name-keyed identity graphDB.py:65-70 —
     here content-addressed). Spark's fold starts at 0 (0*31+h1 = h1) so it
     matches DuckDB's first-element-init reduce step for step."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     tokhs = F.transform(_tokens(), _h28)
     fp = F.aggregate(
         tokhs,
@@ -2078,7 +2078,7 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     of hits (tiny). This is the exact-match tier of a Dolma/CCNet-style
     decontamination stack; the bloom-filter tier swaps the broadcast set
     for a broadcast filter, same plan."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    d = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", _tokens().alias("toks"))
     k = _DECON_K
     # guard short docs: Spark's sequence(1, 0) DESCENDS ([1, 0]) where
     # DuckDB's generate_series(1, 0) is empty
@@ -2152,7 +2152,7 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations are map-side-combinable and keyed by doc_id, so the plan
     is two linear hash aggregates with no join — survives 100 TB with the
     document-keyed shuffle as the only data movement."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    d = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", _tokens().alias("toks"))
     bigrams = F.when(
         F.size("toks") >= 2,
         F.transform(

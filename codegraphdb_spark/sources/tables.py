@@ -34,8 +34,95 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 
 _EVENTS_CONF_LOCK = threading.Lock()
 
+# --- scan-width guard (optimization guide §2.5 "input skew": one huge
+# unsplittable file). A parquet file is splittable only at ROW-GROUP
+# boundaries; the bench fixtures (and any compacted upstream export) are
+# written as a SINGLE row group, so a bare scan — and every map-side
+# stage fused above it (filter, hash, partial aggregate, Arrow encode) —
+# runs on ONE core no matter how many the session has (measured: the
+# whole TPC-H-family map side single-threaded on local[32]; pricing
+# summary 1.42s -> 0.80s from this change alone). When the file cannot
+# feed the session's cores, repartition immediately after the read, on a
+# DETERMINISTIC high-cardinality key (guide §2.5: never rand-derived —
+# retried tasks must reproduce the same row placement; a keyed exchange
+# also skips round-robin's sortBeforeRepartition pass). The condition is
+# layout-adaptive, not tuned for local mode: at production scale a scan
+# has thousands of row groups, the guard is false, and the plan is
+# untouched — exactly the scan the 100 TB story wants.
+#
+# Filters and column pruning push THROUGH RepartitionByExpression, so
+# selective queries shuffle only surviving rows of needed columns.
+#
+# OPT-IN, not blanket (measured, interleaved fresh-session A/B over 20
+# representative queries, 2 sessions x 3 reps per side): the spread wins
+# ONLY where the work fused above the scan is heavy relative to one
+# shuffle round-trip of the filtered rows AND the query would not
+# shuffle immediately anyway — wide decimal partial aggregates
+# (pricing_summary 1.35->0.92 warm / 1.81->1.49 cold), KMV hashing
+# (approx_distinct_kmv_by_flag 1.64->1.17). Everywhere the plan's FIRST
+# exchange is nearby (joins, windows, explode->groupBy), the spread just
+# doubles the shuffles and LOSES (events_tumbling_window 0.38->0.67,
+# doc_top_collocations 0.52->0.90, join_part_supplier_lineitem
+# 0.74->1.05; 20-query set total 18.4s -> 21.1s blanket-on). Callers
+# that match the winning shape pass spread=True.
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# deterministic spread key per table (the natural unique/high-cardinality
+# key; pruning keeps it narrow — one extra int column at worst)
+_SPREAD_KEY = {
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+# below this the single-task scan is already sub-50ms and the exchange
+# would only add a stage (supplier/nation/region class)
+_MIN_ROWS_TO_SPREAD = 2_000
+
+# (path, mtime) -> (n_row_groups, n_rows): one driver-side footer read per
+# fixture file — layout metadata, never results
+_LAYOUT_MEMO: dict[tuple[str, float], tuple[int, int]] = {}
+
+
+def _parquet_layout(path: str) -> tuple[int, int] | None:
+    """(n_row_groups, n_rows) of a single-file parquet fixture, or None
+    when the layout can't/needn't be probed (a Spark-written DIRECTORY
+    scan already splits per file; non-local paths skip the guard)."""
+    try:
+        if os.path.isdir(path):
+            return None
+        key = (path, os.path.getmtime(path))
+        if key not in _LAYOUT_MEMO:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+            _LAYOUT_MEMO[key] = (md.num_row_groups, md.num_rows)
+        return _LAYOUT_MEMO[key]
+    except OSError:
+        return None
+
+
+def _spread_scan(df: DataFrame, name: str, path: str) -> DataFrame:
+    key = _SPREAD_KEY.get(name)
+    if key is None:
+        return df
+    layout = _parquet_layout(path)
+    if layout is None:
+        return df
+    n_groups, n_rows = layout
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if n_groups >= par or n_rows < _MIN_ROWS_TO_SPREAD:
+        return df
+    return df.repartition(par, F.xxhash64(F.col(key)))
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -80,13 +167,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     )
                 elif ts_type == "timestamp_ntz":
                     df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-                return df
+                return _spread_scan(df, name, path) if spread else df
             finally:
                 if prev is None:
                     spark.conf.unset(_K)
                 else:
                     spark.conf.set(_K, prev)
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    return _spread_scan(df, name, path) if spread else df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
