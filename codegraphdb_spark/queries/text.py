@@ -3233,24 +3233,30 @@ def doc_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~F.coalesce("near_bad", F.lit(False))).alias("near_ok"),
             (~F.coalesce("substr_bad", F.lit(False))).alias("substr_ok"),
         )
-        .localCheckpoint(eager=False)
     )
-    n = F.count(F.lit(1)).cast("bigint")
-
-    def stage(name: str, cond) -> DataFrame:
-        src = flags.filter(cond) if cond is not None else flags
-        return src.agg(F.lit(name).alias("stage"), n.alias("n_docs"))
-
-    return (
-        stage("a_total", None)
-        .unionByName(stage("b_exact", F.col("exact_ok")))
-        .unionByName(stage("c_near", F.col("near_ok")))
-        .unionByName(stage("d_substr", F.col("substr_ok")))
-        .unionByName(
-            stage("e_all", F.col("exact_ok") & F.col("near_ok") & F.col("substr_ok"))
-        )
-        .orderBy("stage")
+    # r10: the five stage counts were five separate aggregate JOBS over a
+    # checkpointed flags frame (each its own job submission + the
+    # checkpoint materialization); they are all conditional counts of the
+    # same rows, so compute them in ONE aggregation pass and unpivot the
+    # single row with stack() — 5 jobs and a checkpoint → 1 job (guide
+    # §1.2: fuse passes before tuning inside them). Same values, same
+    # output shape.
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    one = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("a_total"),
+        cnt(F.col("exact_ok")).alias("b_exact"),
+        cnt(F.col("near_ok")).alias("c_near"),
+        cnt(F.col("substr_ok")).alias("d_substr"),
+        cnt(
+            F.col("exact_ok") & F.col("near_ok") & F.col("substr_ok")
+        ).alias("e_all"),
     )
+    return one.select(
+        F.expr(
+            "stack(5, 'a_total', a_total, 'b_exact', b_exact, "
+            "'c_near', c_near, 'd_substr', d_substr, 'e_all', e_all)"
+        ).alias("stage", "n_docs")
+    ).orderBy("stage")
 
 
 @query(
