@@ -360,7 +360,10 @@ def main() -> None:
     # metric, so per-query numbers measure the PROBE — the recurring cost —
     # not the index build it amortizes (VERDICT r6 item 5). Queries still
     # build them on demand when run standalone.
-    from codegraphdb_spark.queries.similarity import _standing_ivf_tables
+    from codegraphdb_spark.queries.similarity import (
+        _standing_full_cent,
+        _standing_ivf_tables,
+    )
     from codegraphdb_spark.queries.text import (
         _standing_band_table,
         _standing_minhash_sigs,
@@ -374,6 +377,7 @@ def main() -> None:
     _standing_band_table(spark, sf_dir)
     _standing_simhash60(spark, sf_dir)
     _standing_ivf_tables(spark, sf_dir)
+    _standing_full_cent(spark, sf_dir)  # r10: full-corpus coarse quantizer
     standing_index_build_sec = round(time.time() - t0, 3)
 
     # Sweep heap hygiene (VERDICT r7 item 2): most queries localCheckpoint

@@ -77,6 +77,7 @@ def clear_session_caches(spark) -> None:
         text._MH_SIGS_CACHE,
         text._SIM60_CACHE,
         similarity._INC_IVF_CACHE,
+        similarity._FULL_CENT_CACHE,
         graph._CYCLE_FACTS_CACHE,
     ):
         cache.clear()
