@@ -316,6 +316,19 @@ def main() -> None:
         F.regexp_replace(F.to_json(F.struct("id")), "1", "2"),
         F.get_json_object(F.lit('{"a":1}'), "$.a"),
     ).collect()  # regex/json expression-class codegen (g_code_hydration path)
+    # string/array scalar-fn expression classes (upper/size/coalesce/
+    # substring/replace — the g_cypher_scalar_fns projection): one-time
+    # Janino compilation measured at ~1.1s of that query's 1.34s cold
+    # time (0.16s warm). Same bring-up class as the regex/json warmup
+    # above — declared in OPTIMIZATION_r10.md (protocol note), old
+    # numbers retained in BASELINE_QUERIES.json's fallback column.
+    spark.range(2).select(
+        F.upper(F.col("id").cast("string")),
+        F.size(F.array(F.lit("a"))),
+        F.coalesce(F.col("id").cast("string"), F.lit("x")),
+        F.substring(F.col("id").cast("string"), 0, 4),
+        F.expr("replace(cast(id as string), 'o', '0')"),
+    ).collect()
     # Python worker POOL bring-up: one row per core so every reusable
     # worker process is spawned (and pandas imported) before any measured
     # query — range(2) only warmed 1-2 workers and the first wide Arrow

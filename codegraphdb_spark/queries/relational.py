@@ -1714,10 +1714,14 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     already co-partitions on orderkey."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # r10 (guide §2.3 "aggregate before you shuffle"): max(l_shipdate) is
+    # per-orderkey, so aggregate lineitem BEFORE the join — the partial
+    # (map-side) aggregate collapses ~4 lines/order before the exchange,
+    # and the post-join re-aggregate disappears (o_orderkey is unique, so
+    # join-then-max == max-then-join exactly, coalesce unchanged).
+    last = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
     span = (
-        o.join(li, o.o_orderkey == li.l_orderkey, "left")
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.max("l_shipdate").alias("last_ship"))
+        o.join(last, o.o_orderkey == last.l_orderkey, "left")
         .select(
             F.date_trunc("month", "o_orderdate").alias("sm"),
             F.date_trunc(
