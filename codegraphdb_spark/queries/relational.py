@@ -1504,12 +1504,18 @@ def exclusive_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("was_late"))
     )
-    per_order = per_ls.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_suppliers"),
-        F.sum("was_late").alias("n_late"),
-    )
+    # r10: the per-order counts were a groupBy + join-back over per_ls —
+    # the one subtree then executed TWICE (ReuseExchange cannot fire: the
+    # aggregate's exchange sits above a partial HashAggregate while the
+    # join's sits above the raw frame — the 7f4d867 span-family analysis).
+    # As window aggregates over the same orderkey partitioning, per_ls
+    # executes once and the counts ride the exchange the aggregate
+    # already established. count/sum over a partition are exact — same
+    # values, same rows.
+    wo = Window.partitionBy("l_orderkey")
     return (
-        per_ls.join(per_order, "l_orderkey")
+        per_ls.withColumn("n_suppliers", F.count(F.lit(1)).over(wo))
+        .withColumn("n_late", F.sum("was_late").over(wo))
         .filter(
             (F.col("n_suppliers") > 1)
             & (F.col("n_late") == 1)
