@@ -1824,10 +1824,17 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("toks")).alias("n_uniq"),
     )
     quality = toks.filter(F.col("n_tokens").between(20, 1000) & (F.col("n_uniq") > 5))
-    keep = quality.groupBy(F.md5("text").alias("__h")).agg(
-        F.min("doc_id").alias("doc_id")
+    # r10: keep-first was a groupBy(md5) + semi-join-back, so the
+    # tokenize/size pass over the corpus ran twice. As a min over the
+    # content-hash partition (text itself projected away before the
+    # exchange), quality executes once; doc_id == min(doc_id) per hash
+    # selects exactly the semi-join's rows.
+    hashed = quality.select(
+        "doc_id", "lang", "n_tokens", "n_uniq", F.md5("text").alias("__h")
     )
-    dedup = quality.join(keep.select("doc_id"), "doc_id", "left_semi")
+    dedup = hashed.withColumn(
+        "__keep", F.min("doc_id").over(Window.partitionBy("__h"))
+    ).filter(F.col("doc_id") == F.col("__keep"))
     return (
         dedup.groupBy("lang")
         .agg(
@@ -1876,10 +1883,14 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    # r10: df was a groupBy("term") + join-back over tf, so the
+    # explode+aggregate subtree executed twice (ReuseExchange can't fire
+    # across the partial-aggregate boundary — the 7f4d867 shape). As a
+    # count over the term partition, tf executes once; same integer df.
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("term"))
     scored = (
-        tf.join(df_, "term")
+        tf.withColumn("df", df_w)
         .crossJoin(F.broadcast(n))
         .withColumn("score", (F.col("tf") * F.expr("(1000000 * n_docs) div df")).cast("bigint"))
     )
