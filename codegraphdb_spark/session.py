@@ -74,6 +74,7 @@ def clear_session_caches(spark) -> None:
         text._OVL_INDEX_CACHE,
         text._SPANS_CACHE,
         text._INC_BANDS_CACHE,
+        text._LSH_CAND_CACHE,
         text._MH_SIGS_CACHE,
         text._SIM60_CACHE,
         similarity._INC_IVF_CACHE,
