@@ -378,6 +378,7 @@ def main() -> None:
         _standing_ivf_tables,
     )
     from codegraphdb_spark.queries.text import (
+        _shingle_sets,
         _standing_band_table,
         _standing_minhash_sigs,
         _standing_overlap_index,
@@ -385,6 +386,7 @@ def main() -> None:
     )
 
     t0 = time.time()
+    _shingle_sets(spark, sf_dir)  # r10: persisted standing table
     _standing_overlap_index(spark, sf_dir)
     _standing_minhash_sigs(spark, sf_dir)
     _standing_band_table(spark, sf_dir)

@@ -352,17 +352,44 @@ _SHSETS_CACHE: dict[tuple[object, str], DataFrame] = {}
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-cached (doc_id, shs) distinct 60-bit shingle-hash sets —
-    the stage every set-overlap consumer (document pair overlap, the
-    cross-source matrix) starts from; hashed in ONE Arrow pass per
-    (session, sf_dir)."""
+    """(doc_id, shs) distinct 60-bit shingle-hash sets — the stage every
+    set-overlap consumer (document pair overlap, the cross-source matrix)
+    starts from. r10: PERSISTED like the other standing indexes — the
+    standing overlap index skips this Arrow pass when it re-attaches its
+    own tables, which left source_overlap_matrix re-shingling the corpus
+    every session (~1.6s at sf0.1) for the one artifact the index build
+    had already computed. Same fingerprint salt as the overlap index
+    (the shingle kernel is part of its params token); a changed corpus
+    or kernel rebuilds."""
     key = (spark, sf_dir)
     if key not in _SHSETS_CACHE:
+        import hashlib as _hl
+
+        from codegraphdb_spark.operators.bucketing import (
+            corpus_fingerprint,
+            index_params_token,
+            record_fingerprint,
+            reuse_bucketed,
+            write_bucketed,
+        )
         from codegraphdb_spark.queries.graph import _evict_old
 
-        _SHSETS_CACHE[key] = _shingle_sets_uncached(spark, sf_dir).localCheckpoint(
-            eager=False
+        tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+        name = f"sh_sets_{tag}"
+        fp = corpus_fingerprint(
+            sf_dir,
+            "documents",
+            params=index_params_token("sh_sets/v1", _shingle_sets_uncached),
         )
+        t = reuse_bucketed(spark, name, fp, ["doc_id"], 4, ["doc_id"])
+        if t is None:
+            write_bucketed(
+                _shingle_sets_uncached(spark, sf_dir), name, ["doc_id"], 4,
+                sort_cols=["doc_id"],
+            )
+            record_fingerprint(spark, name, fp, ["doc_id"], 4)
+            t = spark.table(name)
+        _SHSETS_CACHE[key] = t
         _evict_old(_SHSETS_CACHE, keep=6)
     return _SHSETS_CACHE[key]
 
