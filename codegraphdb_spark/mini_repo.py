@@ -258,8 +258,11 @@ CYCLE_V1 = [
 # cross-file factory returns, property access, and call-chained method
 # hops. tools/deep_parity.py runs jedi itself over these sources to
 # produce the golden CALL-edge set and scores the join-based resolver
-# against it, per shape class. Kept SEPARATE from V1/DEEP_V1 so the
-# long-standing goldens never see these modules.
+# against it, per shape class. Since r10 these modules are indexed in the
+# SAME combined _graph build as V1/DEEP_V1 (one pipeline serves all three
+# catalogs); the long-standing goldens never see them because every
+# goldens consumer filters out the parity.*-prefixed paths
+# (queries/graph.py parity exclusion filters).
 
 PARITY_ENGINE = """\
 class Meter:

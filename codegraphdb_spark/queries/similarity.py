@@ -352,7 +352,12 @@ def _standing_full_cent(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp = corpus_fingerprint(
             sf_dir,
             "embeddings",
-            params=index_params_token("ivf_cent_full/v1", _IVF_SCALE, DIM),
+            # hash the kernel source too (ADVICE r10): an edit to the
+            # centroid arithmetic must flip the fingerprint, or a later
+            # session would re-attach a stale persisted quantizer
+            params=index_params_token(
+                "ivf_cent_full/v1", _expl_cent_frames, _IVF_SCALE, DIM
+            ),
         )
         t = reuse_bucketed(spark, name, fp, ["clabel"], 2, ["clabel", "pos"])
         if t is None:

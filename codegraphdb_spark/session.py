@@ -67,6 +67,9 @@ def clear_session_caches(spark) -> None:
         graph._CACHE,
         graph._FACTS_CACHE,
         graph._DEEP_CACHE,
+        graph._PARITY_CACHE,  # holds a filter over the FULL combined e2
+        # checkpoint since the r10 fold-in — a surviving entry would pin
+        # the whole graph build's blocks across the clear
         similarity._EMB_PAIRS_CACHE,
         text._PAIRS_CACHE,
         text._CONTAINMENT_CACHE,

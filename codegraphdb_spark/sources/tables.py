@@ -102,7 +102,9 @@ def _parquet_layout(path: str) -> tuple[int, int] | None:
             md = pq.ParquetFile(path).metadata
             _LAYOUT_MEMO[key] = (md.num_row_groups, md.num_rows)
         return _LAYOUT_MEMO[key]
-    except OSError:
+    except Exception:  # noqa: BLE001 — pyarrow raises ArrowInvalid on a
+        # malformed file and the lazy import can raise ImportError; the
+        # guard is an optional optimization and must never fail the read
         return None
 
 

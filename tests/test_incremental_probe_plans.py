@@ -68,20 +68,36 @@ def test_overlap_family_probes_standing_posting_table(spark):
 def test_minhash_and_simhash_probe_standing_signature_tables(spark):
     """r8b: the full-corpus minhash/simhash queries must read their
     PERSISTED signature tables (one Arrow sign pass per corpus, at
-    indexing time) — zero Python stages in the query plans."""
+    indexing time) — zero Python stages in the query plans.
+
+    r10/r11: the whole minhash family now shares ONE checkpointed
+    candidate frame (_lsh_candidates), so the registered query plans are
+    lineage-truncated to `Scan ExistingRDD`; the standing-table contract
+    is pinned on the BUILD expression of that shared frame (the exact
+    DataFrame _lsh_candidates checkpoints), and the zero-Python assertion
+    stays on the registered query plans."""
     from codegraphdb_spark import registry
+    from codegraphdb_spark.queries.text import (
+        _standing_minhash_sigs,
+        lsh_candidate_pairs,
+    )
 
     registry.load_all()
-    # (doc_minhash_jaccard_est reads the same standing sigs but its
-    # candidate frame is lineage-truncated by a lazy checkpoint, so the
-    # table scan doesn't appear in ITS plan — covered via lsh_candidates)
+    # the shared family frame's build plan must scan the persisted sigs
+    build = lsh_candidate_pairs(_standing_minhash_sigs(spark, SF))
+    build_plan = build._jdf.queryExecution().executedPlan().toString()
+    assert "mh_sigs_" in build_plan, "standing mh_sigs_ table not in build plan"
+    assert build_plan.count("MapInPandas") == 0, (
+        "corpus re-signed in the LSH candidate build plan"
+    )
     for q, table in (
-        ("minhash_lsh_candidates", "mh_sigs_"),
+        ("minhash_lsh_candidates", None),  # lineage-truncated (shared checkpoint)
         ("simhash_near_dup_pairs", "sim60_"),
     ):
         df = registry.QUERIES[q](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert table in plan, f"{q}: standing table {table} not in plan"
+        if table is not None:
+            assert table in plan, f"{q}: standing table {table} not in plan"
         assert plan.count("MapInPandas") == 0, (
             f"{q}: corpus re-signed in the query plan"
         )
