@@ -1500,8 +1500,23 @@ def _run_cypher_inner(
         if not all(isinstance(v, str) == head_is_str for v in values):
             raise CypherError("UNWIND list items must be all-string or all-int")
         var = mu.group("var")
-        vdf = nodes.sparkSession.createDataFrame(
-            [(v,) for v in values], f"{var} {'string' if head_is_str else 'bigint'}"
+        # pandas input → JVM LocalTableScan (closure.py precedent): a
+        # plain-list createDataFrame plans a pickled-Python-RDD scan and
+        # the FIRST such call in a session pays the whole Python-RDD
+        # bring-up (~1.6s measured inside g_cypher_unwind_params' cold
+        # timer, 4.97x its pinned median)
+        import pandas as pd
+
+        schema = f"{var} {'string' if head_is_str else 'bigint'}"
+        vdf = (
+            nodes.sparkSession.createDataFrame(
+                pd.DataFrame({var: list(values)}), schema
+            )
+            if values
+            # empty list: zero rows — dtype-less pandas would leave the
+            # Arrow cast ambiguous, the plain path is exact (and cheap: no
+            # data crosses)
+            else nodes.sparkSession.createDataFrame([], schema)
         )
         udf = vdf if udf is None else udf.crossJoin(vdf)
         unwind_plain.add(var)

@@ -249,10 +249,16 @@ def _merge_node(
         row["versions"] = [version]
         rows.append(tuple(row[c] for c in _NODE_COLS))
     provided = dict.fromkeys(provided_keys, True)
+    # pandas input → JVM LocalTableScan (closure.py precedent): the
+    # plain-list form plans a pickled-Python-RDD scan that re-runs a
+    # Python worker on every downstream action over the merged frame —
+    # three chained MERGEs made g_cypher_write_roundtrip pay it 3x
+    import pandas as pd
+
     new = F.broadcast(
-        spark.createDataFrame(rows, NODES_SCHEMA).select(
-            [F.col(c).alias(f"n__{c}") for c in _NODE_COLS]
-        )
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=_NODE_COLS), NODES_SCHEMA
+        ).select([F.col(c).alias(f"n__{c}") for c in _NODE_COLS])
     )
     joined = nodes.join(new, nodes.full_name == new.n__full_name, "full_outer")
     out = [F.coalesce("full_name", "n__full_name").alias("full_name")]
@@ -339,10 +345,14 @@ def _merge_edge(
             "batched edge MERGE has duplicate (src, dst, rel_type) keys"
         )
     spark = edges.sparkSession
+    # pandas input → JVM LocalTableScan, same rationale as the node batch
+    import pandas as pd
+
     new = F.broadcast(
-        spark.createDataFrame(rows, EDGES_SCHEMA).select(
-            [F.col(c).alias(f"e__{c}") for c in edges.columns]
-        )
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=[f.name for f in EDGES_SCHEMA.fields]),
+            EDGES_SCHEMA,
+        ).select([F.col(c).alias(f"e__{c}") for c in edges.columns])
     )
     key = (
         (edges.src == new.e__src)

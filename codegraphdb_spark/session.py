@@ -30,6 +30,16 @@ def get_spark(app_name: str = "codegraphdb-spark", cpus: str | int | None = None
         .master(master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst=true (the Spark default) refuses to coalesce
+        # post-shuffle partitions below defaultParallelism, so every
+        # sub-MB shuffle still fans out to `cores` tasks — pure scheduling
+        # overhead on small stages (guide §2.2: let AQE coalesce by size).
+        # Env-overridable for A/B measurement; the advisory size (64m
+        # default) governs the coalesced count at any scale.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "true"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
