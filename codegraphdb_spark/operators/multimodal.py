@@ -751,13 +751,20 @@ def sample_frames(binary_df: DataFrame, every_n: int = 5) -> DataFrame:
             out = {k: [] for k in ("path", "frame_idx", "ts_ms", "frame")}
             for path, content in zip(pdf["path"], pdf["content"]):
                 payload = bytes(content)
+                # hash the payload ONCE and fork per-frame states with
+                # .copy(): sha256(payload).copy().update(idx) is
+                # bit-identical to sha256(payload + idx) but turns
+                # O(frames x payload) hashing into O(payload + frames)
+                # — the per-frame re-hash dominated this kernel (a 50 KiB
+                # clip re-hashed ~13x per doc)
+                base = hashlib.sha256(payload)
                 for idx in range(0, _fake_frame_count(payload), every_n):
+                    h = base.copy()
+                    h.update(struct.pack(">I", idx))
                     out["path"].append(path)
                     out["frame_idx"].append(idx)
                     out["ts_ms"].append(idx * _FRAME_MS)
-                    out["frame"].append(
-                        hashlib.sha256(payload + struct.pack(">I", idx)).digest()
-                    )
+                    out["frame"].append(h.digest())
             yield pd.DataFrame(out)
 
     return binary_df.select("path", "content").mapInPandas(batches, schema=FRAME_SCHEMA)

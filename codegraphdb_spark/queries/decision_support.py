@@ -196,15 +196,26 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     rs = load_table(spark, sf_dir, "region").alias("rsu")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     asia_vol = F.when(F.col("rsu.r_name") == "ASIA", vol).otherwise(F.lit(0.0))
+    # r11 (guide §3.2 reduce the big side BEFORE shuffling it): the
+    # selective PROMO-part broadcast join runs FIRST, so lineitem is cut
+    # ~5x (and the supplier-region columns attached, map-side) before
+    # orders and customer ever see it — at production scale, where
+    # orders/customer no longer fit a broadcast, the one big
+    # lineitem⋈orders shuffle then moves only surviving rows. The chain
+    # stays LINEAR on purpose: grouping the two sides into subtrees was
+    # measured to defeat the planner's per-table broadcast estimates at
+    # bench scale (it planned a SortMergeJoin + 2 Exchanges for frames
+    # that fit in memory). Inner-join reassociation only; identical rows
+    # out (oracle-checked).
     joined = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(nc, c.c_nationkey == F.col("ncu.n_nationkey"))
-        .join(rcu, F.col("ncu.n_regionkey") == F.col("rcu.r_regionkey"))
         .join(ns, s.s_nationkey == F.col("nsu.n_nationkey"))
         .join(rs, F.col("nsu.n_regionkey") == F.col("rsu.r_regionkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(nc, c.c_nationkey == F.col("ncu.n_nationkey"))
+        .join(rcu, F.col("ncu.n_regionkey") == F.col("rcu.r_regionkey"))
         .filter(F.col("rcu.r_name") == "EUROPE")
     )
     return (

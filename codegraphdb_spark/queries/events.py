@@ -468,17 +468,37 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("2024-01-01"))) / 7
     ).cast("int")
     ev = e.select("user_id", week.alias("week"))
-    firsts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    sizes = firsts.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    # r11 (guide §2.4): cohort_week as a user-partitioned window MIN
+    # instead of groupBy(user_id) + join-back — one scan and one
+    # user-keyed exchange instead of two of each (ReuseExchange never
+    # fired across the partial-aggregate boundary, the same shape fixed
+    # for exclusive_late_supplier/doc_tfidf in r10). cohort_size needs no
+    # separate aggregate either: a user's first week is active by
+    # definition, so the week_age=0 cell's distinct-user count IS the
+    # cohort size — recover it with a window over the (tiny) aggregated
+    # cohort grid. Same rows, same values (oracle-checked).
+    j = ev.select(
+        "user_id",
+        F.min("week").over(Window.partitionBy("user_id")).alias("cohort_week"),
+        "week",
+    ).select(
+        "user_id",
+        "cohort_week",
+        (F.col("week") - F.col("cohort_week")).alias("week_age"),
     )
-    j = ev.join(firsts, "user_id").select(
-        "user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_age")
+    agg = j.groupBy("cohort_week", "week_age").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_active")
     )
+    cohort_size = F.max(
+        F.when(F.col("week_age") == 0, F.col("n_active"))
+    ).over(Window.partitionBy("cohort_week"))
     return (
-        j.join(F.broadcast(sizes), "cohort_week")
-        .groupBy("cohort_week", "week_age", "cohort_size")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+        agg.select(
+            "cohort_week",
+            "week_age",
+            "n_active",
+            cohort_size.cast("bigint").alias("cohort_size"),
+        )
         .select(
             "cohort_week",
             "week_age",
