@@ -198,6 +198,35 @@ EMIT_ALL_QUERIES = {
 }
 
 
+# Query FAMILIES sharing one session-cached materialization (VERDICT r10
+# item 8): the first family member the sweep reaches pays the shared
+# checkpoint/table-assembly cost inside ITS cold timer, so sampling one
+# member without the rest misgrades cost-shifting as speedup (r10's
+# minhash_lsh_candidates "6.79x"). Emitted with every BENCH record so
+# PERF can sample families together or aggregate family subtotals.
+# Membership = consumers of one _*_CACHE dict in queries/text.py /
+# queries/similarity.py (single-consumer caches omitted).
+QUERY_FAMILIES = {
+    "jaccard_pairs": [  # text._PAIRS_CACHE
+        "ngram_jaccard_pairs", "doc_dup_clusters",
+        "doc_dedup_keep_best", "doc_dedup_funnel",
+    ],
+    "lsh_candidates": [  # text._LSH_CAND_CACHE
+        "minhash_lsh_candidates", "doc_minhash_jaccard_est",
+    ],
+    "dup_spans": [  # text._SPANS_CACHE (assembled from dup_pos_)
+        "doc_dup_spans", "doc_dup_span_stats",
+        "doc_dup_span_scrub", "doc_dedup_funnel",
+    ],
+    "emb_near_dup": [  # similarity._EMB_PAIRS_CACHE
+        "emb_near_dup_pairs", "emb_dup_clusters", "doc_semantic_dedup",
+    ],
+    "pq_coded": [  # similarity._pq_coded checkpoint
+        "emb_pq_encode", "emb_pq_topk",
+    ],
+}
+
+
 def run_measured(df, name: str):
     """Execute a query for timing: emit-all queries reduce to a content
     digest + count (same plan, no driver transfer); everything else
@@ -380,6 +409,7 @@ def main() -> None:
     from codegraphdb_spark.queries.text import (
         _shingle_sets,
         _standing_band_table,
+        _standing_dup_pos,
         _standing_minhash_sigs,
         _standing_overlap_index,
         _standing_simhash60,
@@ -387,6 +417,7 @@ def main() -> None:
 
     t0 = time.time()
     _shingle_sets(spark, sf_dir)  # r10: persisted standing table
+    _standing_dup_pos(spark, sf_dir)  # r11: duplicated-gram position index
     _standing_overlap_index(spark, sf_dir)
     _standing_minhash_sigs(spark, sf_dir)
     _standing_band_table(spark, sf_dir)
@@ -510,6 +541,13 @@ def main() -> None:
         # driver collects (VERDICT r8 item 6) — the mode each row used
         "bench_mode_hash": sorted(k for k, v in modes.items() if v == "hash"),
         "queries_warm": warm,
+        # family map (VERDICT r10 item 8): queries sharing one session
+        # materialization — sample together or aggregate subtotals
+        "families": QUERY_FAMILIES,
+        "family_cold_totals": {
+            fam: round(sum(timings.get(q, 0.0) for q in qs), 3)
+            for fam, qs in QUERY_FAMILIES.items()
+        },
         "warm_total_sec": round(sum(warm.values()), 3),
         "pruned_update": pruned_rec,
     }

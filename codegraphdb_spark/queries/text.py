@@ -2876,10 +2876,11 @@ def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SPANS_CACHE[key]
 
 
-def _dup_spans_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, span_start, span_end, span_tokens, n_dup_grams): maximal
-    disjoint token ranges covered by K-grams that appear verbatim in >= 2
-    distinct documents.
+def _dup_pos_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos) token positions covered by K-grams that appear
+    verbatim in >= 2 distinct documents — the BUILD expression of the
+    standing dup-position index (_standing_dup_pos); span assembly over
+    it lives in _dup_spans_uncached.
 
     This is the distributed re-expression of exact-substring training-data
     dedup (Lee et al. 2021's suffix-array ExactSubstr, and the reference's
@@ -2945,12 +2946,77 @@ def _dup_spans_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
         gram_hashes, schema="doc_id BIGINT, pos INT, h BIGINT"
     )
     wh = Window.partitionBy("h")
-    dpos = (
+    return (
         grams.withColumn("mn", F.min("doc_id").over(wh))
         .withColumn("mx", F.max("doc_id").over(wh))
         .filter(F.col("mn") != F.col("mx"))
         .select("doc_id", "pos")
     )
+
+
+_DUP_POS_CACHE: dict[tuple[object, str], DataFrame] = {}
+
+
+def _standing_dup_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED duplicated-gram position index: (doc_id, pos) for every
+    token position whose K-gram appears verbatim in >= 2 distinct
+    documents — the artifact a production ExactSubstr-style dedup
+    pipeline computes at INDEXING time (it is the suffix-array analog of
+    the overlap family's posting lists) and that all four span consumers
+    (doc_dup_spans / _stats / _scrub, doc_dedup_funnel) assemble their
+    doc-local islands from. r11: previously the whole gram kernel + the
+    corpus-wide gram-key window re-ran once per session inside whichever
+    consumer swept first (~2.5s at sf0.1, charged to doc_dedup_funnel's
+    cold timer); the standing-index lifecycle now pays it, reported in
+    standing_index_build_sec like its siblings (sh_sets/mh_sigs/ovl_*).
+
+    Bucketed AND bucket-sorted by (doc_id, pos), so the island assembly's
+    doc-keyed window needs NO Exchange over the index (hashpartitioning
+    on the bucket column satisfies the window's required distribution).
+    Fingerprinted against the corpus listing + the gram kernel source +
+    DUP_SPAN_K (the ADVICE-r8 discipline): a kernel or K change rebuilds
+    instead of re-attaching a stale table."""
+    key = (spark, sf_dir)
+    if key not in _DUP_POS_CACHE:
+        import hashlib as _hl
+
+        from codegraphdb_spark.operators.bucketing import (
+            corpus_fingerprint,
+            index_params_token,
+            record_fingerprint,
+            reuse_bucketed,
+            write_bucketed,
+        )
+        from codegraphdb_spark.queries.graph import _evict_old
+
+        tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+        name = f"dup_pos_{tag}"
+        fp = corpus_fingerprint(
+            sf_dir,
+            "documents",
+            params=index_params_token(
+                "dup_pos/v1", _dup_pos_uncached, DUP_SPAN_K
+            ),
+        )
+        t = reuse_bucketed(spark, name, fp, ["doc_id"], 8, ["doc_id", "pos"])
+        if t is None:
+            write_bucketed(
+                _dup_pos_uncached(spark, sf_dir), name, ["doc_id"], 8,
+                sort_cols=["doc_id", "pos"],
+            )
+            record_fingerprint(spark, name, fp, ["doc_id"], 8)
+            t = spark.table(name)
+        _DUP_POS_CACHE[key] = t
+        _evict_old(_DUP_POS_CACHE, keep=6)
+    return _DUP_POS_CACHE[key]
+
+
+def _dup_spans_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal disjoint duplicate spans assembled from the standing
+    position index — the doc-local half of the design described in
+    _dup_pos_uncached (lag + running-sum islands, nothing crosses
+    documents)."""
+    dpos = _standing_dup_pos(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(w) <= DUP_SPAN_K - 1, F.lit(0)

@@ -86,6 +86,7 @@ def clear_session_caches(spark) -> None:
         text._SHSETS_CACHE,
         text._OVL_INDEX_CACHE,
         text._SPANS_CACHE,
+        text._DUP_POS_CACHE,
         text._INC_BANDS_CACHE,
         text._LSH_CAND_CACHE,
         text._MH_SIGS_CACHE,

@@ -65,6 +65,24 @@ def test_overlap_family_probes_standing_posting_table(spark):
     assert "ovl_docs_" in plan
 
 
+def test_dup_span_assembly_probes_standing_position_index(spark):
+    """r11: the duplicate-span family assembles islands from the PERSISTED
+    dup-position index (one gram Arrow pass + one corpus-wide gram-key
+    window per corpus, at indexing time). The assembly plan must scan the
+    bucketed dup_pos_ table, contain NO Python stage (no corpus
+    re-gramming), and — because the table is bucketed AND bucket-sorted
+    by (doc_id, pos) — NO Exchange: the doc-keyed windows run straight on
+    the scan."""
+    from codegraphdb_spark.queries.text import _dup_spans_uncached
+
+    df = _dup_spans_uncached(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dup_pos_" in plan, "standing dup-position table not in plan"
+    assert "Bucketed: true" in plan, "dup_pos_ scan not bucketed"
+    assert plan.count("MapInPandas") == 0, "corpus re-grammed in assembly"
+    assert "Exchange" not in plan, "island assembly shuffled the index"
+
+
 def test_minhash_and_simhash_probe_standing_signature_tables(spark):
     """r8b: the full-corpus minhash/simhash queries must read their
     PERSISTED signature tables (one Arrow sign pass per corpus, at

@@ -47,6 +47,9 @@ STANDING_PREFIXES = (
     "inc_bands_",
     "inc_ivf_cent_",
     "inc_ivf_",
+    "sh_sets_",  # r10 standing shingle sets
+    "ivf_cent_full_",  # r10 full-corpus coarse quantizer
+    "dup_pos_",  # r11 duplicated-gram position index
 )
 
 _TAG_RE = re.compile(
