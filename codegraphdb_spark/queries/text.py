@@ -1379,14 +1379,27 @@ def minhash_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFram
         .otherwise(F.col("a.sig"))
         .alias("sig_b"),
     ]
-    # base↔delta: probe the standing buckets (base and delta doc_ids are
-    # disjoint by construction, so no self-pair guard is needed)
-    bd = a.join(base_b.alias("b"), join_cond).select(*orient)
-    # delta↔delta: the day's batch self-joins against itself (small)
-    dd = a.join(
-        delta_b.alias("b"), join_cond & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(*orient)
-    cand = bd.unionByName(dd).distinct()
+    # r11 (guide §1.2 fuse passes): ONE probe join instead of two — the
+    # build side is the union of the standing buckets (base↔delta; base
+    # and delta doc_ids are disjoint by construction, so no self-pair
+    # guard is needed there) and the delta's own bands (delta↔delta,
+    # guarded by doc_id order). One pass over the delta bands, one
+    # broadcast, one distinct — candidate set identical (oracle-checked).
+    cols = ["doc_id", "sig", "band_idx", "band_key"]
+    b_all = (
+        base_b.select(*cols)
+        .withColumn("is_base", F.lit(True))
+        .unionByName(delta_b.select(*cols).withColumn("is_base", F.lit(False)))
+    )
+    cand = (
+        a.join(
+            b_all.alias("b"),
+            join_cond
+            & (F.col("b.is_base") | (F.col("a.doc_id") < F.col("b.doc_id"))),
+        )
+        .select(*orient)
+        .distinct()
+    )
     return _sig_agreement(cand).orderBy("doc_a", "doc_b")
 
 

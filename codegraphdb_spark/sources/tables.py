@@ -109,6 +109,11 @@ def _parquet_layout(path: str) -> tuple[int, int] | None:
 
 
 def _spread_scan(df: DataFrame, name: str, path: str) -> DataFrame:
+    # measurement/ops kill-switch: disable every opt-in spread without
+    # touching call sites (used for the per-site cold A/Bs; a production
+    # multi-row-group layout never reaches the repartition anyway)
+    if os.environ.get("SPARK_GRAFT_NO_SPREAD"):
+        return df
     key = _SPREAD_KEY.get(name)
     if key is None:
         return df
