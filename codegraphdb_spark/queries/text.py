@@ -18,6 +18,8 @@ below.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -348,6 +350,21 @@ def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CONTAINMENT_CACHE[key]
 
 
+def _corpus_buckets(sf_dir: str, lo: int = 4, hi: int = 32) -> int:
+    """Deterministic bucket count for per-document standing tables:
+    ~625 docs per bucket (a bucket-scan task in the tens of ms), floored
+    at 4 and capped at 32 — sf0.001 stays at 4, sf0.1 gets 8, sf1+ the
+    full 32. Derived from the corpus parquet footer (driver-side layout
+    metadata only); unknown layouts fall back to the old fixed 4."""
+    from codegraphdb_spark.sources.tables import _parquet_layout
+
+    layout = _parquet_layout(os.path.join(sf_dir, "documents.parquet"))
+    if layout is None:
+        return lo
+    _, n_rows = layout
+    return max(lo, min(hi, n_rows // 625))
+
+
 _SHSETS_CACHE: dict[tuple[object, str], DataFrame] = {}
 
 
@@ -381,13 +398,19 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "documents",
             params=index_params_token("sh_sets/v1", _shingle_sets_uncached),
         )
-        t = reuse_bucketed(spark, name, fp, ["doc_id"], 4, ["doc_id"])
+        # corpus-adaptive bucket count (VERDICT r10 item 6: a fixed 4 was
+        # wrong in both directions — too wide at sf0.001, a 4-task scan
+        # ceiling for every consumer at sf1+). Deterministic per corpus,
+        # recorded in the table sidecar; a changed count refuses the
+        # attach and rebuilds.
+        n_buckets = _corpus_buckets(sf_dir)
+        t = reuse_bucketed(spark, name, fp, ["doc_id"], n_buckets, ["doc_id"])
         if t is None:
             write_bucketed(
-                _shingle_sets_uncached(spark, sf_dir), name, ["doc_id"], 4,
-                sort_cols=["doc_id"],
+                _shingle_sets_uncached(spark, sf_dir), name, ["doc_id"],
+                n_buckets, sort_cols=["doc_id"],
             )
-            record_fingerprint(spark, name, fp, ["doc_id"], 4)
+            record_fingerprint(spark, name, fp, ["doc_id"], n_buckets)
             t = spark.table(name)
         _SHSETS_CACHE[key] = t
         _evict_old(_SHSETS_CACHE, keep=6)
